@@ -1,0 +1,143 @@
+"""As-of join: hand-computed goldens (reference test style —
+FindPatchPairsTest.java:28-38: tiny inputs, exact expected values),
+leakage invariants, and SQL-path vs pandas-path agreement."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from esa_pfa_spark.operators.asof import asof_join, asof_join_pandas
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _obs(spark):
+    pdf = pd.DataFrame(
+        {
+            "entity_id": ["a"] * 4 + ["b"] * 2,
+            "ts": [
+                T0,
+                T0 + dt.timedelta(days=1),
+                T0 + dt.timedelta(days=3),
+                T0 + dt.timedelta(days=20),
+                T0,
+                T0 + dt.timedelta(hours=1),
+            ],
+            "value": [1.0, 2.0, 3.0, 4.0, 10.0, 20.0],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def _probes(spark):
+    pdf = pd.DataFrame(
+        {
+            "entity_id": ["a", "a", "a", "a", "b", "c"],
+            "query_ts": [
+                T0 + dt.timedelta(days=2),       # between obs -> day1 obs
+                T0 + dt.timedelta(days=3),       # exact tie -> inclusive match
+                T0 + dt.timedelta(days=15),      # 12d after day3 -> out of 7d tol
+                T0 - dt.timedelta(days=1),       # before first obs -> null
+                T0 + dt.timedelta(minutes=30),   # between b obs
+                T0 + dt.timedelta(days=1),       # entity with no obs -> null
+            ],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+EXPECTED_BACKWARD_7D = {
+    ("a", T0 + dt.timedelta(days=2)): 2.0,
+    ("a", T0 + dt.timedelta(days=3)): 3.0,  # tie is inclusive
+    ("a", T0 + dt.timedelta(days=15)): None,  # beyond tolerance
+    ("a", T0 - dt.timedelta(days=1)): None,
+    ("b", T0 + dt.timedelta(minutes=30)): 10.0,
+    ("c", T0 + dt.timedelta(days=1)): None,
+}
+
+EXPECTED_FORWARD_7D = {
+    ("a", T0 + dt.timedelta(days=2)): 3.0,
+    ("a", T0 + dt.timedelta(days=3)): 3.0,  # tie is inclusive
+    ("a", T0 + dt.timedelta(days=15)): 4.0,  # day20 is 5d ahead, in tol
+    ("a", T0 - dt.timedelta(days=1)): 1.0,
+    ("b", T0 + dt.timedelta(minutes=30)): 20.0,
+    ("c", T0 + dt.timedelta(days=1)): None,
+}
+
+
+def _collect(df):
+    return {
+        (r["entity_id"], r["query_ts"]): r["value"]
+        for r in df.select("entity_id", "query_ts", "value").collect()
+    }
+
+
+@pytest.mark.parametrize("direction,expected", [
+    ("backward", EXPECTED_BACKWARD_7D),
+    ("forward", EXPECTED_FORWARD_7D),
+])
+def test_asof_window_golden(spark, direction, expected):
+    out = asof_join(
+        _probes(spark), _obs(spark), payload=["value"],
+        direction=direction, tolerance=dt.timedelta(days=7),
+    )
+    assert _collect(out) == expected
+
+
+@pytest.mark.parametrize("direction,expected", [
+    ("backward", EXPECTED_BACKWARD_7D),
+    ("forward", EXPECTED_FORWARD_7D),
+])
+def test_asof_pandas_golden(spark, direction, expected):
+    out = asof_join_pandas(
+        _probes(spark), _obs(spark), payload=["value"],
+        direction=direction, tolerance=dt.timedelta(days=7),
+    )
+    assert _collect(out) == expected
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_chunked_matches_unchunked(spark, direction):
+    out = asof_join_pandas(
+        _probes(spark), _obs(spark), payload=["value"],
+        direction=direction, tolerance=dt.timedelta(days=7),
+        chunk=dt.timedelta(days=7),
+    )
+    expected = EXPECTED_BACKWARD_7D if direction == "backward" else EXPECTED_FORWARD_7D
+    assert _collect(out) == expected
+
+
+def test_no_tolerance_means_unbounded(spark):
+    out = asof_join(_probes(spark), _obs(spark), payload=["value"], direction="backward")
+    got = _collect(out)
+    assert got[("a", T0 + dt.timedelta(days=15))] == 3.0  # 12d back, no bound
+
+
+def test_zero_leakage_invariant(spark):
+    """Every backward match satisfies matched_ts <= query_ts (and tolerance)."""
+    from esa_pfa_spark import synth
+
+    obs = synth.observations_df(spark, seed=11, n_entities=8, mean_obs=20, mean_tok=8)
+    probes = synth.queries_df(spark, seed=11, n_entities=8, mean_obs=20)
+    out = asof_join(
+        probes, obs, payload=["doc_id"], direction="backward",
+        tolerance=dt.timedelta(days=7),
+    ).toPandas()
+    matched = out.dropna(subset=["matched_ts"])
+    assert len(matched) > 0
+    assert (matched["matched_ts"] <= matched["query_ts"]).all()
+    assert (
+        (matched["query_ts"] - matched["matched_ts"]).dt.total_seconds() <= 7 * 86400
+    ).all()
+
+
+def test_sql_and_pandas_paths_agree(spark):
+    from esa_pfa_spark import synth
+
+    obs = synth.observations_df(spark, seed=5, n_entities=10, mean_obs=15, mean_tok=8)
+    probes = synth.queries_df(spark, seed=5, n_entities=10, mean_obs=15)
+    kw = dict(payload=["doc_id", "n_tok"], direction="backward", tolerance=dt.timedelta(days=7))
+    a = asof_join(probes, obs, **kw).orderBy("entity_id", "query_ts").toPandas()
+    b = asof_join_pandas(probes, obs, **kw).orderBy("entity_id", "query_ts").toPandas()
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)

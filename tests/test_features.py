@@ -1,0 +1,68 @@
+"""STX feature vector: hand-computed goldens + kernel/aggregate agreement."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from esa_pfa_spark.operators import features as FT
+
+
+def test_stats_kernel_golden():
+    """Hand-computed on [1..9]: mean 5, p10..p90 by linear interpolation."""
+    m, s, cv, lo, hi, p10, p50, p90, skew, n = FT.stats_kernel(np.arange(1.0, 10.0))
+    assert m == 5.0
+    assert s == pytest.approx(np.std(np.arange(1.0, 10.0), ddof=1))
+    assert cv == pytest.approx(s / 5.0)
+    assert (lo, hi, n) == (1.0, 9.0, 9)
+    assert p10 == pytest.approx(1.8)
+    assert p50 == pytest.approx(5.0)
+    assert p90 == pytest.approx(8.2)
+    # symmetric distribution -> skewness 0 (FeatureWriter.java:370 formula)
+    assert skew == pytest.approx(0.0)
+
+
+def test_stats_kernel_skewed():
+    arr = np.array([1.0, 1.0, 1.0, 10.0])
+    *_, p10, p50, p90, skew, n = FT.stats_kernel(arr)
+    expect = (p90 - 2 * p50 + p10) / (p90 - p10)
+    assert skew == pytest.approx(expect)
+
+
+def test_stats_kernel_empty_and_single():
+    assert FT.stats_kernel(np.array([])) == (None,) * 9 + (0,)
+    m, s, cv, lo, hi, p10, p50, p90, skew, n = FT.stats_kernel(np.array([7.0]))
+    assert (m, s, lo, hi, n) == (7.0, 0.0, 7.0, 7.0, 1)
+
+
+def test_token_stats_matches_kernel(spark):
+    pdf = pd.DataFrame({"id": [1, 2], "tokens": [[1, 2, 3, 4], [10, 20, 60]]})
+    out = FT.token_stats(spark.createDataFrame(pdf), "tokens").orderBy("id").toPandas()
+    for i, toks in enumerate(pdf["tokens"]):
+        golden = FT.stats_kernel(np.array(toks, dtype=np.float64))
+        got = tuple(out.iloc[i][FT.STAT_NAMES])
+        np.testing.assert_allclose(
+            np.array(got, dtype=np.float64), np.array(golden, dtype=np.float64), rtol=1e-12
+        )
+
+
+def test_stx_aggregate_matches_kernel(spark):
+    rng = np.random.default_rng(42)
+    vals = rng.integers(0, 1000, size=200).astype(np.float64)
+    pdf = pd.DataFrame({"k": ["g"] * 200, "v": vals})
+    out = FT.stx_aggregate(spark.createDataFrame(pdf), ["k"], "v").toPandas().iloc[0]
+    golden = FT.stats_kernel(vals)
+    np.testing.assert_allclose(
+        np.array(tuple(out[FT.STAT_NAMES]), dtype=np.float64),
+        np.array(golden, dtype=np.float64),
+        rtol=1e-9,
+    )
+
+
+def test_normalize_and_rescale(spark):
+    pdf = pd.DataFrame({"a": [0.0, 5.0, 10.0], "b": [2.0, 2.0, 4.0]})
+    df = spark.createDataFrame(pdf)
+    bounds = FT.normalize_bounds(df, ["a", "b"]).collect()[0].asDict()
+    assert bounds == {"a_min": 0.0, "a_max": 10.0, "b_min": 2.0, "b_max": 4.0}
+    out = FT.rescale_unit(df, ["a", "b"], bounds).toPandas()
+    assert list(out["a"]) == [0.0, 0.5, 1.0]
+    assert list(out["b"]) == [0.0, 0.0, 1.0]
