@@ -74,20 +74,25 @@ def asof_join(
     ]
     probe_cols = [c for c in probes.columns if c not in keys + [probe_ts]]
 
+    # The whole observation row is packed into ONE struct: a payload column
+    # may legitimately be null on its matched row (e.g. lead_1 of the last
+    # observation), so filling columns independently with ignorenulls would
+    # leak older values.  The struct is non-null exactly on obs rows, so
+    # last/first(struct, ignorenulls) selects the matched ROW atomically.
+    _PAY = "__asof_payload"
     obs_side = observations.select(
         *keys,
         F.col(obs_ts).alias(_TS),
         F.lit(0).alias(_TAG),
-        F.col(obs_ts).alias(_MATCH),
-        *[F.col(c) for c in payload],
+        F.struct(F.col(obs_ts).alias(_MATCH), *[F.col(c) for c in payload]).alias(_PAY),
         *[F.lit(None).cast(probes.schema[c].dataType).alias(f"__p_{c}") for c in probe_cols],
     )
+    pay_type = obs_side.schema[_PAY].dataType
     probe_side = probes.select(
         *keys,
         F.col(probe_ts).alias(_TS),
         F.lit(1).alias(_TAG),
-        F.lit(None).cast(observations.schema[obs_ts].dataType).alias(_MATCH),
-        *[F.lit(None).cast(observations.schema[c].dataType).alias(c) for c in payload],
+        F.lit(None).cast(pay_type).alias(_PAY),
         *[F.col(c).alias(f"__p_{c}") for c in probe_cols],
     )
     unioned = obs_side.unionByName(probe_side)
@@ -99,23 +104,29 @@ def asof_join(
             .orderBy(F.col(_TS).asc(), F.col(_TAG).asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        fill = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+        fill = F.last(_PAY, ignorenulls=True).over(w)
     else:
         w = (
             Window.partitionBy(*keys)
             .orderBy(F.col(_TS).asc(), F.col(_TAG).desc())
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        fill = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+        fill = F.first(_PAY, ignorenulls=True).over(w)
 
     filled = unioned.select(
         *keys,
         F.col(_TS),
         F.col(_TAG),
-        fill(_MATCH).alias(_MATCH),
-        *[fill(c).alias(c) for c in payload],
+        fill.alias(_PAY),
         *[F.col(f"__p_{c}") for c in probe_cols],
     ).filter(F.col(_TAG) == 1)
+    filled = filled.select(
+        *keys,
+        F.col(_TS),
+        F.col(_PAY)[_MATCH].alias(_MATCH),
+        *[F.col(_PAY)[c].alias(c) for c in payload],
+        *[F.col(f"__p_{c}") for c in probe_cols],
+    )
 
     tol_s = _tolerance_seconds(tolerance)
     if tol_s is not None:
@@ -128,9 +139,6 @@ def asof_join(
             *[F.when(in_tol, F.col(c)).alias(c) for c in payload],
             *[F.col(f"__p_{c}") for c in probe_cols],
         )
-    else:
-        filled = filled.drop(_TAG)
-
     out = filled.withColumnRenamed(_TS, probe_ts)
     for c in probe_cols:
         out = out.withColumnRenamed(f"__p_{c}", c)
