@@ -1,38 +1,807 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every operator family from SURVEY.md §2 has a queries() entry; each entry
+has an exactly-equivalent DuckDB oracle in oracle_sql() unless the
+semantics are non-SQL-expressible (the non-reuse two-pointer pairing and
+the synthetic flagship pipeline), which the driver records as rows-only.
+
+Portability conventions (verified Spark 4.1 vs DuckDB):
+  * floats rounded via round(x, 6) AFTER all arithmetic;
+  * big sums go through decimal(18,6) casts per row (order-independent
+    exact addition) then back to double;
+  * hashing is md5 (bit-identical across engines);
+  * word split = single space; percentiles = linear interpolation
+    (Spark percentile == DuckDB quantile_cont);
+  * deterministic sampling/tie-breaks use integer arithmetic, never rand().
 """
 
 from __future__ import annotations
 
+import datetime as dt
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from esa_pfa_spark.operators.asof import asof_join
+from esa_pfa_spark.operators import dedup as DD
+from esa_pfa_spark.operators import similarity as SIM
+from esa_pfa_spark.operators import textstats as TS
+from esa_pfa_spark.operators import multimodal as MM
+from esa_pfa_spark.operators.features import stx_columns
+from esa_pfa_spark.operators.pairing import find_pairs, interval_pairs
+from esa_pfa_spark.operators.windows import run_length, session_summary, sessionize
+
+DAY = 86400
+
+
+def _ld(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _r6(c):
+    return F.round(c, 6)
+
+
+def _dsum(c):
+    """Order-independent sum: per-row double -> decimal(18,6) -> exact sum -> double."""
+    return F.sum(c.cast("decimal(18,6)")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Core engine semantics on the events table
+# ---------------------------------------------------------------------------
+
+def q_asof_backward(spark, sf_dir):
+    """J1/W4: latest purchase at-or-before each click, 7d tolerance."""
+    ev = _ld(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("query_ts")
+    )
+    obs = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = asof_join(
+        probes, obs, on="user_id", probe_ts="query_ts", obs_ts="ts",
+        payload=["purchase_value"], direction="backward", tolerance=dt.timedelta(days=7),
+    )
+    return out.select(
+        "event_id", "user_id", "query_ts", "matched_ts", _r6(F.col("purchase_value")).alias("purchase_value")
+    )
+
+
+SQL_ASOF_BACKWARD = f"""
+WITH c AS (SELECT event_id, user_id, ts AS query_ts FROM events WHERE event_type='click'),
+     p AS (SELECT user_id, ts, value FROM events WHERE event_type='purchase'),
+     m AS (SELECT c.event_id, c.user_id, c.query_ts,
+                  (SELECT max(p.ts) FROM p
+                    WHERE p.user_id=c.user_id AND p.ts<=c.query_ts
+                      AND epoch(c.query_ts)-epoch(p.ts) <= {7*DAY}) AS matched_ts
+           FROM c)
+SELECT m.event_id, m.user_id, m.query_ts, m.matched_ts,
+       round(p.value, 6) AS purchase_value
+FROM m LEFT JOIN p ON p.user_id=m.user_id AND p.ts=m.matched_ts
+"""
+
+
+def q_asof_forward(spark, sf_dir):
+    """Forward as-of: earliest error at-or-after each click, 1d tolerance."""
+    ev = _ld(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("query_ts")
+    )
+    obs = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("error_value")
+    )
+    out = asof_join(
+        probes, obs, on="user_id", probe_ts="query_ts", obs_ts="ts",
+        payload=["error_value"], direction="forward", tolerance=dt.timedelta(days=1),
+    )
+    return out.select(
+        "event_id", "user_id", "query_ts", "matched_ts", _r6(F.col("error_value")).alias("error_value")
+    )
+
+
+SQL_ASOF_FORWARD = f"""
+WITH c AS (SELECT event_id, user_id, ts AS query_ts FROM events WHERE event_type='click'),
+     p AS (SELECT user_id, ts, value FROM events WHERE event_type='error'),
+     m AS (SELECT c.event_id, c.user_id, c.query_ts,
+                  (SELECT min(p.ts) FROM p
+                    WHERE p.user_id=c.user_id AND p.ts>=c.query_ts
+                      AND epoch(p.ts)-epoch(c.query_ts) <= {DAY}) AS matched_ts
+           FROM c)
+SELECT m.event_id, m.user_id, m.query_ts, m.matched_ts,
+       round(p.value, 6) AS error_value
+FROM m LEFT JOIN p ON p.user_id=m.user_id AND p.ts=m.matched_ts
+"""
+
+
+def q_ffill(spark, sf_dir):
+    """W4 forward-fill: carry the last purchase value to every event."""
+    ev = _ld(spark, sf_dir, "events")
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        _r6(F.last(pv, ignorenulls=True).over(w)).alias("last_purchase_value"),
+    )
+
+
+SQL_FFILL = """
+SELECT event_id, user_id,
+       round(last_value(CASE WHEN event_type='purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS last_purchase_value
+FROM events
+"""
+
+
+def q_lag_lead(spark, sf_dir):
+    """W1/W2 analogs: lag/lead/gradient of value along each user timeline."""
+    ev = _ld(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag1 = F.lag("value", 1).over(w)
+    lead1 = F.lead("value", 1).over(w)
+    return ev.select(
+        "event_id", "user_id",
+        _r6(lag1).alias("lag_1_value"),
+        _r6(lead1).alias("lead_1_value"),
+        _r6(lead1 - lag1).alias("gradient_value"),
+    )
+
+
+SQL_LAG_LEAD = """
+SELECT event_id, user_id,
+       round(lag(value, 1) OVER w, 6) AS lag_1_value,
+       round(lead(value, 1) OVER w, 6) AS lead_1_value,
+       round(lead(value, 1) OVER w - lag(value, 1) OVER w, 6) AS gradient_value
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_rolling_mean(spark, sf_dir):
+    """W1: trailing 3-row rolling mean per user."""
+    ev = _ld(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return ev.select(
+        "event_id", "user_id", _r6(F.avg("value").over(w)).alias("rolling_mean_3")
+    )
+
+
+SQL_ROLLING = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS rolling_mean_3
+FROM events
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """A7 1-D analog: 30-minute-gap sessions."""
+    ev = _ld(spark, sf_dir, "events")
+    out = sessionize(ev, key="user_id", ts="ts", gap=dt.timedelta(minutes=30))
+    return out.select("event_id", "user_id", F.col("session_id").cast("long").alias("session_id"), "session_len")
+
+
+SQL_SESSIONIZE = """
+WITH d AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT event_id, user_id, ts,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM d)
+SELECT event_id, user_id, session_id,
+       CAST(count(*) OVER (PARTITION BY user_id, session_id) AS INT) AS session_len
+FROM s
+"""
+
+
+def q_session_summary(spark, sf_dir):
+    ev = _ld(spark, sf_dir, "events")
+    out = session_summary(ev, key="user_id", ts="ts", gap=dt.timedelta(minutes=30), value="value")
+    return out.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "session_start", "session_end", "session_len",
+        _r6(F.col("session_mean")).alias("session_mean"),
+        _r6(F.col("session_sum")).alias("session_sum"),
+    )
+
+
+SQL_SESSION_SUMMARY = """
+WITH d AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT user_id, ts, value,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM d)
+SELECT user_id, session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS INT) AS session_len,
+       round(avg(value), 6) AS session_mean,
+       round(sum(value), 6) AS session_sum
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_run_length(spark, sf_dir):
+    """W3 gaps-and-islands: maximal runs of equal event_type per user."""
+    ev = _ld(spark, sf_dir, "events")
+    return run_length(ev, key="user_id", ts="ts", flag_col="event_type").select(
+        "user_id", "event_type", "run_start", "run_len"
+    )
+
+
+SQL_RUN_LENGTH = """
+WITH g AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts)
+         - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts) AS grp
+  FROM events)
+SELECT user_id, event_type, min(ts) AS run_start, CAST(count(*) AS INT) AS run_len
+FROM g GROUP BY user_id, event_type, grp
+"""
+
+
+def q_stx_by_type(spark, sf_dir):
+    """A1: the canonical 10-stat STX vector per event_type."""
+    ev = _ld(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(*stx_columns("value"))
+    return agg.select(
+        "event_type",
+        *[_r6(F.col(c)).alias(c) for c in ["mean", "stdev", "cvar", "min", "max", "p10", "p50", "p90", "skewness"]],
+        "count",
+    )
+
+
+SQL_STX = """
+WITH s AS (
+  SELECT event_type,
+         avg(value) AS mean, stddev(value) AS stdev,
+         min(value) AS mn, max(value) AS mx,
+         quantile_cont(value, 0.1) AS p10, quantile_cont(value, 0.5) AS p50,
+         quantile_cont(value, 0.9) AS p90,
+         CAST(count(value) AS INT) AS count
+  FROM events GROUP BY event_type)
+SELECT event_type, round(mean,6) AS mean, round(stdev,6) AS stdev,
+       round(stdev/mean,6) AS cvar,
+       round(mn,6) AS min, round(mx,6) AS max,
+       round(p10,6) AS p10, round(p50,6) AS p50, round(p90,6) AS p90,
+       round((p90 - 2*p50 + p10)/(p90 - p10),6) AS skewness,
+       count
+FROM s
+"""
+
+
+def q_interval_pairs(spark, sf_dir):
+    """J1 (with-reuse form): event pairs of the same user with dt in [1h, 24h]."""
+    ev = _ld(spark, sf_dir, "events")
+    return interval_pairs(
+        ev, key="user_id", ts="ts", id_col="event_id",
+        min_tol=dt.timedelta(hours=1), max_tol=dt.timedelta(hours=24),
+    )
+
+
+SQL_INTERVAL_PAIRS = f"""
+SELECT a.user_id, a.ts AS ts1, b.ts AS ts2,
+       a.event_id AS event_id1, b.event_id AS event_id2
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch(b.ts) - epoch(a.ts) >= 3600
+ AND epoch(b.ts) - epoch(a.ts) <= {DAY}
+"""
+
+
+def q_grid_bucket(spark, sf_dir):
+    """PatchCS grid-bucketing analog: floor-bucket value x hour-of-day."""
+    ev = _ld(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.floor(F.col("value") / 50).cast("int").alias("bucket_v"),
+            F.hour("ts").alias("bucket_h"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), _r6(F.avg("value")).alias("avg_value"))
+    )
+
+
+SQL_GRID_BUCKET = """
+SELECT CAST(floor(value/50) AS INT) AS bucket_v,
+       CAST(hour(ts) AS INT) AS bucket_h,
+       count(*) AS n, round(avg(value),6) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_topk(spark, sf_dir):
+    """O2/O3: deterministic top-20 by value."""
+    ev = _ld(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .select("event_id", "user_id", _r6(F.col("value")).alias("value"))
+        .limit(20)
+    )
+
+
+SQL_TOPK = """
+SELECT event_id, user_id, round(value,6) AS value
+FROM events ORDER BY value DESC, event_id LIMIT 20
+"""
+
+
+def q_sample(spark, sf_dir):
+    """O4 deterministic sampling: integer-hash gate, no rand()."""
+    ev = _ld(spark, sf_dir, "events")
+    return ev.filter((F.col("event_id") * 2654435761) % 100 < 5).select(
+        "event_id", "user_id", _r6(F.col("value")).alias("value")
+    )
+
+
+SQL_SAMPLE = """
+SELECT event_id, user_id, round(value,6) AS value
+FROM events WHERE (event_id * 2654435761) % 100 < 5
+"""
+
+
+def q_json_extract(spark, sf_dir):
+    """Scalar expression surface: JSON path extraction + aggregation."""
+    ev = _ld(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), _r6(F.avg(k)).alias("avg_k")
+    )
+
+
+SQL_JSON = """
+SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_normalize(spark, sf_dir):
+    """A8: global min/max normalization to [0,1]."""
+    ev = _ld(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    return ev.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        _r6((F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn"))).alias("norm_value"),
+    )
+
+
+SQL_NORMALIZE = """
+SELECT event_id, round((value - b.mn)/(b.mx - b.mn), 6) AS norm_value
+FROM events, (SELECT min(value) AS mn, max(value) AS mx FROM events) b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational operator coverage (TPC-H-ish)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf_dir):
+    li = _ld(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            _r6(F.avg("l_quantity")).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       round(avg(l_quantity),6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    cu = _ld(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _ld(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1996-07-01"))
+    li = _ld(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1996-07-01"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_dsum(rev).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey, o_orderdate,
+       CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND l_shipdate  > TIMESTAMP '1996-07-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_tpch_q5ish(spark, sf_dir):
+    """Multi-way join: revenue by nation for ASIA customers."""
+    r = _ld(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _ld(spark, sf_dir, "nation")
+    cu = _ld(spark, sf_dir, "customer")
+    o = _ld(spark, sf_dir, "orders")
+    li = _ld(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dsum(rev).alias("revenue"))
+    )
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def q_region_counts(spark, sf_dir):
+    """J4-style broadcast dimension join chain."""
+    r = _ld(spark, sf_dir, "region")
+    n = _ld(spark, sf_dir, "nation")
+    cu = _ld(spark, sf_dir, "customer")
+    return (
+        cu.join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), _r6(F.avg("c_acctbal")).alias("avg_acctbal"))
+    )
+
+
+SQL_REGION_COUNTS = """
+SELECT r_name, n_name, count(*) AS n_customers, round(avg(c_acctbal),6) AS avg_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_masked_counts(spark, sf_dir):
+    """A3/A4: conditional counts + capped ratio."""
+    li = _ld(spark, sf_dir, "lineitem")
+    n_disc = F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
+    n_tot = F.count(F.lit(1))
+    ratio = n_disc * 1.0 / n_tot
+    return li.groupBy("l_returnflag").agg(
+        n_tot.alias("n_total"),
+        n_disc.alias("n_disc_gt5"),
+        _r6(ratio).alias("disc_ratio"),
+        _r6(F.least(ratio * 2, F.lit(1.0))).alias("capped_ratio"),
+    )
+
+
+SQL_MASKED_COUNTS = """
+SELECT l_returnflag, count(*) AS n_total,
+       sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_disc_gt5,
+       round(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)*1.0/count(*), 6) AS disc_ratio,
+       round(least(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)*1.0/count(*)*2, 1.0), 6) AS capped_ratio
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup / text analysis / similarity (documents, embeddings)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return DD.exact_dedup(_ld(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    return TS.quality_scores(_ld(spark, sf_dir, "documents"))
+
+
+_STOP_IN = ",".join(f"'{s}'" for s in TS.STOPWORDS)
+SQL_TEXT_QUALITY = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+       CAST(length(text) AS INT) AS n_chars_actual,
+       round(length(replace(text, ' ', ''))*1.0 / len(string_split(text, ' ')), 6) AS avg_word_len,
+       round(len(list_filter(string_split(text, ' '), w -> w IN ({_STOP_IN})))*1.0
+             / len(string_split(text, ' ')), 6) AS stopword_ratio,
+       CAST(length(text) < 100 AS INT) AS is_short
+FROM documents
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    return TS.token_counts(_ld(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS alnum_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS INT) AS bpe_ish_tokens
+FROM documents
+"""
+
+
+def q_lang_guess(spark, sf_dir):
+    return TS.lang_guess(_ld(spark, sf_dir, "documents"))
+
+
+SQL_LANG_GUESS = r"""
+WITH g AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(regexp_extract_all(text, '\b(the|is|and|a)\b')) >= 2
+              THEN 'en' ELSE 'other' END AS lang_guess
+  FROM documents)
+SELECT doc_id, lang_guess, CAST(lang_guess = lang AS INT) AS matches_label FROM g
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    return TS.fingerprint(_ld(spark, sf_dir, "documents"))
+
+
+SQL_FINGERPRINT = r"""
+SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return DD.ngram_jaccard_pairs(_ld(spark, sf_dir, "documents"), threshold=0.2)
+
+
+SQL_NGRAM_JACCARD = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(
+         list_transform(generate_series(1, len(ws)-2),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+       FROM w WHERE len(ws) >= 3),
+sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT da AS doc_id_a, db AS doc_id_b,
+       round(i*1.0/(sa.s + sb.s - i), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+WHERE i*1.0/(sa.s + sb.s - i) >= 0.2
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return DD.minhash_signatures(_ld(spark, sf_dir, "documents"))
+
+
+SQL_MINHASH_SIG = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(
+         list_transform(generate_series(1, len(ws)-2),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+       FROM w WHERE len(ws) >= 3)
+SELECT doc_id,
+       min(md5('s0:' || shingle)) AS mh0, min(md5('s1:' || shingle)) AS mh1,
+       min(md5('s2:' || shingle)) AS mh2, min(md5('s3:' || shingle)) AS mh3,
+       min(md5('s4:' || shingle)) AS mh4, min(md5('s5:' || shingle)) AS mh5
+FROM sh GROUP BY doc_id
+"""
+
+
+def q_minhash_candidates(spark, sf_dir):
+    return DD.minhash_band_candidates(_ld(spark, sf_dir, "documents"))
+
+
+SQL_MINHASH_CAND = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(
+         list_transform(generate_series(1, len(ws)-2),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+       FROM w WHERE len(ws) >= 3),
+sig AS (SELECT doc_id,
+        min(md5('s0:' || shingle)) AS mh0, min(md5('s1:' || shingle)) AS mh1,
+        min(md5('s2:' || shingle)) AS mh2, min(md5('s3:' || shingle)) AS mh3,
+        min(md5('s4:' || shingle)) AS mh4, min(md5('s5:' || shingle)) AS mh5
+        FROM sh GROUP BY doc_id)
+SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+FROM sig a JOIN sig b
+  ON a.doc_id < b.doc_id
+ AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.mh2 = b.mh2)
+   OR (a.mh3 = b.mh3 AND a.mh4 = b.mh4 AND a.mh5 = b.mh5))
+"""
+
+
+def q_simhash(spark, sf_dir):
+    return DD.simhash16(_ld(spark, sf_dir, "documents"))
+
+
+def _simhash_sql() -> str:
+    hexpr = "CAST(('0x' || substr(md5(w), 1, 4)) AS INTEGER)"
+    sums = ",\n       ".join(
+        f"sum(CASE WHEN ({hexpr} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(16)
+    )
+    total = " + ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    return f"""
+WITH words AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+s AS (SELECT doc_id,
+       {sums}
+      FROM words GROUP BY doc_id)
+SELECT doc_id, CAST({total} AS INT) AS simhash FROM s
+"""
+
+
+def q_embedding_topk(spark, sf_dir):
+    emb = _ld(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return SIM.cosine_topk(emb.filter(F.col("vec_id") != 0), probe, k=20)
+
+
+SQL_EMB_TOPK = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id,
+             list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) AS cos
+      FROM embeddings e, q WHERE e.vec_id != 0)
+SELECT vec_id, CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank
+FROM s QUALIFY rank <= 20
+"""
+
+
+def q_embedding_neardup(spark, sf_dir):
+    return SIM.neardup_pairs(_ld(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+SQL_EMB_NEARDUP = """
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.3
+"""
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Binary payload plumbing: pack -> mapInPandas decode stub -> metadata."""
+    docs = _ld(spark, sf_dir, "documents")
+    return MM.decode_batch(MM.as_binary_payload(docs))
+
+
+SQL_MULTIMODAL = """
+SELECT doc_id,
+       CAST(strlen(text) AS INT) AS n_bytes,
+       CAST(strlen(text) % 256 AS INT) AS width,
+       CAST((strlen(text) * 7) % 256 AS INT) AS height
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible (rows-only checks): flagship synthetic pipeline
+# ---------------------------------------------------------------------------
+
+def q_flagship_synth(spark, sf_dir):
+    """The north-star pipeline on the exact input-hint tokens table:
+    STX token stats + lag/lead + sessionize + backward as-of (7d), verified
+    against the pandas oracle in tests/test_pipeline.py."""
+    from esa_pfa_spark import synth
+    from esa_pfa_spark.plans.pipeline import feature_table
+
+    obs = synth.observations_df(spark, seed=42, n_entities=30, mean_obs=25, mean_tok=24)
+    probes = synth.queries_df(spark, seed=42, n_entities=30, mean_obs=25)
+    return feature_table(obs, probes).drop("tokens")
+
+
+def q_nonreuse_pairs_synth(spark, sf_dir):
+    """FindPatchPairs.java:57-76 non-reuse two-pointer pairing (stateful
+    sequential per key — not SQL-expressible), session-sliced for
+    parallelism; exactness proven in tests/test_pairing.py."""
+    from esa_pfa_spark import synth
+
+    obs = synth.observations_df(spark, seed=42, n_entities=30, mean_obs=25, mean_tok=24)
+    return find_pairs(obs, min_overlap=0.2, chunk="session")
+
+
+# ---------------------------------------------------------------------------
+# Contract surface
+# ---------------------------------------------------------------------------
+
+_REGISTRY: dict[str, tuple[Callable, str | None]] = {
+    "asof_backward_7d": (q_asof_backward, SQL_ASOF_BACKWARD),
+    "asof_forward_1d": (q_asof_forward, SQL_ASOF_FORWARD),
+    "window_ffill": (q_ffill, SQL_FFILL),
+    "window_lag_lead": (q_lag_lead, SQL_LAG_LEAD),
+    "window_rolling_mean": (q_rolling_mean, SQL_ROLLING),
+    "sessionize_30m": (q_sessionize, SQL_SESSIONIZE),
+    "session_summary_30m": (q_session_summary, SQL_SESSION_SUMMARY),
+    "run_length_type": (q_run_length, SQL_RUN_LENGTH),
+    "stx_stats_by_type": (q_stx_by_type, SQL_STX),
+    "interval_pairs_1h_24h": (q_interval_pairs, SQL_INTERVAL_PAIRS),
+    "grid_bucket_counts": (q_grid_bucket, SQL_GRID_BUCKET),
+    "topk_by_value": (q_topk, SQL_TOPK),
+    "deterministic_sample": (q_sample, SQL_SAMPLE),
+    "json_extract_agg": (q_json_extract, SQL_JSON),
+    "normalize_value": (q_normalize, SQL_NORMALIZE),
+    "tpch_q1_pricing": (q_tpch_q1, SQL_TPCH_Q1),
+    "tpch_q3_top10": (q_tpch_q3, SQL_TPCH_Q3),
+    "tpch_q5_nation_revenue": (q_tpch_q5ish, SQL_TPCH_Q5),
+    "broadcast_region_counts": (q_region_counts, SQL_REGION_COUNTS),
+    "masked_counts": (q_masked_counts, SQL_MASKED_COUNTS),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "lang_guess": (q_lang_guess, SQL_LANG_GUESS),
+    "fingerprint_md5": (q_fingerprint, SQL_FINGERPRINT),
+    "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIG),
+    "minhash_band_candidates": (q_minhash_candidates, SQL_MINHASH_CAND),
+    "simhash16": (q_simhash, _simhash_sql()),
+    "embedding_cosine_topk": (q_embedding_topk, SQL_EMB_TOPK),
+    "embedding_neardup_pairs": (q_embedding_neardup, SQL_EMB_NEARDUP),
+    "multimodal_decode_meta": (q_multimodal_meta, SQL_MULTIMODAL),
+    # non-SQL-expressible (rows-only):
+    "flagship_feature_table_synth": (q_flagship_synth, None),
+    "nonreuse_pairs_synth": (q_nonreuse_pairs_synth, None),
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: point-in-time correct
+    as-of feature lookup (clicks -> latest prior purchase, 7d tolerance)."""
+    return q_asof_backward(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}

@@ -39,6 +39,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from esa_pfa_spark.functions.time import epoch_s, ts_diff_us
+
 _TAG = "__asof_tag"
 _TS = "__asof_ts"
 _MATCH = "matched_ts"
@@ -130,8 +132,8 @@ def asof_join(
 
     tol_s = _tolerance_seconds(tolerance)
     if tol_s is not None:
-        delta = F.abs(F.col(_TS).cast("double") - F.col(_MATCH).cast("double"))
-        in_tol = F.col(_MATCH).isNotNull() & (delta <= F.lit(tol_s))
+        delta_us = F.abs(ts_diff_us(_TS, _MATCH))
+        in_tol = F.col(_MATCH).isNotNull() & (delta_us <= F.lit(int(tol_s * 1e6)))
         filled = filled.select(
             *keys,
             F.col(_TS),
@@ -219,9 +221,9 @@ def asof_join_pandas(
         return cg.applyInPandas(lambda l, r: merge(l, r), schema=out_schema)
 
     # hot-key path: (key, chunk) groups with tolerance-width obs replication
-    chunk_us = int(chunk_s)
-    pch = probes.withColumn("__chunk", F.floor(F.col(probe_ts).cast("double") / chunk_us))
-    base = F.floor(F.col(obs_ts).cast("double") / chunk_us)
+    chunk_sec = int(chunk_s)
+    pch = probes.withColumn("__chunk", F.floor(epoch_s(F.col(probe_ts)) / chunk_sec))
+    base = F.floor(epoch_s(F.col(obs_ts)) / chunk_sec)
     if direction == "backward":
         # an obs at the tail of chunk k can serve probes in chunks k..k+ceil(tol/chunk)
         spread = int(np.ceil(tol_s / chunk_s))

@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from esa_pfa_spark.functions.time import epoch_s, ts_diff_us
 from esa_pfa_spark.schema import PAIRS_SCHEMA
 
 
@@ -168,13 +169,10 @@ def find_pairs(
 
     if chunk == "session":
         # exact: split at gaps > max_tol (window-reset boundaries)
-        from pyspark.sql import Window
+        from esa_pfa_spark.operators.windows import sessionize
 
-        w = Window.partitionBy(key).orderBy(ts)
-        delta = F.col(ts).cast("double") - F.lag(F.col(ts).cast("double"), 1).over(w)
-        brk = F.when(delta.isNull() | (delta <= _seconds(max_tol)), 0).otherwise(1)
-        sess = obs.withColumn(
-            "__sess", F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        sess = sessionize(
+            obs, key=key, ts=ts, gap=max_tol, session_col="__sess", with_stats=False
         )
 
         def sweep_sess(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -186,18 +184,27 @@ def find_pairs(
     if chunk_s < _seconds(max_tol):
         raise ValueError("chunk must be >= max_tol")
     chunk_us = int(chunk_s * 1e6)
-    base = F.floor(F.col(ts).cast("double") * 1e6 / chunk_us).cast("long")
-    sliced = obs.withColumn("__chunk", F.explode(F.array(base, base - F.lit(1))))
+    base = F.floor(epoch_s(F.col(ts)) * 1e6 / chunk_us).cast("long")
+    # each row carries its OWN chunk id so the pandas side never recomputes
+    # epoch (keeps slice ownership consistent with the Spark-side bucketing)
+    sliced = obs.withColumn("__own", base).withColumn(
+        "__chunk", F.explode(F.array(base, base - F.lit(1)))
+    )
 
     def sweep_sliced(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         chunk_id = int(keys[1])
-        res = sweep(pdf.drop(columns=["__chunk"]))
+        own = pdf["__own"].to_numpy()
+        pdf2 = pdf.drop(columns=["__own", "__chunk"]).reset_index(drop=True)
+        order = pdf2[ts].argsort(kind="stable").to_numpy()
+        own_sorted = own[order]
+        res = sweep(pdf2)
         if len(res) == 0:
             return res
         # left element must belong to the owning slice (no duplicate emission)
-        left_us = res["ts1"].to_numpy(dtype="datetime64[us]").astype("int64")
-        own = (left_us // chunk_us) == chunk_id
-        return res[own]
+        ts_sorted = pdf2[ts].iloc[order].reset_index(drop=True)
+        pos = {v: i for i, v in enumerate(ts_sorted)}
+        keep = [own_sorted[pos[t]] == chunk_id for t in res["ts1"]]
+        return res[pd.Series(keep, index=res.index)]
 
     return sliced.groupBy(key, "__chunk").applyInPandas(sweep_sliced, schema=PAIRS_SCHEMA)
 
@@ -206,6 +213,7 @@ def interval_pairs(
     observations: DataFrame,
     key: str = "entity_id",
     ts: str = "ts",
+    id_col: str = "doc_id",
     min_tol=_dt.timedelta(days=1),
     max_tol=_dt.timedelta(days=7),
 ) -> DataFrame:
@@ -215,14 +223,19 @@ def interval_pairs(
     cross-checks and as the DuckDB-oracle-comparable variant."""
     min_s, max_s = _seconds(min_tol), _seconds(max_tol)
     l = observations.select(
-        F.col(key), F.col(ts).alias("ts1"), F.col("doc_id").alias("doc_id1")
+        F.col(key), F.col(ts).alias("ts1"), F.col(id_col).alias(f"{id_col}1")
     )
     r = observations.select(
-        F.col(key).alias("__k2"), F.col(ts).alias("ts2"), F.col("doc_id").alias("doc_id2")
+        F.col(key).alias("__k2"), F.col(ts).alias("ts2"), F.col(id_col).alias(f"{id_col}2")
     )
-    dt = F.col("ts2").cast("double") - F.col("ts1").cast("double")
+    dt = ts_diff_us("ts2", "ts1")
     return (
-        l.join(r, (F.col(key) == F.col("__k2")) & (dt >= min_s) & (dt <= max_s))
+        l.join(
+            r,
+            (F.col(key) == F.col("__k2"))
+            & (dt >= int(min_s * 1e6))
+            & (dt <= int(max_s * 1e6)),
+        )
         .drop("__k2")
-        .select(key, "ts1", "ts2", "doc_id1", "doc_id2")
+        .select(key, "ts1", "ts2", f"{id_col}1", f"{id_col}2")
     )

@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline; LSH-bucketed (random
+hyperplane signs) as the scale path.  Dot products run JVM-side via
+``aggregate(zip_with(...))`` — a left-to-right double fold, bit-identical
+to the SQL oracle's list_dot_product — with a vectorized numpy pandas_udf
+variant for wide fan-out.
+
+At 100 TB the brute-force path is a broadcast of the (small) probe set
+against a scan of the embedding table: linear, no shuffle.  The LSH path
+buckets both sides by signature so candidate generation is an equi-join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    probe: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine to a single probe row (columns: ``q``).
+    Probe is broadcast; ranking is deterministic (cos desc, id asc)."""
+    joined = embeddings.crossJoin(F.broadcast(probe))
+    scored = joined.select(
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("q")).alias("cos"),
+    )
+    w = Window.orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank")
+    )
+
+
+def neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """All pairs with cosine >= threshold.  ``block_col`` restricts the
+    self-join to equal blocks (LSH-bucket analog) — REQUIRED at scale; the
+    unblocked form is quadratic and only for oracle-checkable small runs."""
+    l = embeddings.select(
+        F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("__va"),
+        *( [F.col(block_col).alias("__blk")] if block_col else [] ),
+    )
+    r = embeddings.select(
+        F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("__vb"),
+        *( [F.col(block_col).alias("__blk")] if block_col else [] ),
+    )
+    cond = F.col("vec_id_a") < F.col("vec_id_b")
+    j = l.join(r, on="__blk") if block_col else l.crossJoin(r)
+    return (
+        j.filter(cond)
+        .withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_id_a", "vec_id_b")
+    )
+
+
+def lsh_signature(
+    embeddings: DataFrame,
+    n_planes: int = 16,
+    seed: int = 7,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH signature (int bitmask of dot-sign bits).
+    Planes are a deterministic seeded numpy matrix broadcast as literals
+    via a vectorized pandas_udf (Arrow batches, numpy matmul inside)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def sig(v: pd.Series) -> pd.Series:
+        m = np.vstack([np.asarray(x, dtype=np.float64) for x in v])
+        bits = (m @ planes.T) > 0
+        out = np.zeros(len(v), dtype=np.int32)
+        for b in range(n_planes):
+            out |= bits[:, b].astype(np.int32) << b
+        return pd.Series(out)
+
+    return embeddings.select(id_col, sig(F.col(vec_col)).alias("lsh_sig"))
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    probe: DataFrame,
+    k: int = 20,
+    n_planes: int = 8,
+    seed: int = 7,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates share the probe's LSH bucket, then exact
+    cosine rank within candidates.  The scale path: the probe bucket prunes
+    the scan to ~1/2^n_planes of the table."""
+    sigs = lsh_signature(embeddings, n_planes, seed, dim)
+    withsig = embeddings.join(sigs, "vec_id")
+    psig = lsh_signature(probe.withColumnRenamed("q", "embedding"), n_planes, seed, dim)
+    probe2 = probe.crossJoin(F.broadcast(psig.select(F.col("lsh_sig").alias("__psig"))))
+    cand = withsig.crossJoin(F.broadcast(probe2)).filter(F.col("lsh_sig") == F.col("__psig"))
+    scored = cand.select("vec_id", cosine(F.col("embedding"), F.col("q")).alias("cos"))
+    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).select("vec_id", "rank")

@@ -1,0 +1,68 @@
+"""Text-analysis operators for training-data pipelines: tokenization
+counts, quality scoring, language-ID heuristic, document fingerprinting.
+
+All pure built-in `pyspark.sql.functions` (JVM, whole-stage codegen) — no
+Python in the hot path.  Each has an exactly-equivalent DuckDB SQL oracle
+in __spark_entry__.py; portability contract: split on single space,
+md5 for hashing, regexp '[a-z0-9]+' for alnum tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for")
+
+
+def _words(text_col: str):
+    return F.split(F.col(text_col), " ")
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + alnum-run count + BPE-ish piece count."""
+    return df.select(
+        "doc_id",
+        F.size(_words(text_col)).alias("ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit("[a-z0-9]+")).alias("alnum_tokens"),
+        F.regexp_count(F.col(text_col), F.lit("[a-z]+|[0-9]|[^a-z0-9 ]")).alias("bpe_ish_tokens"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / word-length / stopword-ratio quality features.
+    Rejection-filter analog of the reference's patch quality gates
+    (AlgalBloomFeatureWriter.java:277-303, P3)."""
+    w = _words(text_col)
+    in_set = ",".join(f"'{s}'" for s in STOPWORDS)
+    stop_n = F.expr(f"size(filter(split({text_col}, ' '), w -> w in ({in_set})))")
+    n_words = F.size(w)
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.length(F.col(text_col)).alias("n_chars_actual"),
+        F.round(
+            (F.length(F.regexp_replace(F.col(text_col), " ", "")) * F.lit(1.0)) / n_words, 6
+        ).alias("avg_word_len"),
+        F.round(stop_n * F.lit(1.0) / n_words, 6).alias("stopword_ratio"),
+        (F.length(F.col(text_col)) < 100).cast("int").alias("is_short"),
+    )
+
+
+def lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language-ID heuristic (n-gram-lite).  Deterministic and
+    cheap; a real model would slot into the same column contract."""
+    en_markers = F.regexp_count(F.col(text_col), F.lit(r"\b(the|is|and|a)\b"))
+    guess = F.when(en_markers >= 2, F.lit("en")).otherwise(F.lit("other"))
+    return df.select(
+        "doc_id",
+        guess.alias("lang_guess"),
+        (guess == F.col("lang")).cast("int").alias("matches_label"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized-content fingerprint: md5 of lowercased, whitespace-collapsed
+    text (the Lucene2Simple name-dictionary analog, Lucene2Simple.java:64-91)."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return df.select("doc_id", F.md5(norm).alias("fp"))

@@ -19,6 +19,8 @@ import datetime as _dt
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from esa_pfa_spark.functions.time import ts_diff_us
+
 
 def _seconds(v) -> float:
     return v.total_seconds() if isinstance(v, _dt.timedelta) else float(v)
@@ -90,14 +92,15 @@ def sessionize(
     ``session_id`` is the cumulative count of gap-breaks (0-based within key).
     With ``with_stats``, appends ``session_len`` (rows in the session).
     """
-    gap_s = _seconds(gap)
+    gap_us = int(_seconds(gap) * 1e6)
     w = Window.partitionBy(key).orderBy(ts)
-    delta = F.col(ts).cast("double") - F.lag(F.col(ts).cast("double"), 1).over(w)
-    is_break = F.when(delta.isNull() | (delta <= gap_s), 0).otherwise(1)
-    out = df.withColumn(
+    with_prev = df.withColumn("__prev_ts", F.lag(F.col(ts), 1).over(w))
+    delta = ts_diff_us(ts, "__prev_ts")
+    is_break = F.when(delta.isNull() | (delta <= gap_us), 0).otherwise(1)
+    out = with_prev.withColumn(
         session_col,
         F.sum(is_break).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
-    )
+    ).drop("__prev_ts")
     if with_stats:
         ws = Window.partitionBy(key, session_col)
         out = out.withColumn("session_len", F.count(F.lit(1)).over(ws).cast("int"))
