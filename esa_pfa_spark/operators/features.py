@@ -89,10 +89,55 @@ def stats_kernel(arr: np.ndarray) -> tuple:
     return (mean, std, cvar, float(a.min()), float(a.max()), p10, p50, p90, skew, n)
 
 
+def batch_stats(arrs: list) -> pd.DataFrame:
+    """Segmented (ragged-array) STX stats for one Arrow batch — fully
+    vectorized: one global concat + reduceat/lexsort, NO per-row Python.
+
+    Matches ``stats_kernel`` to allclose (pairwise vs sequential summation
+    differ at ~1e-12 relative; the parity contract is rtol 1e-7)."""
+    n = np.array([0 if a is None else len(a) for a in arrs], dtype=np.int64)
+    out = pd.DataFrame(index=range(len(arrs)), columns=STAT_NAMES, dtype="float64")
+    nz = n > 0
+    if not nz.any():
+        out["count"] = 0
+        return out
+    flat = np.concatenate([np.asarray(a, dtype=np.float64) for a, m in zip(arrs, nz) if m])
+    nn = n[nz]
+    off = np.concatenate([[0], np.cumsum(nn)[:-1]])
+    sums = np.add.reduceat(flat, off)
+    mean = sums / nn
+    sumsq = np.add.reduceat(flat * flat, off)
+    var = np.where(nn > 1, (sumsq - nn * mean * mean) / np.maximum(nn - 1, 1), 0.0)
+    std = np.sqrt(np.maximum(var, 0.0))
+    mn = np.minimum.reduceat(flat, off)
+    mx = np.maximum.reduceat(flat, off)
+    # per-segment sort (one global lexsort), then vectorized linear interp
+    rows = np.repeat(np.arange(len(nn)), nn)
+    seg_sorted = flat[np.lexsort((flat, rows))]
+    def pct(q: float) -> np.ndarray:
+        pos = off + q * (nn - 1)
+        lo = np.floor(pos).astype(np.int64)
+        hi = np.minimum(lo + 1, off + nn - 1)
+        frac = pos - lo
+        return seg_sorted[lo] * (1 - frac) + seg_sorted[hi] * frac
+    p10, p50, p90 = pct(0.1), pct(0.5), pct(0.9)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cvar = np.where(mean != 0.0, std / mean, np.nan)
+        denom = p90 - p10
+        skew = np.where(denom != 0.0, (p90 - 2 * p50 + p10) / denom, np.nan)
+    for name, vals in zip(
+        STAT_NAMES[:-1], [mean, std, cvar, mn, mx, p10, p50, p90, skew]
+    ):
+        col = np.full(len(arrs), np.nan)
+        col[nz] = vals
+        out[name] = col
+    out["count"] = n
+    return out
+
+
 @F.pandas_udf(returnType=_STATS_STRUCT)
 def _token_stats_udf(tokens: pd.Series) -> pd.DataFrame:
-    rows = [stats_kernel(np.asarray(t if t is not None else [], dtype=np.float64)) for t in tokens]
-    return pd.DataFrame(rows, columns=STAT_NAMES)
+    return batch_stats(tokens.tolist())
 
 
 def token_stats(df: DataFrame, tokens_col: str = "tokens", prefix: str = "") -> DataFrame:

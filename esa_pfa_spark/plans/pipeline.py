@@ -53,8 +53,17 @@ FEATURE_PAYLOAD = [
 
 
 def enrich_observations(observations: DataFrame) -> DataFrame:
-    """Stage 1: per-row token stats + windowed features over the timeline."""
-    enriched = token_stats(observations, "tokens")
+    """Stage 1: per-row token stats + windowed features over the timeline.
+
+    The explicit hash-repartition on entity_id comes FIRST so (a) the
+    Arrow-UDF stat stage runs at full shuffle-partition width regardless of
+    how few input splits the scan produced, and (b) every downstream window
+    spec (lag/lead, sessionize, and the as-of union window) reuses this one
+    exchange — Catalyst inserts only sorts after it.  This is the explicit
+    co-partitioning requirement of SURVEY.md §4 (PatchCS grid-alignment
+    analog): one shuffle for the whole enrichment chain."""
+    parted = observations.repartition("entity_id")
+    enriched = token_stats(parted, "tokens")
     enriched = lag_lead(enriched, "mean", key="entity_id", ts="ts")
     enriched = sessionize(enriched, key="entity_id", ts="ts", gap=DEFAULT_SESSION_GAP)
     return enriched

@@ -66,3 +66,15 @@ def test_normalize_and_rescale(spark):
     out = FT.rescale_unit(df, ["a", "b"], bounds).toPandas()
     assert list(out["a"]) == [0.0, 0.5, 1.0]
     assert list(out["b"]) == [0.0, 0.0, 1.0]
+
+
+def test_batch_stats_matches_kernel_vectorized():
+    """Segmented vectorized path == per-row kernel on ragged random arrays."""
+    rng = np.random.default_rng(7)
+    arrs = [rng.integers(0, 50257, size=rng.integers(1, 200)).astype(np.int32) for _ in range(500)]
+    arrs.insert(3, np.array([42], dtype=np.int32))  # single-element edge
+    got = FT.batch_stats(arrs)
+    for i, a in enumerate(arrs):
+        want = FT.stats_kernel(np.asarray(a, dtype=np.float64))
+        gv = got.iloc[i][FT.STAT_NAMES].to_numpy(dtype=np.float64)
+        np.testing.assert_allclose(gv, np.array(want, dtype=np.float64), rtol=1e-7, atol=1e-12)
