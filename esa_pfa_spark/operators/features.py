@@ -89,20 +89,21 @@ def stats_kernel(arr: np.ndarray) -> tuple:
     return (mean, std, cvar, float(a.min()), float(a.max()), p10, p50, p90, skew, n)
 
 
-def batch_stats(arrs: list) -> pd.DataFrame:
-    """Segmented (ragged-array) STX stats for one Arrow batch — fully
-    vectorized: one global concat + reduceat/lexsort, NO per-row Python.
+def segmented_stats(flat: np.ndarray, lengths: np.ndarray) -> dict[str, np.ndarray]:
+    """Segmented (ragged-array) STX stats — fully vectorized: one global
+    reduceat/lexsort pass, NO per-row Python.  ``flat`` is the concatenation
+    of all non-empty segments in order; ``lengths`` has one entry per row
+    (0 = empty/null row -> NaN stats, count 0).
 
     Matches ``stats_kernel`` to allclose (pairwise vs sequential summation
     differ at ~1e-12 relative; the parity contract is rtol 1e-7)."""
-    n = np.array([0 if a is None else len(a) for a in arrs], dtype=np.int64)
-    out = pd.DataFrame(index=range(len(arrs)), columns=STAT_NAMES, dtype="float64")
-    nz = n > 0
+    n_rows = len(lengths)
+    res = {name: np.full(n_rows, np.nan) for name in STAT_NAMES[:-1]}
+    res["count"] = lengths.astype(np.int64)
+    nz = lengths > 0
     if not nz.any():
-        out["count"] = 0
-        return out
-    flat = np.concatenate([np.asarray(a, dtype=np.float64) for a, m in zip(arrs, nz) if m])
-    nn = n[nz]
+        return res
+    nn = lengths[nz]
     off = np.concatenate([[0], np.cumsum(nn)[:-1]])
     sums = np.add.reduceat(flat, off)
     mean = sums / nn
@@ -114,12 +115,14 @@ def batch_stats(arrs: list) -> pd.DataFrame:
     # per-segment sort (one global lexsort), then vectorized linear interp
     rows = np.repeat(np.arange(len(nn)), nn)
     seg_sorted = flat[np.lexsort((flat, rows))]
+
     def pct(q: float) -> np.ndarray:
         pos = off + q * (nn - 1)
         lo = np.floor(pos).astype(np.int64)
         hi = np.minimum(lo + 1, off + nn - 1)
         frac = pos - lo
         return seg_sorted[lo] * (1 - frac) + seg_sorted[hi] * frac
+
     p10, p50, p90 = pct(0.1), pct(0.5), pct(0.9)
     with np.errstate(divide="ignore", invalid="ignore"):
         cvar = np.where(mean != 0.0, std / mean, np.nan)
@@ -128,11 +131,20 @@ def batch_stats(arrs: list) -> pd.DataFrame:
     for name, vals in zip(
         STAT_NAMES[:-1], [mean, std, cvar, mn, mx, p10, p50, p90, skew]
     ):
-        col = np.full(len(arrs), np.nan)
-        col[nz] = vals
-        out[name] = col
-    out["count"] = n
-    return out
+        res[name][nz] = vals
+    return res
+
+
+def batch_stats(arrs: list) -> pd.DataFrame:
+    """pandas/object-list front-end to ``segmented_stats``."""
+    n = np.array([0 if a is None else len(a) for a in arrs], dtype=np.int64)
+    if n.sum() > 0:
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.float64) for a, m in zip(arrs, n > 0) if m]
+        )
+    else:
+        flat = np.empty(0)
+    return pd.DataFrame(segmented_stats(flat, n), columns=STAT_NAMES)
 
 
 @F.pandas_udf(returnType=_STATS_STRUCT)
@@ -152,6 +164,49 @@ def token_stats(df: DataFrame, tokens_col: str = "tokens", prefix: str = "") -> 
     for name in STAT_NAMES:
         out = out.withColumn(prefix + name, F.col("__stx")[name])
     return out.drop("__stx")
+
+
+def token_stats_arrow(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """Zero-copy STX token stats via ``mapInArrow``: the Arrow ListArray's
+    flat value buffer + offsets feed ``segmented_stats`` directly — no
+    object-array materialization, no per-row Python AT ALL.  This is the
+    fast path (the pandas_udf ``token_stats`` spends most of its time
+    converting list<int32> to object arrays of numpy arrays).
+
+    Appends the 10 stat columns after all existing columns; null/empty
+    token rows get null stats and count 0."""
+    import pyarrow as pa
+
+    in_names = df.columns
+    ti = in_names.index(tokens_col)
+    out_fields = list(df.schema.fields) + [
+        T.StructField(n, T.DoubleType(), True) for n in STAT_NAMES[:-1]
+    ] + [T.StructField("count", T.IntegerType(), True)]
+    out_schema = T.StructType(out_fields)
+
+    def run(batches):
+        for b in batches:
+            la = b.column(ti)
+            valid = np.asarray(la.is_valid())
+            lens_pa = pa.compute.list_value_length(la)
+            lengths = np.asarray(lens_pa.fill_null(0)).astype(np.int64)
+            # flatten() concatenates exactly the valid segments in row order
+            flat = np.asarray(la.flatten(), dtype=np.float64)
+            stats = segmented_stats(flat, lengths)
+            cols = [b.column(i) for i in range(b.num_columns)]
+            names = list(b.schema.names)
+            empty_or_null = ~valid
+            for name in STAT_NAMES[:-1]:
+                vals = stats[name]
+                mask = empty_or_null | np.isnan(vals)
+                cols.append(pa.array(vals, type=pa.float64(), mask=mask))
+                names.append(name)
+            cnt = stats["count"].astype(np.int32)
+            cols.append(pa.array(cnt, type=pa.int32(), mask=empty_or_null))
+            names.append("count")
+            yield pa.RecordBatch.from_arrays(cols, names)
+
+    return df.mapInArrow(run, schema=out_schema)
 
 
 def normalize_bounds(df: DataFrame, cols: list[str]) -> DataFrame:

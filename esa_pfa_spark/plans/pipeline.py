@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from esa_pfa_spark.operators.asof import asof_join
-from esa_pfa_spark.operators.features import token_stats
+from esa_pfa_spark.operators.features import token_stats_arrow
 from esa_pfa_spark.operators.windows import lag_lead, sessionize
 
 DEFAULT_TOLERANCE = _dt.timedelta(days=7)
@@ -63,7 +63,7 @@ def enrich_observations(observations: DataFrame) -> DataFrame:
     co-partitioning requirement of SURVEY.md §4 (PatchCS grid-alignment
     analog): one shuffle for the whole enrichment chain."""
     parted = observations.repartition("entity_id")
-    enriched = token_stats(parted, "tokens")
+    enriched = token_stats_arrow(parted, "tokens")
     enriched = lag_lead(enriched, "mean", key="entity_id", ts="ts")
     enriched = sessionize(enriched, key="entity_id", ts="ts", gap=DEFAULT_SESSION_GAP)
     return enriched
@@ -91,3 +91,108 @@ def feature_table(
 def feature_table_sorted(observations: DataFrame, probes: DataFrame, tolerance=DEFAULT_TOLERANCE) -> DataFrame:
     """feature_table + deterministic output order (for checksums/goldens)."""
     return feature_table(observations, probes, tolerance).orderBy("entity_id", "query_ts")
+
+
+def feature_table_fused(
+    observations: DataFrame,
+    probes: DataFrame,
+    tolerance=DEFAULT_TOLERANCE,
+) -> DataFrame:
+    """Single-shuffle fusion of the whole pipeline (the 100 TB plan).
+
+    The modular ``feature_table`` shuffles the observation stream up to
+    three times (enrichment exchange, window ENSURE_REQUIREMENTS, as-of
+    union exchange) because an AQE-coalescible repartition cannot be
+    statically reused.  This variant unions probes with RAW observations
+    first, exchanges ONCE on entity_id, and computes everything over the
+    single sorted stream:
+
+      * token stats: Arrow UDF post-exchange (full shuffle-width
+        parallelism; probe rows carry null tokens and cost nothing);
+      * lag/lead over observations only: ``last/first(val, ignorenulls)``
+        over (unbounded, -1) / (+1, unbounded) frames — probe rows are
+        null so they are skipped exactly like lag/lead over the obs-only
+        stream;
+      * sessionization: gap from the previous OBSERVATION row
+        (ignorenulls fill of obs-ts), break-cumsum over obs rows only;
+      * as-of fill: last(payload struct, ignorenulls) as in asof_join.
+
+    Physical shape: 1 Exchange + 2 in-partition Sorts (the second for the
+    per-session count) + 1 ArrowEval.  Output == feature_table (tested).
+    """
+    gap_us = int(DEFAULT_SESSION_GAP.total_seconds() * 1e6)
+    tol_us = int(
+        (tolerance.total_seconds() if hasattr(tolerance, "total_seconds") else float(tolerance))
+        * 1e6
+    )
+
+    obs_side = observations.select(
+        "entity_id",
+        F.col("ts").alias("__ts"),
+        F.lit(0).alias("__tag"),
+        "tokens",
+        "n_tok",
+    )
+    null_tokens = F.lit(None).cast(observations.schema["tokens"].dataType)
+    probe_side = probes.select(
+        "entity_id",
+        F.col("query_ts").alias("__ts"),
+        F.lit(1).alias("__tag"),
+        null_tokens.alias("tokens"),
+        F.lit(None).cast("int").alias("n_tok"),
+    )
+    u = obs_side.unionByName(probe_side).repartition("entity_id")
+
+    from esa_pfa_spark.operators.features import token_stats_arrow
+
+    u = token_stats_arrow(u, "tokens")  # null stats on probe rows, zero-copy
+
+    from pyspark.sql import Window
+    from esa_pfa_spark.functions.time import ts_diff_us
+
+    order = [F.col("__ts").asc(), F.col("__tag").asc()]
+    w_prev = Window.partitionBy("entity_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_next = Window.partitionBy("entity_id").orderBy(*order).rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    w_cum = Window.partitionBy("entity_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+
+    is_obs = F.col("__tag") == 0
+    obs_ts = F.when(is_obs, F.col("__ts"))
+    obs_mean = F.when(is_obs, F.col("mean"))
+    u = u.withColumn("__prev_obs_ts", F.last(obs_ts, ignorenulls=True).over(w_prev))
+    u = u.withColumn(
+        "lag_1_mean", F.when(is_obs, F.last(obs_mean, ignorenulls=True).over(w_prev))
+    )
+    u = u.withColumn(
+        "lead_1_mean", F.when(is_obs, F.first(obs_mean, ignorenulls=True).over(w_next))
+    )
+    gap = ts_diff_us("__ts", "__prev_obs_ts")
+    brk = F.when(is_obs & gap.isNotNull() & (gap > gap_us), 1).otherwise(0)
+    u = u.withColumn("session_id", F.when(is_obs, F.sum(brk).over(w_cum).cast("long")))
+    w_sess = Window.partitionBy("entity_id", "session_id")
+    u = u.withColumn(
+        "session_len",
+        F.when(is_obs, F.count(F.when(is_obs, 1)).over(w_sess).cast("int")),
+    )
+
+    payload_fields = [F.col("__ts").alias("matched_ts")] + [
+        F.col(c) for c in FEATURE_PAYLOAD
+    ]
+    u = u.withColumn("__pay", F.when(is_obs, F.struct(*payload_fields)))
+    filled = u.withColumn("__pay", F.last("__pay", ignorenulls=True).over(w_cum))
+
+    out = filled.filter(F.col("__tag") == 1)
+    in_tol = F.col("__pay").isNotNull() & (
+        F.abs(F.expr("timestampdiff(MICROSECOND, __pay.matched_ts, __ts)")) <= tol_us
+    )
+    return out.select(
+        "entity_id",
+        F.col("__ts").alias("query_ts"),
+        F.when(in_tol, F.col("__pay.matched_ts")).alias("matched_ts"),
+        *[F.when(in_tol, F.col(f"__pay.{c}")).alias(c) for c in FEATURE_PAYLOAD],
+    )

@@ -67,3 +67,25 @@ def test_flagship_no_leakage_at_scale(spark):
     m = out.dropna(subset=["matched_ts"])
     assert (m["matched_ts"] <= m["query_ts"]).all()
     assert ((m["query_ts"] - m["matched_ts"]).dt.total_seconds() <= TOL.total_seconds()).all()
+
+
+def test_fused_equals_modular(spark):
+    """Single-shuffle fused plan == modular feature_table, value for value."""
+    from esa_pfa_spark.plans.pipeline import feature_table_fused
+
+    obs = synth.observations_df(spark, seed=13, n_entities=10, mean_obs=20, mean_tok=12)
+    probes = synth.queries_df(spark, seed=13, n_entities=10, mean_obs=20)
+    a = (
+        feature_table_sorted(obs, probes, TOL)
+        .drop("tokens")
+        .toPandas()
+    )
+    b = (
+        feature_table_fused(obs, probes, TOL)
+        .orderBy("entity_id", "query_ts")
+        .drop("tokens")
+        .toPandas()
+    )
+    a = a[sorted(a.columns)].reset_index(drop=True)
+    b = b[sorted(b.columns)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
