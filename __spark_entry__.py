@@ -750,6 +750,264 @@ def q_nonreuse_pairs_synth(spark, sf_dir):
     return find_pairs(obs, min_overlap=0.2, chunk="session")
 
 
+
+
+# ---------------------------------------------------------------------------
+# Extended operator coverage (round-1 additions)
+# ---------------------------------------------------------------------------
+
+def q_bfill(spark, sf_dir):
+    """W4 backward-fill: next purchase value at-or-after each event."""
+    ev = _ld(spark, sf_dir, "events")
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        _r6(F.first(pv, ignorenulls=True).over(w)).alias("next_purchase_value"),
+    )
+
+
+SQL_BFILL = """
+SELECT event_id, user_id,
+       round(first_value(CASE WHEN event_type='purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6) AS next_purchase_value
+FROM events
+"""
+
+
+def q_nsphere(spark, sf_dir):
+    """n-sphere decomposition (SpectralFeaturesOp.java:86-141) as pure
+    column math over a 4-component per-row vector."""
+    from esa_pfa_spark.functions.expr import nsphere_angle, nsphere_magnitude
+
+    li = _ld(spark, sf_dir, "lineitem")
+    d = [
+        F.col("l_quantity") - 25.0,
+        F.col("l_discount") * 100.0 - 5.0,
+        F.col("l_tax") * 100.0 - 4.0,
+        (F.col("l_partkey") % 7).cast("double") - 3.0,
+    ]
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        _r6(nsphere_magnitude(*d)).alias("magnitude"),
+        _r6(nsphere_angle(0, *d)).alias("angle_1"),
+        _r6(nsphere_angle(1, *d)).alias("angle_2"),
+        _r6(nsphere_angle(2, *d)).alias("angle_3"),
+    )
+
+
+SQL_NSPHERE = """
+WITH v AS (
+  SELECT l_orderkey, l_linenumber,
+         l_quantity - 25.0 AS d1,
+         l_discount * 100.0 - 5.0 AS d2,
+         l_tax * 100.0 - 4.0 AS d3,
+         CAST(l_partkey % 7 AS DOUBLE) - 3.0 AS d4
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber,
+       round(sqrt(d1*d1 + d2*d2 + d3*d3 + d4*d4), 6) AS magnitude,
+       round(CASE WHEN d1*d1 + d2*d2 + d3*d3 + d4*d4 = 0 THEN 0.0
+                  ELSE acos(least(greatest(d1 / sqrt(d1*d1 + d2*d2 + d3*d3 + d4*d4), -1.0), 1.0)) END, 6) AS angle_1,
+       round(CASE WHEN d2*d2 + d3*d3 + d4*d4 = 0 THEN 0.0
+                  ELSE acos(least(greatest(d2 / sqrt(d2*d2 + d3*d3 + d4*d4), -1.0), 1.0)) END, 6) AS angle_2,
+       round(CASE WHEN d4 < 0 THEN 2*pi() - (CASE WHEN d3*d3 + d4*d4 = 0 THEN 0.0
+                  ELSE acos(least(greatest(d3 / sqrt(d3*d3 + d4*d4), -1.0), 1.0)) END)
+                  ELSE (CASE WHEN d3*d3 + d4*d4 = 0 THEN 0.0
+                  ELSE acos(least(greatest(d3 / sqrt(d3*d3 + d4*d4), -1.0), 1.0)) END) END, 6) AS angle_3
+FROM v
+"""
+
+
+def q_embedding_centroid(spark, sf_dir):
+    """A9 cluster-center mean vector: element-wise mean per label."""
+    emb = _ld(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return ex.groupBy("label", "pos").agg(
+        _r6(F.avg(F.col("v").cast("double"))).alias("centroid")
+    )
+
+
+SQL_EMB_CENTROID = """
+SELECT label, i - 1 AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
+FROM embeddings, generate_series(1, 64) AS t(i)
+GROUP BY label, i - 1
+"""
+
+
+def q_source_dictionary(spark, sf_dir):
+    """A10 name->index dictionary via dense_rank (Lucene2Simple.java:64-91)."""
+    docs = _ld(spark, sf_dir, "documents")
+    distinct = docs.select("source").distinct()
+    return distinct.select(
+        "source",
+        (F.dense_rank().over(Window.orderBy("source")) - 1).alias("dict_id"),
+    )
+
+
+SQL_SOURCE_DICT = """
+SELECT source, dense_rank() OVER (ORDER BY source) - 1 AS dict_id
+FROM (SELECT DISTINCT source FROM documents)
+"""
+
+_GRID_CTE = """
+g AS (SELECT CAST(event_id % 50 AS INT) AS x,
+             CAST((event_id // 50) % 40 AS INT) AS y,
+             max(value) > 150 AS flag
+      FROM events GROUP BY 1, 2)
+"""
+
+
+def _events_grid(spark, sf_dir):
+    ev = _ld(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.col("event_id") % 50).cast("int").alias("x"),
+        (F.floor(F.col("event_id") / 50) % 40).cast("int").alias("y"),
+    ).agg((F.max("value") > 150).alias("flag"))
+
+
+def q_grid_adjacency(spark, sf_dir):
+    """A5 adjacency-pair counts (AggregationMetrics.java:83-129) as a
+    relational neighbor self-join over an events-derived boolean grid."""
+    from esa_pfa_spark.operators.spatial import adjacency_counts
+
+    return adjacency_counts(_events_grid(spark, sf_dir))
+
+
+SQL_GRID_ADJACENCY = f"""
+WITH {_GRID_CTE},
+o(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)),
+pairs AS (
+  SELECT a.flag AS f, b.flag AS nf
+  FROM g a CROSS JOIN o JOIN g b ON b.x = a.x + o.dx AND b.y = a.y + o.dy)
+SELECT sum(CASE WHEN NOT f AND NOT nf THEN 1 ELSE 0 END) AS n00,
+       sum(CASE WHEN NOT f AND nf THEN 1 ELSE 0 END) AS n01,
+       sum(CASE WHEN f AND NOT nf THEN 1 ELSE 0 END) AS n10,
+       sum(CASE WHEN f AND nf THEN 1 ELSE 0 END) AS n11
+FROM pairs
+"""
+
+
+def q_grid_connectivity(spark, sf_dir):
+    """A6 connectivity metrics (ConnectivityMetrics.java:44-126):
+    occupied/inside/border + fractal index over the derived grid."""
+    from esa_pfa_spark.operators.spatial import connectivity_metrics
+
+    g = _events_grid(spark, sf_dir)
+    m = connectivity_metrics(g)
+    return m.select(
+        "occupied", "inside", "border", _r6(F.col("fractal_index")).alias("fractal_index")
+    )
+
+
+SQL_GRID_CONNECTIVITY = f"""
+WITH {_GRID_CTE},
+occ AS (SELECT x, y FROM g WHERE flag),
+o(dx, dy) AS (VALUES (-1,0),(1,0),(0,-1),(0,1)),
+nset AS (
+  SELECT a.x, a.y, count(*) AS c
+  FROM occ a CROSS JOIN o JOIN g b ON b.x = a.x + o.dx AND b.y = a.y + o.dy AND b.flag
+  GROUP BY a.x, a.y),
+cls AS (
+  SELECT occ.x, occ.y, coalesce(nset.c, 0) = 4 AS is_inside
+  FROM occ LEFT JOIN nset ON occ.x = nset.x AND occ.y = nset.y)
+SELECT count(*) AS occupied,
+       sum(CASE WHEN is_inside THEN 1 ELSE 0 END) AS inside,
+       count(*) - sum(CASE WHEN is_inside THEN 1 ELSE 0 END) AS border,
+       round(2.0 - sum(CASE WHEN is_inside THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS fractal_index
+FROM cls
+"""
+
+
+def q_staircase(spark, sf_dir):
+    """W5 threshold-staircase count (FrontsCloudMaskOperator.java:117-163)."""
+    from esa_pfa_spark.functions.expr import staircase_count
+
+    ev = _ld(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", staircase_count(F.col("value"), 0.0, 250.0, 10.0).alias("stair")
+    )
+
+
+SQL_STAIRCASE = """
+SELECT event_id,
+       CAST(least(greatest(floor((value - 0.0) / 10.0) + 1, 0), 25) AS INT) AS stair
+FROM events
+"""
+
+
+def q_date_roundtrip(spark, sf_dir):
+    """2.8 date surface: encode the reference's name scheme
+    X%04dY%04d_T<yyyyMMddHHmm> and parse the timestamp back
+    (BiTempPreprocessor.java:135-139, FindPatchPairs.java:85-91)."""
+    from esa_pfa_spark.functions.expr import ts_from_name
+
+    ev = _ld(spark, sf_dir, "events")
+    name = F.format_string(
+        "X%04dY%04d_T%s",
+        (F.col("event_id") % 100).cast("int"),
+        (F.col("event_id") % 50).cast("int"),
+        F.date_format("ts", "yyyyMMddHHmm"),
+    )
+    named = ev.select("event_id", "ts", name.alias("name"))
+    return named.select(
+        "event_id", "name",
+        ts_from_name(F.col("name")).alias("parsed_ts"),
+    )
+
+
+SQL_DATE_ROUNDTRIP = r"""
+WITH n AS (
+  SELECT event_id, ts,
+         printf('X%04dY%04d_T%s', CAST(event_id % 100 AS INT),
+                CAST(event_id % 50 AS INT), strftime(ts, '%Y%m%d%H%M')) AS name
+  FROM events)
+SELECT event_id, name,
+       strptime(regexp_extract(name, 'T(\d{12})', 1), '%Y%m%d%H%M') AS parsed_ts
+FROM n
+"""
+
+_SCORE_WEIGHTS = [(((i * 37) % 19) - 9) / 10.0 for i in range(64)]
+
+
+def q_linear_score(spark, sf_dir):
+    """2.10 batch-scoring UDF surface (SVM.classify analog,
+    SVM.java:122-132): vectorized linear decision + threshold labels."""
+    import numpy as np
+
+    from esa_pfa_spark.operators.scoring import classify_threshold, score_linear
+
+    emb = _ld(spark, sf_dir, "embeddings")
+    scored = score_linear(emb, np.array(_SCORE_WEIGHTS), bias=0.1)
+    return classify_threshold(scored).select(
+        "vec_id", _r6(F.col("decision")).alias("decision"), F.col("label").cast("int").alias("label")
+    )
+
+
+def _linear_score_sql() -> str:
+    w = ", ".join(str(x) for x in _SCORE_WEIGHTS)
+    return f"""
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], [{w}]::DOUBLE[]) + 0.1, 6) AS decision,
+       CASE WHEN list_dot_product(embedding::DOUBLE[], [{w}]::DOUBLE[]) + 0.1 > 0
+            THEN 1 ELSE 0 END AS label
+FROM embeddings
+"""
+
+
+def q_largest_component(spark, sf_dir):
+    """A7 connected components (RegionGrower.java:46-144) via iterative
+    min-label propagation — not SQL-expressible without recursion, so
+    rows-only; goldens in tests/test_spatial.py."""
+    from esa_pfa_spark.operators.spatial import largest_component
+
+    return largest_component(_events_grid(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -787,6 +1045,16 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "embedding_cosine_topk": (q_embedding_topk, SQL_EMB_TOPK),
     "embedding_neardup_pairs": (q_embedding_neardup, SQL_EMB_NEARDUP),
     "multimodal_decode_meta": (q_multimodal_meta, SQL_MULTIMODAL),
+    "window_bfill": (q_bfill, SQL_BFILL),
+    "nsphere_decomposition": (q_nsphere, SQL_NSPHERE),
+    "embedding_centroid": (q_embedding_centroid, SQL_EMB_CENTROID),
+    "source_dictionary": (q_source_dictionary, SQL_SOURCE_DICT),
+    "grid_adjacency_counts": (q_grid_adjacency, SQL_GRID_ADJACENCY),
+    "grid_connectivity": (q_grid_connectivity, SQL_GRID_CONNECTIVITY),
+    "staircase_count": (q_staircase, SQL_STAIRCASE),
+    "date_parse_roundtrip": (q_date_roundtrip, SQL_DATE_ROUNDTRIP),
+    "linear_score": (q_linear_score, _linear_score_sql()),
+    "largest_component_grid": (q_largest_component, None),
     # non-SQL-expressible (rows-only):
     "flagship_feature_table_synth": (q_flagship_synth, None),
     "nonreuse_pairs_synth": (q_nonreuse_pairs_synth, None),

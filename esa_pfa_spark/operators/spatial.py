@@ -1,0 +1,175 @@
+"""2-D grid aggregation metrics over (x, y, flag) cell tables — the
+relational re-expression of the reference's raster landscape metrics.
+
+The reference computes these over in-memory boolean rasters; at lakehouse
+scale the grid IS a table of cells, so neighbor access is a self-join on
+(x±1, y±1) — hash-partitioned, no raster materialization:
+
+* ``adjacency_counts`` / ``contagion`` / ``clumpiness`` — 8-neighbor
+  pair counts n00/n01/n10/n11, contagion (entropy of the pair
+  distribution, Li & Reynolds 1993) and the clumpiness index
+  (pfa-algalblooms/.../AggregationMetrics.java:75-165, A5);
+* ``connectivity_metrics`` — 4-neighbor occupied/border/inside counts and
+  ``fractalIndex = 2 - inside/(inside + border)``
+  (pfa-algalblooms/.../ConnectivityMetrics.java:44-126, A6);
+* ``connected_components`` — iterative min-label propagation over the
+  4-neighbor graph (pfa-sar-fex/.../RegionGrower.java:46-144, A7);
+  ``largest_component`` gives the reference's maxClusterSize.
+
+Scale note: each iteration of connected_components is one self-join +
+aggregation (label propagation); iterations = graph diameter in cells.
+For production-size blobs, checkpoint every few iterations to truncate
+lineage (df.localCheckpoint), which the loop does automatically.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NEIGH8 = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+NEIGH4 = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+
+
+def _neighbor_join(grid: DataFrame, offsets, key_cols=("x", "y")) -> DataFrame:
+    """Pairs each cell with every existing neighbor at the given offsets.
+    Returns columns (x, y, flag, nx, ny, nflag)."""
+    x, y = key_cols
+    right = grid.select(
+        F.col(x).alias("nx"), F.col(y).alias("ny"), F.col("flag").alias("nflag")
+    )
+    shifted = grid.withColumn(
+        "__off", F.explode(F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offsets]))
+    ).select(
+        x, y, "flag",
+        (F.col(x) + F.col("__off.dx")).alias("nx"),
+        (F.col(y) + F.col("__off.dy")).alias("ny"),
+    )
+    return shifted.join(right, ["nx", "ny"])
+
+
+def adjacency_counts(grid: DataFrame) -> DataFrame:
+    """Ordered 8-neighbor pair counts n00/n01/n10/n11 over a boolean grid
+    (AggregationMetricsTest.java hand-count semantics: each ordered
+    cell->neighbor pair counted once)."""
+    pairs = _neighbor_join(grid, NEIGH8)
+    a = F.col("flag").cast("int")
+    b = F.col("nflag").cast("int")
+    return pairs.agg(
+        F.sum(((1 - a) * (1 - b))).alias("n00"),
+        F.sum(((1 - a) * b)).alias("n01"),
+        F.sum((a * (1 - b))).alias("n10"),
+        F.sum((a * b)).alias("n11"),
+    )
+
+
+def contagion_clumpiness(grid: DataFrame) -> dict:
+    """Contagion (1 + sum p*ln(p) / (2*ln 2)) over the 4-cell pair
+    distribution and the clumpiness index
+    (AggregationMetrics.java:131-164 semantics: clumpiness compares the
+    observed like-adjacency G = n11/(n11+n10) against the class proportion
+    P; +1 = maximally clumped, -1 = maximally dispersed)."""
+    row = adjacency_counts(grid).collect()[0]
+    n = {k: float(row[k]) for k in ("n00", "n01", "n10", "n11")}
+    total = sum(n.values())
+    contagion = 1.0
+    if total > 0:
+        s = 0.0
+        for v in n.values():
+            p = v / total
+            if p > 0:
+                s += p * math.log(p)
+        contagion = 1.0 + s / (2.0 * math.log(2.0))
+    # class proportion of set cells and like-adjacency
+    cells = grid.agg(
+        F.sum(F.col("flag").cast("int")).alias("set"), F.count(F.lit(1)).alias("all")
+    ).collect()[0]
+    p_cls = (cells["set"] or 0) / cells["all"] if cells["all"] else 0.0
+    denom = n["n11"] + n["n10"]
+    g = n["n11"] / denom if denom > 0 else 0.0
+    if p_cls in (0.0, 1.0):
+        clump = 0.0
+    elif g >= p_cls:
+        clump = (g - p_cls) / (1.0 - p_cls)
+    else:
+        clump = (g - p_cls) / p_cls
+    return {"contagion": contagion, "clumpiness": clump, **{k: int(v) for k, v in n.items()}}
+
+
+def connectivity_metrics(grid: DataFrame) -> DataFrame:
+    """4-neighbor occupancy classes: occupied / border (occupied with a
+    missing-or-unset neighbor) / inside; fractal = 2 - inside/(inside+border)
+    (ConnectivityMetrics.java:44-126)."""
+    occ = grid.filter(F.col("flag"))
+    pairs = _neighbor_join(occ, NEIGH4)
+    set_neigh = pairs.filter(F.col("nflag")).groupBy("x", "y").agg(
+        F.count(F.lit(1)).alias("n_set_neighbors")
+    )
+    classified = occ.join(set_neigh, ["x", "y"], "left").select(
+        "x", "y", (F.coalesce(F.col("n_set_neighbors"), F.lit(0)) == 4).alias("is_inside")
+    )
+    agg = classified.agg(
+        F.count(F.lit(1)).alias("occupied"),
+        F.sum(F.col("is_inside").cast("int")).alias("inside"),
+    )
+    return agg.select(
+        "occupied",
+        "inside",
+        (F.col("occupied") - F.col("inside")).alias("border"),
+        (F.lit(2.0) - F.col("inside") / (F.col("inside") + (F.col("occupied") - F.col("inside")))).alias("fractal_index"),
+    )
+
+
+def connected_components(grid: DataFrame, max_iter: int = 50, checkpoint_every: int = 5) -> DataFrame:
+    """4-neighbor connected components by iterative min-label propagation:
+    label := min(label, neighbors' labels) until fixpoint.  Returns
+    (x, y, component) for set cells.  Deterministic: the component id is
+    the minimum cell key in the blob."""
+    occ = grid.filter(F.col("flag")).select("x", "y")
+    lab = occ.withColumn("component", F.col("x") * F.lit(1_000_000) + F.col("y"))
+    for it in range(max_iter):
+        right = lab.select(
+            F.col("x").alias("nx"), F.col("y").alias("ny"), F.col("component").alias("ncomp")
+        )
+        shifted = lab.withColumn(
+            "__off",
+            F.explode(F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in NEIGH4])),
+        ).select(
+            "x", "y", "component",
+            (F.col("x") + F.col("__off.dx")).alias("nx"),
+            (F.col("y") + F.col("__off.dy")).alias("ny"),
+        )
+        neigh_min = (
+            shifted.join(right, ["nx", "ny"])
+            .groupBy("x", "y")
+            .agg(F.min("ncomp").alias("nmin"))
+        )
+        updated = lab.join(neigh_min, ["x", "y"], "left").select(
+            "x", "y", F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias("component")
+        )
+        if (it + 1) % checkpoint_every == 0:
+            updated = updated.localCheckpoint()
+            changed = (
+                updated.alias("u")
+                .join(lab.alias("l"), ["x", "y"])
+                .filter(F.col("u.component") != F.col("l.component"))
+                .count()
+            )
+            lab = updated
+            if changed == 0:
+                break
+        else:
+            lab = updated
+    return lab
+
+
+def largest_component(grid: DataFrame) -> DataFrame:
+    """maxClusterSize + numSamples (RegionGrower consumers, e.g.
+    ChangeDetectionFeatureWriter.java:106-131)."""
+    cc = connected_components(grid)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    return sizes.agg(
+        F.max("size").alias("max_cluster_size"), F.sum("size").alias("num_samples")
+    )
