@@ -1,0 +1,110 @@
+"""spark-submit entry point.
+
+Usage (the --py-files flow the north rule requires)::
+
+    # package the engine
+    python -m esa_pfa_spark.cli package --out /tmp/esa_pfa_spark.zip
+
+    # generate a synthetic tokens table (distributed)
+    spark-submit --py-files /tmp/esa_pfa_spark.zip -m esa_pfa_spark.cli \\
+        synth --entities 100000 --out /data/tokens
+
+    # run the flagship as-of + window feature build
+    spark-submit --py-files /tmp/esa_pfa_spark.zip -m esa_pfa_spark.cli \\
+        run --tokens /data/tokens --probes /data/probes --out /data/features \\
+        --resume --partitions 64
+
+Local-mode equivalents work by calling this module directly with python.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import zipfile
+from pathlib import Path
+
+
+def cmd_package(args) -> None:
+    pkg_root = Path(__file__).resolve().parent
+    out = Path(args.out)
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for py in sorted(pkg_root.rglob("*.py")):
+            z.write(py, arcname=str(Path("esa_pfa_spark") / py.relative_to(pkg_root)))
+    print(f"wrote {out} ({out.stat().st_size} bytes)")
+
+
+def cmd_synth(args) -> None:
+    from esa_pfa_spark import synth
+    from esa_pfa_spark.session import get_spark
+
+    spark = get_spark(app_name="esa_pfa_synth")
+    obs = synth.observations_df(
+        spark, seed=args.seed, n_entities=args.entities,
+        mean_obs=args.mean_obs, mean_tok=args.mean_tok,
+        hot_factor=args.hot_factor, distributed=True,
+    )
+    obs.write.mode("overwrite").parquet(args.out)
+    probes = synth.queries_df(spark, seed=args.seed, n_entities=args.entities, mean_obs=args.mean_obs)
+    probes.write.mode("overwrite").parquet(args.out + "_probes")
+    print(f"wrote {args.out} and {args.out}_probes")
+
+
+def cmd_run(args) -> None:
+    from esa_pfa_spark.manifest import ManifestedRun
+    from esa_pfa_spark.plans.pipeline import feature_table_fused
+    from esa_pfa_spark.session import get_spark
+
+    spark = get_spark(app_name="esa_pfa_run")
+    obs = spark.read.parquet(args.tokens)
+    probes = spark.read.parquet(args.probes)
+    if args.resume:
+        run = ManifestedRun(args.out, key="entity_id", n_partitions=args.partitions)
+        probes_by_part = probes  # probes carry the same entity key
+
+        def transform(obs_slice):
+            # each manifest partition is a disjoint entity-key range; the
+            # probe side is filtered to the same range inside the manifest
+            from esa_pfa_spark.manifest import PART_COL, partition_id_col
+            return feature_table_fused(obs_slice, probes_by_part.join(
+                obs_slice.select("entity_id").distinct(), "entity_id", "left_semi"))
+
+        n = run.run(obs, transform)
+        print(f"processed {n} partitions -> {args.out} (manifest: {run.manifest_path})")
+    else:
+        feature_table_fused(obs, probes).write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(prog="esa_pfa_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("package", help="zip the engine for --py-files")
+    p.add_argument("--out", default="/tmp/esa_pfa_spark.zip")
+    p.set_defaults(fn=cmd_package)
+
+    p = sub.add_parser("synth", help="generate synthetic tokens+probes tables")
+    p.add_argument("--entities", type=int, default=10000)
+    p.add_argument("--mean-obs", type=int, default=40)
+    p.add_argument("--mean-tok", type=int, default=64)
+    p.add_argument("--hot-factor", type=int, default=1)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_synth)
+
+    p = sub.add_parser("run", help="flagship as-of + window feature build")
+    p.add_argument("--tokens", required=True)
+    p.add_argument("--probes", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--resume", action="store_true", help="manifest-checkpointed run")
+    p.add_argument("--partitions", type=int, default=64)
+    p.set_defaults(fn=cmd_run)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""Sinks (dated layout partition pruning), sources, scoring, cli packaging."""
+
+import zipfile
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from esa_pfa_spark.operators.scoring import classify_threshold, score_linear
+from esa_pfa_spark.sources import sinks, tables
+
+
+def test_dated_sink_prunes(spark, tmp_path):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = str(tmp_path / "dated")
+    sinks.write_dated(ev, out, ts_col="ts")
+    back = spark.read.parquet(out)
+    # partition pruning: filtering on the partition column reads a subset
+    one_day = back.filter((F.col("y") == "2024") & (F.col("m") == "01") & (F.col("d") == "05"))
+    n = one_day.count()
+    assert 0 < n < ev.count()
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+
+
+def test_sink_registry_dispatch(spark, tmp_path):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(10)
+    sinks.write(ev.select("event_id", "value"), "csv", str(tmp_path / "c"))
+    sinks.write(ev.select("event_id", "value"), "json", str(tmp_path / "j"))
+    assert spark.read.option("header", True).csv(str(tmp_path / "c")).count() == 10
+    assert spark.read.json(str(tmp_path / "j")).count() == 10
+    try:
+        sinks.write(ev, "bogus", "/tmp/x")
+        assert False
+    except ValueError as e:
+        assert "unknown sink" in str(e)
+
+
+def test_load_sf_tables(spark):
+    t = tables.load_sf_tables(spark, "/root/testdata/sf0.001")
+    assert set(t) == set(tables.TPCH_TABLES)
+    assert t["region"].count() == 5
+
+
+def test_score_linear_golden(spark):
+    pdf = pd.DataFrame(
+        {"vec_id": [0, 1, 2], "embedding": [[1.0, 2.0], [0.0, 0.0], [float("nan"), 1.0]]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = (
+        classify_threshold(score_linear(df, np.array([0.5, -1.0]), bias=0.25, vec_col="embedding"))
+        .orderBy("vec_id").toPandas()
+    )
+    # 0: 0.5*1 - 1*2 + 0.25 = -1.25 -> label 0; 1: 0.25 -> 1; 2: NaN -> -1
+    assert out["decision"][0] == -1.25 and out["label"][0] == 0
+    assert out["decision"][1] == 0.25 and out["label"][1] == 1
+    assert np.isnan(out["decision"][2]) and out["label"][2] == -1
+
+
+def test_cli_package(tmp_path):
+    from esa_pfa_spark import cli
+
+    out = tmp_path / "pkg.zip"
+    cli.main(["package", "--out", str(out)])
+    names = zipfile.ZipFile(out).namelist()
+    assert "esa_pfa_spark/__init__.py" in names
+    assert "esa_pfa_spark/plans/pipeline.py" in names
+    assert len(names) > 15
