@@ -170,18 +170,55 @@ N_CORES, N4_CORES = 4, 16  # see BENCH/BASELINE.md: host has 16 physical cores
                            # the N vs 4N pair is taken within physical cores.
 
 
+SCALING_ENTITIES = int(os.environ.get("BENCH_SCALING_ENTITIES", "240000"))
+
+
 def run_scaling() -> None:
-    """N vs 4N parallelism (local[4] vs local[16]) on identical input."""
+    """N vs 4N parallelism (local[4] vs local[16]) on identical input.
+
+    Methodology notes:
+      * The scaling input is 4x the default bench input (~10M sequences).
+        Fixed per-run costs (job scheduling, stage barriers, Arrow worker
+        round-trips, ~1.5s) are noise at production scale but would be 25%
+        of a short 4N run — the larger input keeps the measurement about
+        the *work*, which is what scales on a real cluster.
+      * Input is pre-generated once at full parallelism, then both configs
+        read the same parquet files; generation is excluded from timing.
+      * Two alternating JVM rounds per config (N, 4N, N, 4N), best round
+        kept: fresh-JVM codegen/GC state adds 10-30% run-to-run noise, and
+        alternating decorrelates transient host load from the config.
+    """
+    scale_env = {
+        "BENCH_ENTITIES": str(SCALING_ENTITIES),
+        "BENCH_TOKENS_PATH": f"/tmp/esa_pfa_scaling_tokens_{SCALING_ENTITIES}.parquet",
+        "BENCH_PROBES_PATH": f"/tmp/esa_pfa_scaling_probes_{SCALING_ENTITIES}.parquet",
+    }
+    # pre-generate at full parallelism so neither timed config pays for it
+    gen_env = dict(os.environ, SPARK_GRAFT_CPUS="32", **scale_env)
+    subprocess.run(
+        [sys.executable, "-c",
+         "import bench; from esa_pfa_spark.session import get_spark; "
+         "s = get_spark(app_name='gen'); s.sparkContext.setLogLevel('ERROR'); "
+         "bench.ensure_flagship_input(s); s.stop()"],
+        capture_output=True, text=True, env=gen_env, cwd=str(REPO), check=True,
+    )
     results = {}
-    for cpus in (N_CORES, N4_CORES):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
-        proc = subprocess.run(
-            [sys.executable, __file__, "--flagship-only", "--warmup"],
-            capture_output=True, text=True, env=env, cwd=str(REPO),
-        )
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-        print(f"local[{cpus}]: {results[cpus]['sequences_per_sec']} seq/s", file=sys.stderr)
+    for rnd in range(2):
+        for cpus in (N_CORES, N4_CORES):
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), **scale_env)
+            proc = subprocess.run(
+                [sys.executable, __file__, "--flagship-only", "--warmup"],
+                capture_output=True, text=True, env=env, cwd=str(REPO),
+            )
+            line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+            res = json.loads(line)
+            prev = results.get(cpus)
+            if prev is None or res["sequences_per_sec"] > prev["sequences_per_sec"]:
+                results[cpus] = res
+            print(
+                f"round {rnd} local[{cpus}]: {res['sequences_per_sec']} seq/s",
+                file=sys.stderr,
+            )
 
     t8 = results[N_CORES]["sequences_per_sec"]
     t32 = results[N4_CORES]["sequences_per_sec"]

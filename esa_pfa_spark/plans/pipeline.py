@@ -55,15 +55,18 @@ FEATURE_PAYLOAD = [
 def enrich_observations(observations: DataFrame) -> DataFrame:
     """Stage 1: per-row token stats + windowed features over the timeline.
 
-    The explicit hash-repartition on entity_id comes FIRST so (a) the
-    Arrow-UDF stat stage runs at full shuffle-partition width regardless of
-    how few input splits the scan produced, and (b) every downstream window
-    spec (lag/lead, sessionize, and the as-of union window) reuses this one
-    exchange — Catalyst inserts only sorts after it.  This is the explicit
-    co-partitioning requirement of SURVEY.md §4 (PatchCS grid-alignment
-    analog): one shuffle for the whole enrichment chain."""
-    parted = observations.repartition("entity_id")
-    enriched = token_stats_arrow(parted, "tokens")
+    The Arrow-UDF stat stage runs FIRST, map-side at scan parallelism —
+    per-row stats need no co-location, and ``mapInArrow`` cannot promise
+    Catalyst that it preserves a child partitioning (it may emit arbitrary
+    rows), so stats placed *after* an explicit repartition force a SECOND
+    exchange for the window sort (observed: Exchange → MapInArrow →
+    Exchange).  With stats first, the window specs' ENSURE_REQUIREMENTS
+    insert the single hashpartitioning(entity_id) exchange, and lag/lead,
+    sessionize and session_len all reuse it — one shuffle for the whole
+    enrichment chain (asserted in tests/test_plans.py).  This is the
+    explicit co-partitioning requirement of SURVEY.md §4 (PatchCS
+    grid-alignment analog)."""
+    enriched = token_stats_arrow(observations, "tokens")
     enriched = lag_lead(enriched, "mean", key="entity_id", ts="ts")
     enriched = sessionize(enriched, key="entity_id", ts="ts", gap=DEFAULT_SESSION_GAP)
     return enriched
@@ -141,10 +144,13 @@ def feature_table_fused(
         null_tokens.alias("tokens"),
         F.lit(None).cast("int").alias("n_tok"),
     )
-    u = obs_side.unionByName(probe_side).repartition("entity_id")
+    u = obs_side.unionByName(probe_side)
 
     from esa_pfa_spark.operators.features import token_stats_arrow
 
+    # stats BEFORE the exchange: per-row, needs no co-location, and keeps
+    # the plan at ONE shuffle (mapInArrow after a repartition would force
+    # the window sort to re-exchange — see enrich_observations docstring)
     u = token_stats_arrow(u, "tokens")  # null stats on probe rows, zero-copy
 
     from pyspark.sql import Window

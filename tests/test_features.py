@@ -78,3 +78,29 @@ def test_batch_stats_matches_kernel_vectorized():
         want = FT.stats_kernel(np.asarray(a, dtype=np.float64))
         gv = got.iloc[i][FT.STAT_NAMES].to_numpy(dtype=np.float64)
         np.testing.assert_allclose(gv, np.array(want, dtype=np.float64), rtol=1e-7, atol=1e-12)
+
+
+def test_segmented_stats_batch_offset_invariant():
+    """A row's stats must be BIT-identical regardless of where the row sits
+    inside the Arrow batch (regression: the percentile interpolation once
+    computed its fraction at the magnitude of the batch offset, so the same
+    tokens gave different last-ulp p10/p90 under different partitionings)."""
+    rng = np.random.default_rng(11)
+    arrs = [rng.integers(0, 50257, size=rng.integers(2, 99)).astype(np.int32) for _ in range(200)]
+    full = FT.batch_stats(arrs)
+    # same rows, different batch boundaries: singletons and a shifted split
+    for split in (1, 7, 123):
+        parts = [FT.batch_stats(arrs[i:i + split]) for i in range(0, len(arrs), split)]
+        rebuilt = pd.concat(parts, ignore_index=True)
+        pd.testing.assert_frame_equal(rebuilt, full, check_exact=True)
+
+
+def test_segmented_stats_int_path_matches_numpy_percentile():
+    """Integer fast path must equal np.percentile bit-for-bit."""
+    rng = np.random.default_rng(3)
+    a = rng.integers(-1000, 1000, size=57).astype(np.int32)
+    got = FT.batch_stats([a]).iloc[0]
+    f = a.astype(np.float64)
+    assert got["p10"] == np.percentile(f, 10)
+    assert got["p50"] == np.percentile(f, 50)
+    assert got["p90"] == np.percentile(f, 90)

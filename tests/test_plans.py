@@ -1,0 +1,135 @@
+"""Physical-plan audits: the 100 TB story, asserted.
+
+These tests pin the *shape* of the plans Catalyst produces, not their
+results — the properties that decide whether a query survives a 100x
+scale-up:
+
+  * filters reach the parquet scan (PushedFilters) and column pruning
+    reaches ReadSchema;
+  * small dimensions broadcast (BroadcastHashJoin, never SortMergeJoin
+    for region/nation-sized sides);
+  * partial (map-side) aggregation exists before the shuffle;
+  * top-k compiles to TakeOrderedAndProject (no global sort);
+  * the fused flagship pipeline runs on exactly ONE exchange — every
+    window spec and the as-of fill reuse the same hash partitioning
+    (the PatchCS grid-alignment analog, SURVEY.md §4);
+  * the as-of union+window plan also needs exactly ONE exchange.
+
+A plan regression that re-introduces a shuffle or loses a pushdown fails
+here long before it would melt a real cluster.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def n_exchanges(plan: str) -> int:
+    """Count shuffle exchanges (broadcast exchanges excluded).  Handles both
+    simple mode (``Exchange hashpartitioning(...)``) and formatted mode
+    (``Exchange (5)`` nodes; ``BroadcastExchange`` must not count)."""
+    return len(re.findall(r"(?<![A-Za-z])Exchange (?:\(\d+\)|hashpartitioning|rangepartitioning)", plan))
+
+
+def test_tpch_q1_pushdown_and_partial_agg(spark):
+    plan = plan_of(entry_mod.q_tpch_q1(spark, SF_DIR))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:200], (
+        "l_shipdate filter must reach the parquet scan"
+    )
+    assert plan.count("HashAggregate") >= 2, "expected partial+final aggregation"
+    assert n_exchanges(plan) == 1, "Q1 is one shuffle: scan -> partial agg -> exchange -> final agg"
+
+
+def test_tpch_q3_broadcasts_customer(spark):
+    plan = plan_of(entry_mod.q_tpch_q3(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, "customer side must broadcast"
+    assert "TakeOrderedAndProject" in plan, "top-10 must not globally sort"
+
+
+def test_region_counts_all_broadcast(spark):
+    # simple mode: formatted repeats each node name in the details section
+    plan = plan_of(entry_mod.q_region_counts(spark, SF_DIR), mode="simple")
+    assert plan.count("BroadcastHashJoin") == 2, "both dims broadcast"
+    assert "SortMergeJoin" not in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_orderkey", "l_quantity"}, f"scan reads extra columns: {cols}"
+
+
+def test_topk_is_take_ordered(spark):
+    plan = plan_of(entry_mod.q_topk(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_join_single_exchange(spark):
+    df = entry_mod.q_asof_backward(spark, SF_DIR)
+    plan = plan_of(df)
+    assert n_exchanges(plan) == 1, (
+        f"as-of union+window must reuse one hash partitioning, got "
+        f"{n_exchanges(plan)} exchanges:\n{plan}"
+    )
+    assert "filechannel" not in plan.lower()
+
+
+def test_fused_pipeline_single_exchange(spark):
+    from esa_pfa_spark import synth
+    from esa_pfa_spark.plans.pipeline import feature_table_fused
+
+    obs = synth.observations_df(spark, seed=42, n_entities=10, mean_obs=5, mean_tok=8)
+    probes = synth.queries_df(spark, seed=42, n_entities=10, mean_obs=5)
+    plan = plan_of(feature_table_fused(obs, probes))
+    assert n_exchanges(plan) == 1, (
+        f"fused flagship must be a single-shuffle plan, got {n_exchanges(plan)}:\n{plan}"
+    )
+
+
+def test_enrichment_windows_share_exchange(spark):
+    """lag/lead + sessionize + session_len over one repartition: the window
+    specs on (entity_id) and (entity_id, session_id) must both be satisfied
+    by the same hashpartitioning(entity_id) — no second shuffle."""
+    from esa_pfa_spark import synth
+    from esa_pfa_spark.plans.pipeline import enrich_observations
+
+    obs = synth.observations_df(spark, seed=1, n_entities=10, mean_obs=5, mean_tok=8)
+    plan = plan_of(enrich_observations(obs))
+    assert n_exchanges(plan) == 1, plan
+
+
+def test_sessionize_no_extra_shuffle_for_stats(spark):
+    """session_len's (key, session_id) window must reuse the (key) hash."""
+    import datetime as dt
+
+    from esa_pfa_spark.operators.windows import sessionize
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = plan_of(sessionize(ev, key="user_id", ts="ts", gap=dt.timedelta(minutes=30)))
+    assert n_exchanges(plan) == 1, plan
+
+
+def test_flagship_scan_prunes_for_count(spark):
+    """count() over the feature table output must not read token arrays."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = plan_of(ev.groupBy("event_type").count())
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "props" not in m.group(1), "count-by-type must prune the wide props column"
