@@ -999,6 +999,169 @@ FROM embeddings
 """
 
 
+def q_rolling_time_range(spark, sf_dir):
+    """W1 on a TIME frame: trailing 1-hour rolling mean/count per user via
+    rangeBetween on epoch seconds (SURVEY.md §2.5 frame-spec requirement)."""
+    from esa_pfa_spark.functions.time import epoch_s
+
+    ev = _ld(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_s(F.col("ts")))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        _r6(F.avg("value").over(w)).alias("rolling_1h_mean"),
+        F.count(F.lit(1)).over(w).cast("int").alias("rolling_1h_n"),
+    )
+
+
+SQL_ROLLING_TIME = """
+SELECT event_id, user_id,
+       round(avg(value) OVER w, 6) AS rolling_1h_mean,
+       CAST(count(*) OVER w AS INT) AS rolling_1h_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_session_window_native(spark, sf_dir):
+    """Native F.session_window (the streaming-capable session operator) in
+    batch mode; oracle emulates its end-exclusive semantics (new session
+    when delta >= gap; session_end = last_ts + gap)."""
+    import datetime as dt
+
+    from esa_pfa_spark.streaming.sessions import session_window_agg
+
+    ev = _ld(spark, sf_dir, "events")
+    out = session_window_agg(ev, "user_id", "ts", gap=dt.timedelta(minutes=30), value="value")
+    return out.select(
+        "user_id", "session_start", "session_end", "session_len",
+        _r6(F.col("session_mean")).alias("session_mean"),
+        _r6(F.col("session_sum")).alias("session_sum"),
+    )
+
+
+SQL_SESSION_WINDOW_NATIVE = """
+WITH d AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS INT) AS session_len,
+       round(avg(value), 6) AS session_mean,
+       round(sum(value), 6) AS session_sum
+FROM s GROUP BY user_id, sid
+"""
+
+
+def q_salted_agg(spark, sf_dir):
+    """Skew remedy with an oracle: two-phase salted aggregation must equal
+    the plain GROUP BY (salting is physical, not semantic).  Sums ride
+    decimal(18,6) so the two-phase addition is order-independent exact."""
+    from esa_pfa_spark.skew import salted_agg
+
+    ev = _ld(spark, sf_dir, "events").withColumn(
+        "vdec", F.col("value").cast("decimal(18,6)")
+    )
+    out = salted_agg(ev, "user_id", {"n": ("count", "*"), "vsum": ("sum", "vdec")}, n_salt=16)
+    return out.select(
+        "user_id",
+        F.col("n").cast("long").alias("n"),
+        _r6(F.col("vsum").cast("double")).alias("sum_value"),
+        _r6(F.col("vsum").cast("double") / F.col("n")).alias("avg_value"),
+    )
+
+
+SQL_SALTED_AGG = """
+SELECT user_id, count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_value
+FROM events GROUP BY user_id
+"""
+
+
+def _lsh_planes():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    return rng.standard_normal((8, 64)).astype(np.float64)
+
+
+def _sig_sql(vec_expr: str) -> str:
+    """DuckDB expression computing the 8-bit hyperplane-sign signature of
+    ``vec_expr`` with the SAME seeded planes as the Spark side."""
+    planes = _lsh_planes()
+    terms = []
+    for b in range(planes.shape[0]):
+        lits = ", ".join(repr(x) for x in planes[b])
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}::DOUBLE[], [{lits}]::DOUBLE[]) > 0 "
+            f"THEN {1 << b} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate NN, the scale path: random-hyperplane LSH bucket prunes
+    candidates, exact cosine re-ranks within the probe's bucket."""
+    emb = _ld(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return SIM.ann_topk_lsh(
+        emb.filter(F.col("vec_id") != 0), probe, k=10, n_planes=8, seed=7, dim=64
+    )
+
+
+def _ann_lsh_sql() -> str:
+    sig = _sig_sql("embedding")
+    qsig = _sig_sql("qv")
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, e.embedding, q.qv
+  FROM embeddings e, q
+  WHERE e.vec_id != 0 AND ({sig}) = ({qsig})),
+s AS (
+  SELECT vec_id,
+         list_dot_product(embedding::DOUBLE[], qv::DOUBLE[])
+         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))) AS cos
+  FROM cand)
+SELECT vec_id, CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank
+FROM s QUALIFY rank <= 10
+"""
+
+
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """Near-dup pairs with LSH blocking (the non-quadratic scale path):
+    the self-join is restricted to equal signature buckets."""
+    emb = _ld(spark, sf_dir, "embeddings")
+    sigs = SIM.lsh_signature(emb, n_planes=8, seed=7, dim=64)
+    withsig = emb.join(sigs, "vec_id")
+    return SIM.neardup_pairs(withsig, threshold=0.3, block_col="lsh_sig")
+
+
+def _neardup_lsh_sql() -> str:
+    sig = _sig_sql("embedding")
+    return f"""
+WITH s AS (SELECT vec_id, embedding, ({sig}) AS sig FROM embeddings)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.3
+"""
+
+
 def q_largest_component(spark, sf_dir):
     """A7 connected components (RegionGrower.java:46-144) via iterative
     min-label propagation — not SQL-expressible without recursion, so
@@ -1054,6 +1217,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "staircase_count": (q_staircase, SQL_STAIRCASE),
     "date_parse_roundtrip": (q_date_roundtrip, SQL_DATE_ROUNDTRIP),
     "linear_score": (q_linear_score, _linear_score_sql()),
+    "rolling_time_range_1h": (q_rolling_time_range, SQL_ROLLING_TIME),
+    "session_window_native": (q_session_window_native, SQL_SESSION_WINDOW_NATIVE),
+    "salted_agg_by_user": (q_salted_agg, SQL_SALTED_AGG),
+    "ann_lsh_topk": (q_ann_lsh_topk, _ann_lsh_sql()),
+    "embedding_neardup_lsh": (q_embedding_neardup_lsh, _neardup_lsh_sql()),
     "largest_component_grid": (q_largest_component, None),
     # non-SQL-expressible (rows-only):
     "flagship_feature_table_synth": (q_flagship_synth, None),

@@ -97,12 +97,13 @@ def lsh_signature(
     n_planes: int = 16,
     seed: int = 7,
     dim: int = 64,
-    id_col: str = "vec_id",
+    id_col: str | None = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Random-hyperplane LSH signature (int bitmask of dot-sign bits).
     Planes are a deterministic seeded numpy matrix broadcast as literals
-    via a vectorized pandas_udf (Arrow batches, numpy matmul inside)."""
+    via a vectorized pandas_udf (Arrow batches, numpy matmul inside).
+    With ``id_col=None`` returns only the signature column (probe side)."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim)).astype(np.float64)
 
@@ -115,7 +116,8 @@ def lsh_signature(
             out |= bits[:, b].astype(np.int32) << b
         return pd.Series(out)
 
-    return embeddings.select(id_col, sig(F.col(vec_col)).alias("lsh_sig"))
+    cols = [id_col] if id_col is not None else []
+    return embeddings.select(*cols, sig(F.col(vec_col)).alias("lsh_sig"))
 
 
 def ann_topk_lsh(
@@ -131,7 +133,9 @@ def ann_topk_lsh(
     the scan to ~1/2^n_planes of the table."""
     sigs = lsh_signature(embeddings, n_planes, seed, dim)
     withsig = embeddings.join(sigs, "vec_id")
-    psig = lsh_signature(probe.withColumnRenamed("q", "embedding"), n_planes, seed, dim)
+    psig = lsh_signature(
+        probe.withColumnRenamed("q", "embedding"), n_planes, seed, dim, id_col=None
+    )
     probe2 = probe.crossJoin(F.broadcast(psig.select(F.col("lsh_sig").alias("__psig"))))
     cand = withsig.crossJoin(F.broadcast(probe2)).filter(F.col("lsh_sig") == F.col("__psig"))
     scored = cand.select("vec_id", cosine(F.col("embedding"), F.col("q")).alias("cos"))
