@@ -1162,6 +1162,33 @@ WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 """
 
 
+def q_nan_validity(spark, sf_dir):
+    """P6 NaN validity filter (ActiveLearning.java:218-245): NaNs are
+    injected deterministically (vec_id % 7 == 0 poisons element 0), then
+    rows with any-NaN vectors are dropped; both branches exercised."""
+    from esa_pfa_spark.plans.query import valid_vectors
+
+    emb = _ld(spark, sf_dir, "embeddings")
+    poisoned = emb.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 7 == 0,
+            F.concat(
+                F.array(F.lit(float("nan")).cast("float")),
+                F.slice(F.col("embedding"), 2, 63),
+            ),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    return valid_vectors(poisoned, "embedding").select("vec_id")
+
+
+SQL_NAN_VALIDITY = """
+SELECT vec_id FROM embeddings WHERE vec_id % 7 != 0
+"""
+
+
 def q_largest_component(spark, sf_dir):
     """A7 connected components (RegionGrower.java:46-144) via iterative
     min-label propagation — not SQL-expressible without recursion, so
@@ -1222,6 +1249,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "salted_agg_by_user": (q_salted_agg, SQL_SALTED_AGG),
     "ann_lsh_topk": (q_ann_lsh_topk, _ann_lsh_sql()),
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, _neardup_lsh_sql()),
+    "nan_validity_filter": (q_nan_validity, SQL_NAN_VALIDITY),
     "largest_component_grid": (q_largest_component, None),
     # non-SQL-expressible (rows-only):
     "flagship_feature_table_synth": (q_flagship_synth, None),

@@ -64,3 +64,12 @@ def sample_fraction(df: DataFrame, pct: int, key_cols: list[str]) -> DataFrame:
     """Deterministic percentage gate (portable integer arithmetic)."""
     h = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(100))
     return df.filter(h < pct)
+
+
+def valid_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """P6 NaN validity filter: drop rows whose feature vector contains any
+    NaN, before training/scoring (pfa-database/.../activelearning/
+    ActiveLearning.java:218-245).  Pure column expression — the existence
+    scan runs inside codegen, no Python."""
+    has_nan = F.exists(F.col(vec_col), lambda x: F.isnan(x.cast("double")))
+    return df.filter(~has_nan)
