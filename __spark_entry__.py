@@ -1162,6 +1162,71 @@ WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 """
 
 
+def q_most_ambiguous(spark, sf_dir):
+    """§3.3 active-learning surface: the q vectors nearest the decision
+    boundary (smallest |decision value|) — ActiveLearning.java:483-493."""
+    import numpy as np
+
+    from esa_pfa_spark.operators.scoring import score_linear
+    from esa_pfa_spark.plans.query import most_ambiguous
+
+    emb = _ld(spark, sf_dir, "embeddings")
+    scored = score_linear(emb, np.array(_SCORE_WEIGHTS), bias=0.1)
+    out = most_ambiguous(scored, decision_col="decision", k=15, tiebreak="vec_id")
+    return out.select("vec_id", _r6(F.col("decision")).alias("decision"))
+
+
+def _most_ambiguous_sql() -> str:
+    w = ", ".join(str(x) for x in _SCORE_WEIGHTS)
+    return f"""
+WITH s AS (
+  SELECT vec_id,
+         list_dot_product(embedding::DOUBLE[], [{w}]::DOUBLE[]) + 0.1 AS decision
+  FROM embeddings)
+SELECT vec_id, round(decision, 6) AS decision
+FROM s ORDER BY abs(decision), vec_id LIMIT 15
+"""
+
+
+def q_asof_multikey(spark, sf_dir):
+    """As-of join on a COMPOSITE key (user_id, event_type): latest prior
+    same-type event's value at each probe, 3d tolerance — exercises the
+    list-key path of asof_join."""
+    ev = _ld(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_id") % 5 == 0).select(
+        "event_id", "user_id", "event_type", F.col("ts").alias("query_ts")
+    )
+    obs = ev.filter(F.col("event_id") % 5 != 0).select(
+        "user_id", "event_type", "ts", F.col("value").alias("prev_value")
+    )
+    out = asof_join(
+        probes, obs, on=["user_id", "event_type"], probe_ts="query_ts", obs_ts="ts",
+        payload=["prev_value"], direction="backward", tolerance=dt.timedelta(days=3),
+    )
+    return out.select(
+        "event_id", "user_id", "event_type", "query_ts", "matched_ts",
+        _r6(F.col("prev_value")).alias("prev_value"),
+    )
+
+
+SQL_ASOF_MULTIKEY = f"""
+WITH c AS (SELECT event_id, user_id, event_type, ts AS query_ts
+           FROM events WHERE event_id % 5 = 0),
+     p AS (SELECT user_id, event_type, ts, value
+           FROM events WHERE event_id % 5 != 0),
+     m AS (SELECT c.event_id, c.user_id, c.event_type, c.query_ts,
+                  (SELECT max(p.ts) FROM p
+                    WHERE p.user_id = c.user_id AND p.event_type = c.event_type
+                      AND p.ts <= c.query_ts
+                      AND epoch(c.query_ts) - epoch(p.ts) <= {3*DAY}) AS matched_ts
+           FROM c)
+SELECT m.event_id, m.user_id, m.event_type, m.query_ts, m.matched_ts,
+       round(p.value, 6) AS prev_value
+FROM m LEFT JOIN p
+  ON p.user_id = m.user_id AND p.event_type = m.event_type AND p.ts = m.matched_ts
+"""
+
+
 def q_nan_validity(spark, sf_dir):
     """P6 NaN validity filter (ActiveLearning.java:218-245): NaNs are
     injected deterministically (vec_id % 7 == 0 poisons element 0), then
@@ -1250,6 +1315,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ann_lsh_topk": (q_ann_lsh_topk, _ann_lsh_sql()),
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, _neardup_lsh_sql()),
     "nan_validity_filter": (q_nan_validity, SQL_NAN_VALIDITY),
+    "most_ambiguous_pick": (q_most_ambiguous, _most_ambiguous_sql()),
+    "asof_backward_multikey_3d": (q_asof_multikey, SQL_ASOF_MULTIKEY),
     "largest_component_grid": (q_largest_component, None),
     # non-SQL-expressible (rows-only):
     "flagship_feature_table_synth": (q_flagship_synth, None),

@@ -137,6 +137,10 @@ def main() -> None:
         import __spark_entry__ as entry_mod
 
         qs = entry_mod.queries()
+        # one untimed pass of the first query warms JVM JIT + parquet footer
+        # caches so per-query numbers measure steady-state execution, not
+        # first-query compilation (the first query otherwise pays ~5s JIT)
+        _force(qs[HEADLINE[0]](spark, sf_dir))
         for name in HEADLINE:
             t0 = time.time()
             _force(qs[name](spark, sf_dir))
