@@ -724,6 +724,21 @@ FROM documents
 """
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Frame sampling (1:N mapInPandas): each binary payload yields
+    min(max(bytes//32, 1), 4) frame rows."""
+    docs = _ld(spark, sf_dir, "documents")
+    return MM.frame_sample_batch(MM.as_binary_payload(docs)).select("doc_id", "frame_idx")
+
+
+SQL_MULTIMODAL_FRAMES = """
+SELECT doc_id, CAST(unnest(generate_series(1, n)) - 1 AS INT) AS frame_idx
+FROM (SELECT doc_id,
+             CAST(least(greatest(strlen(text) // 32, 1), 4) AS BIGINT) AS n
+      FROM documents)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Non-SQL-expressible (rows-only checks): flagship synthetic pipeline
 # ---------------------------------------------------------------------------
@@ -1300,6 +1315,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "embedding_cosine_topk": (q_embedding_topk, SQL_EMB_TOPK),
     "embedding_neardup_pairs": (q_embedding_neardup, SQL_EMB_NEARDUP),
     "multimodal_decode_meta": (q_multimodal_meta, SQL_MULTIMODAL),
+    "multimodal_frame_sample": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     "window_bfill": (q_bfill, SQL_BFILL),
     "nsphere_decomposition": (q_nsphere, SQL_NSPHERE),
     "embedding_centroid": (q_embedding_centroid, SQL_EMB_CENTROID),

@@ -71,3 +71,105 @@ def decode_batch(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("n_bytes", T.IntegerType(), False),
+                    T.StructField("mime", T.StringType(), False),
+                ]
+            ),
+            False,
+        ),
+    ]
+)
+
+
+def resize_batch(df: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """'Resize' transform: binary in → binary out, 1:1, metadata updated.
+    The stub truncates/pads deterministically; a real image resize (PIL)
+    replaces ONLY the inner function — the mapInPandas signature, schema
+    and batch shape are what production uses."""
+
+    def fake_resize(p: bytes) -> bytes:
+        # real codec: raise NotImplementedError for unsupported mime types
+        return bytes(p[:target_bytes]).ljust(target_bytes, b"\0")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out_payload = [fake_resize(p) for p in b["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"].astype("int64"),
+                    "payload": out_payload,
+                    "meta": [
+                        {"n_bytes": len(p), "mime": "fake/resized"} for p in out_payload
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def extract_features_batch(df: DataFrame, dim: int = 8) -> DataFrame:
+    """Feature extraction: binary in → fixed-dim float vector out, numpy-
+    vectorized inside the batch (a real embedding model replaces the inner
+    transform; the Arrow batch shape is the production one)."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("features", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            feats = []
+            for p in b["payload"]:
+                a = np.frombuffer(bytes(p), dtype=np.uint8)
+                # deterministic fake embedding: strided byte means
+                pad = (-len(a)) % dim
+                a = np.pad(a, (0, pad)) if pad else a
+                feats.append(
+                    (a.reshape(dim, -1).mean(axis=1) / 255.0).tolist()
+                    if a.size
+                    else [0.0] * dim
+                )
+            yield pd.DataFrame({"doc_id": b["doc_id"].astype("int64"), "features": feats})
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def frame_sample_batch(df: DataFrame, frame_bytes: int = 32, max_frames: int = 4) -> DataFrame:
+    """Frame sampling: one input 'video' row → up to ``max_frames`` frame
+    rows (1:N batch shape — the UDTF-like case).  Frames are byte slices in
+    the stub; ffmpeg keyframe extraction would replace the slicer only."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame", T.BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, idxs, frames = [], [], []
+            for did, p in zip(b["doc_id"], b["payload"]):
+                p = bytes(p)
+                n = min(max(len(p) // frame_bytes, 1), max_frames)
+                for i in range(n):
+                    ids.append(int(did))
+                    idxs.append(i)
+                    frames.append(p[i * frame_bytes:(i + 1) * frame_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(run, schema=schema)
