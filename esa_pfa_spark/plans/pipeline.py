@@ -103,12 +103,11 @@ def feature_table_fused(
 ) -> DataFrame:
     """Single-shuffle fusion of the whole pipeline (the 100 TB plan).
 
-    The modular ``feature_table`` shuffles the observation stream up to
-    three times (enrichment exchange, window ENSURE_REQUIREMENTS, as-of
-    union exchange) because an AQE-coalescible repartition cannot be
-    statically reused.  This variant unions probes with RAW observations
-    first, exchanges ONCE on entity_id, and computes everything over the
-    single sorted stream:
+    The modular ``feature_table`` exchanges the observation stream twice
+    (the enrichment windows' ENSURE_REQUIREMENTS, then the as-of union's —
+    the union invalidates the enriched side's partitioning).  This variant
+    unions probes with RAW observations first, exchanges ONCE on
+    entity_id, and computes everything over the single sorted stream:
 
       * token stats: Arrow UDF post-exchange (full shuffle-width
         parallelism; probe rows carry null tokens and cost nothing);

@@ -10,3 +10,4 @@ from esa_pfa_spark.streaming.sessions import (  # noqa: F401
     session_window_agg,
     stream_session_counts,
 )
+from esa_pfa_spark.streaming.stateful import stream_ffill  # noqa: F401

@@ -133,3 +133,17 @@ def test_flagship_scan_prunes_for_count(spark):
     plan = plan_of(ev.groupBy("event_type").count())
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and "props" not in m.group(1), "count-by-type must prune the wide props column"
+
+
+def test_modular_pipeline_two_exchanges(spark):
+    """The composable (non-fused) pipeline costs exactly 2 exchanges: the
+    enrichment windows' and the as-of union's (the union invalidates the
+    enriched side's partitioning).  Regression guard for the gap the fused
+    plan closes."""
+    from esa_pfa_spark import synth
+    from esa_pfa_spark.plans.pipeline import feature_table
+
+    obs = synth.observations_df(spark, seed=2, n_entities=10, mean_obs=5, mean_tok=8)
+    probes = synth.queries_df(spark, seed=2, n_entities=10, mean_obs=5)
+    plan = plan_of(feature_table(obs, probes))
+    assert n_exchanges(plan) == 2, plan

@@ -1,0 +1,105 @@
+"""Custom stateful streaming operator (applyInPandasWithState): streaming
+forward-fill must (a) run end-to-end over a real stream with state carried
+ACROSS micro-batches, and (b) agree with the batch ffill semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from esa_pfa_spark.streaming.stateful import stream_ffill
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _write(spark, path, rows):
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "v"])
+    spark.createDataFrame(pdf, schema="k string, ts timestamp, v double").write.mode(
+        "append"
+    ).parquet(str(path))
+
+
+def _run_stream(spark, src, name, tolerance=None):
+    stream = spark.readStream.schema("k string, ts timestamp, v double").parquet(str(src))
+    out = stream_ffill(stream, key="k", ts="ts", value="v", tolerance=tolerance)
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}").toPandas()
+
+
+def test_stream_ffill_carries_last_value(spark, tmp_path):
+    src = tmp_path / "in"
+    _write(spark, src, [
+        ("a", T0, 1.0),
+        ("a", T0 + dt.timedelta(minutes=5), None),   # probe: carries 1.0
+        ("a", T0 + dt.timedelta(minutes=10), 3.0),
+        ("b", T0, None),                              # probe before any obs
+    ])
+    res = _run_stream(spark, src, "ffill_t1").sort_values(["key", "ts"]).reset_index(drop=True)
+    a = res[res.key == "a"]
+    assert list(a["last_value"]) == [1.0, 1.0, 3.0]
+    b = res[res.key == "b"]
+    assert pd.isna(b["last_value"].iloc[0])
+
+
+def test_stream_ffill_state_survives_microbatches(spark, tmp_path):
+    """Two files processed as separate micro-batches (maxFilesPerTrigger=1):
+    batch 2's probe must see batch 1's observation from the state store."""
+    src = tmp_path / "in2"
+    _write(spark, src, [("a", T0, 7.0)])
+    _write(spark, src, [("a", T0 + dt.timedelta(minutes=1), None)])
+    stream = (
+        spark.readStream.schema("k string, ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    out = stream_ffill(stream, key="k", ts="ts", value="v")
+    q = (
+        out.writeStream.format("memory").queryName("ffill_t2")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    res = spark.sql("select * from ffill_t2").toPandas().sort_values("ts")
+    assert len(res) == 2
+    assert list(res["last_value"]) == [7.0, 7.0], (
+        "state must carry the observation across micro-batch boundaries"
+    )
+    assert res["last_ts"].iloc[1] == T0
+
+
+def test_stream_ffill_tolerance(spark, tmp_path):
+    src = tmp_path / "in3"
+    _write(spark, src, [
+        ("a", T0, 5.0),
+        ("a", T0 + dt.timedelta(minutes=30), None),  # within 1h tolerance
+        ("a", T0 + dt.timedelta(hours=3), None),     # beyond tolerance -> null
+    ])
+    res = _run_stream(spark, src, "ffill_t3", tolerance=dt.timedelta(hours=1))
+    res = res.sort_values("ts").reset_index(drop=True)
+    assert res["last_value"].iloc[1] == 5.0
+    assert pd.isna(res["last_value"].iloc[2])
+
+
+def test_stream_ffill_matches_batch_ffill(spark, tmp_path):
+    """Streaming (availableNow over one file) == batch windows.ffill."""
+    from esa_pfa_spark.operators.windows import ffill
+
+    rows = []
+    for k in ("a", "b"):
+        for m in range(8):
+            rows.append((k, T0 + dt.timedelta(minutes=3 * m), float(m) if m % 3 == 0 else None))
+    src = tmp_path / "in4"
+    _write(spark, src, rows)
+    got = _run_stream(spark, src, "ffill_t4")[["key", "ts", "last_value"]].rename(columns={"key": "k"})
+
+    batch_df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "ts", "v"]), schema="k string, ts timestamp, v double"
+    )
+    want = ffill(batch_df, ["v"], key="k", ts="ts").toPandas().rename(columns={"v": "last_value"})
+    g = got.sort_values(["k", "ts"]).reset_index(drop=True)
+    w = want[["k", "ts", "last_value"]].sort_values(["k", "ts"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w)
