@@ -1242,6 +1242,93 @@ FROM m LEFT JOIN p
 """
 
 
+def _ivf_centroids():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    return rng.standard_normal((8, 64)).astype(np.float64)
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: vectors are assigned to the nearest of 8 seeded
+    centroids (argmax dot, ties to lowest index); the probe searches only
+    its own cluster, exact cosine re-rank inside."""
+    from esa_pfa_spark.operators.similarity import ivf_assign, cosine
+
+    emb = _ld(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids()
+    assigned = ivf_assign(emb.filter(F.col("vec_id") != 0), cents)
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    passigned = ivf_assign(probe, cents, vec_col="q", id_col=None).select(
+        F.col("ivf_cluster").alias("__pc"), "q"
+    )
+    cand = assigned.crossJoin(F.broadcast(passigned)).filter(
+        F.col("ivf_cluster") == F.col("__pc")
+    )
+    scored = cand.select("vec_id", cosine(F.col("embedding"), F.col("q")).alias("cos"))
+    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("vec_id", "rank")
+    )
+
+
+def _ivf_sql() -> str:
+    cents = _ivf_centroids()
+
+    def dots(vec):
+        return ", ".join(
+            f"list_dot_product({vec}::DOUBLE[], [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+            for c in cents
+        )
+
+    # argmax with ties to lowest index: list_position finds the FIRST match
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+a AS (SELECT vec_id, embedding,
+             CAST(list_position(d, list_max(d)) AS INT) AS cl
+      FROM (SELECT vec_id, embedding, [{dots("embedding")}] AS d
+            FROM embeddings WHERE vec_id != 0)),
+p AS (SELECT qv, CAST(list_position(d, list_max(d)) AS INT) AS cl
+      FROM (SELECT qv, [{dots("qv")}] AS d FROM q)),
+s AS (SELECT a.vec_id,
+             list_dot_product(a.embedding::DOUBLE[], p.qv::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(p.qv::DOUBLE[], p.qv::DOUBLE[]))) AS cos
+      FROM a JOIN p ON a.cl = p.cl)
+SELECT vec_id, CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank
+FROM s QUALIFY rank <= 10
+"""
+
+
+def q_flag_predicate(spark, sf_dir):
+    """§2.8 flag/bit predicates (l1_flags.INVALID analog): synthesize an
+    8-bit flag word from event_id, count rows matching bitmask tests."""
+    from esa_pfa_spark.functions.expr import flag_set
+
+    ev = _ld(spark, sf_dir, "events")
+    flags = (F.col("event_id") % 256).cast("int")
+    tagged = ev.select(
+        "event_type",
+        flag_set(flags, 0).alias("f_invalid"),                       # mask 0x01
+        (flag_set(flags, 1) | flag_set(flags, 4)).alias("f_bright_or_land"),  # mask 0x12
+    )
+    return tagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("f_invalid").cast("int")).alias("n_invalid"),
+        F.sum(F.col("f_bright_or_land").cast("int")).alias("n_bright_or_land"),
+    )
+
+
+SQL_FLAG_PREDICATE = """
+SELECT event_type, count(*) AS n,
+       sum(CASE WHEN (CAST(event_id % 256 AS INT) & 1) != 0 THEN 1 ELSE 0 END) AS n_invalid,
+       sum(CASE WHEN (CAST(event_id % 256 AS INT) & 18) != 0 THEN 1 ELSE 0 END) AS n_bright_or_land
+FROM events GROUP BY event_type
+"""
+
+
 def q_nan_validity(spark, sf_dir):
     """P6 NaN validity filter (ActiveLearning.java:218-245): NaNs are
     injected deterministically (vec_id % 7 == 0 poisons element 0), then
@@ -1333,6 +1420,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "nan_validity_filter": (q_nan_validity, SQL_NAN_VALIDITY),
     "most_ambiguous_pick": (q_most_ambiguous, _most_ambiguous_sql()),
     "asof_backward_multikey_3d": (q_asof_multikey, SQL_ASOF_MULTIKEY),
+    "ann_ivf_topk": (q_ann_ivf_topk, _ivf_sql()),
+    "flag_predicate_counts": (q_flag_predicate, SQL_FLAG_PREDICATE),
     "largest_component_grid": (q_largest_component, None),
     # non-SQL-expressible (rows-only):
     "flagship_feature_table_synth": (q_flagship_synth, None),

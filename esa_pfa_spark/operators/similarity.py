@@ -141,3 +141,26 @@ def ann_topk_lsh(
     scored = cand.select("vec_id", cosine(F.col("embedding"), F.col("q")).alias("cos"))
     w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).select("vec_id", "rank")
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    id_col: str | None = "vec_id",  # kept for call-site symmetry; unused
+) -> DataFrame:
+    """IVF coarse quantizer: append ``ivf_cluster`` = nearest centroid by
+    inner product (argmax dot; ties -> lowest index; 1-based to match the
+    SQL oracle's list_position).  Centroids ride to executors as literals
+    inside one vectorized pandas_udf (numpy matmul per Arrow batch) — at
+    scale this is the cell assignment that turns ANN into an equi-join on
+    (cluster), pruning the scan to ~1/n_cells of the table."""
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(v: pd.Series) -> pd.Series:
+        m = np.vstack([np.asarray(x, dtype=np.float64) for x in v])
+        d = m @ cents.T
+        return pd.Series((d.argmax(axis=1) + 1).astype(np.int32))
+
+    return df.withColumn("ivf_cluster", assign(F.col(vec_col)))
