@@ -45,6 +45,10 @@ HEADLINE = [
     "simhash16",
     "embedding_cosine_topk",
     "multimodal_decode_meta",
+    "rolling_time_range_1h",
+    "ann_lsh_topk",
+    "salted_agg_by_user",
+    "asof_backward_multikey_3d",
 ]
 
 # flagship synthetic scale (distributed generation, written once to parquet)
