@@ -60,15 +60,19 @@ def cmd_run(args) -> None:
     obs = spark.read.parquet(args.tokens)
     probes = spark.read.parquet(args.probes)
     if args.resume:
-        run = ManifestedRun(args.out, key="entity_id", n_partitions=args.partitions)
-        probes_by_part = probes  # probes carry the same entity key
+        from esa_pfa_spark.manifest import partition_id_col
 
-        def transform(obs_slice):
-            # each manifest partition is a disjoint entity-key range; the
-            # probe side is filtered to the same range inside the manifest
-            from esa_pfa_spark.manifest import PART_COL, partition_id_col
-            return feature_table_fused(obs_slice, probes_by_part.join(
-                obs_slice.select("entity_id").distinct(), "entity_id", "left_semi"))
+        run = ManifestedRun(args.out, key="entity_id", n_partitions=args.partitions)
+
+        def transform(obs_slice, pid):
+            # probes are co-partitioned by the SAME deterministic key hash
+            # as observations — a semi-join against the slice's keys would
+            # drop probes of entities that have no observations (those must
+            # still emit null-match rows, exactly like the straight run)
+            pr = probes.filter(
+                partition_id_col("entity_id", args.partitions) == pid
+            )
+            return feature_table_fused(obs_slice, pr)
 
         n = run.run(obs, transform)
         print(f"processed {n} partitions -> {args.out} (manifest: {run.manifest_path})")

@@ -101,7 +101,16 @@ class ManifestedRun:
             t0 = time.time()
             sub = tagged.filter(F.col(PART_COL) == pid).drop(PART_COL)
             rows_in = sub.count()
-            out = transform(sub)
+            # a transform taking (df, pid) gets the partition id so it can
+            # co-partition SECONDARY inputs (e.g. probes) by the same key
+            # hash — filtering them against the slice's keys instead would
+            # silently drop rows of keys absent from this slice
+            import inspect
+
+            if len(inspect.signature(transform).parameters) >= 2:
+                out = transform(sub, pid)
+            else:
+                out = transform(sub)
             part_path = str(self.out_dir / f"part={pid}")
             out.write.mode("overwrite").parquet(part_path)
             committed = out.sparkSession.read.parquet(part_path)
