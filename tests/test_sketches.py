@@ -1,0 +1,80 @@
+"""Approximate (sketch) scale paths and their accuracy contracts.
+
+At 100 TB the exact forms of some aggregations are the wrong default:
+exact percentiles need a full sort/collect of each group, exact distinct
+counts need a full shuffle of the key set.  Spark's built-in sketches
+(HLL++ approx_count_distinct, GK percentile_approx) replace them at a
+bounded, configurable error.  These tests pin the engine's accuracy
+contract for both against the exact answers on the driver testdata —
+the same swap-in points the reference tuned with Lucene precisionStep
+(SURVEY.md §4: 'Parquet/Iceberg min-max + sketch skipping')."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_hll_distinct_within_2pct(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    exact = ev.select(F.countDistinct("user_id")).collect()[0][0]
+    approx = ev.select(F.approx_count_distinct("user_id", rsd=0.02)).collect()[0][0]
+    assert abs(approx - exact) <= max(0.05 * exact, 2), (exact, approx)
+
+
+def test_hll_distinct_mergeable_across_groups(spark):
+    """The sketch must be algebraic: per-group counts at rsd=0.02 within
+    5% of exact per group (map-side partials merge correctly)."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    approx = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n"))
+        .collect()
+    }
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) <= max(0.05 * ex, 2), (k, ex, approx[k])
+
+
+def test_percentile_approx_within_band(spark):
+    """GK-sketch percentiles with accuracy=10000 vs exact F.percentile:
+    within 1% of the value range on the events table."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    row = ev.select(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("exact_p50"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        F.percentile(F.col("value"), F.lit(0.9)).alias("exact_p90"),
+        F.percentile_approx("value", 0.9, 10000).alias("approx_p90"),
+        (F.max("value") - F.min("value")).alias("rng"),
+    ).collect()[0]
+    assert abs(row.approx_p50 - row.exact_p50) <= 0.01 * row.rng
+    assert abs(row.approx_p90 - row.exact_p90) <= 0.01 * row.rng
+
+
+def test_stx_approx_variant_close_to_exact(spark):
+    """The STX vector with approx percentiles (the 100 TB grouped form)
+    stays within 1% of the exact-percentile STX on every group."""
+    from esa_pfa_spark.operators.features import stx_aggregate
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    exact = {r["event_type"]: r for r in stx_aggregate(ev, ["event_type"], "value").collect()}
+    approx = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.1, 10000).alias("p10"),
+            F.percentile_approx("value", 0.5, 10000).alias("p50"),
+            F.percentile_approx("value", 0.9, 10000).alias("p90"),
+        )
+        .collect()
+    }
+    for k, ex in exact.items():
+        rng = ex["max"] - ex["min"]
+        for p in ("p10", "p50", "p90"):
+            assert abs(approx[k][p] - ex[p]) <= 0.01 * rng, (k, p)
