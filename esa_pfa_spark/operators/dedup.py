@@ -59,6 +59,16 @@ def ngram_jaccard_pairs(
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
         sh = sh.join(freq.filter(F.col("__df") <= max_shingle_freq), "shingle").drop("__df")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
+    # singleton shingles (document frequency 1) cannot contribute to any
+    # intersection — drop them BEFORE the self-join (sizes above already
+    # captured them for the union term, so the result is identical).  On
+    # web-scale corpora most shingles are singletons, so this prunes the
+    # join's dominant cost; the join itself stays hash-partitioned by
+    # shingle.
+    shared = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df")).filter(
+        F.col("__df") >= 2
+    )
+    sh = sh.join(shared.select("shingle"), "shingle")
     a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
     inter = (

@@ -239,3 +239,43 @@ def interval_pairs(
         .drop("__k2")
         .select(key, "ts1", "ts2", f"{id_col}1", f"{id_col}2")
     )
+
+
+def interval_pairs_bucketed(
+    observations: DataFrame,
+    key: str = "entity_id",
+    ts: str = "ts",
+    id_col: str = "doc_id",
+    min_tol=_dt.timedelta(days=1),
+    max_tol=_dt.timedelta(days=7),
+) -> DataFrame:
+    """``interval_pairs`` with time-bucketed join keys — the band-join
+    scale path.  Joining only on ``key`` makes a hot key's task O(n_k²);
+    bucketing both sides by ``floor(epoch/max_tol)`` and exploding the
+    RIGHT side into (bucket, bucket-1) turns the band join into an
+    equi-join on (key, bucket): any in-band pair spans at most one bucket
+    boundary, each pair meets on exactly one tag (the two tags differ),
+    and per-task work drops to O(rows-per-bucket²).  Output is identical
+    to ``interval_pairs`` (tested)."""
+    min_s, max_s = _seconds(min_tol), _seconds(max_tol)
+    w = max(int(max_s), 1)
+    l = observations.select(
+        F.col(key), F.col(ts).alias("ts1"), F.col(id_col).alias(f"{id_col}1"),
+        F.floor(epoch_s(F.col(ts)) / w).alias("__bk1"),
+    )
+    b2 = F.floor(epoch_s(F.col(ts)) / w)
+    r = observations.select(
+        F.col(key).alias("__k2"), F.col(ts).alias("ts2"), F.col(id_col).alias(f"{id_col}2"),
+        F.explode(F.array(b2, b2 - 1)).alias("__bk2"),
+    )
+    dt = ts_diff_us("ts2", "ts1")
+    return (
+        l.join(
+            r,
+            (F.col(key) == F.col("__k2"))
+            & (F.col("__bk1") == F.col("__bk2"))
+            & (dt >= int(min_s * 1e6))
+            & (dt <= int(max_s * 1e6)),
+        )
+        .select(key, "ts1", "ts2", f"{id_col}1", f"{id_col}2")
+    )

@@ -125,3 +125,26 @@ def test_interval_pairs_superset(spark):
     iv_keys = set(zip(iv["doc_id1"], iv["doc_id2"]))
     assert tp_keys <= iv_keys
     assert {("d0", "d2"), ("d3", "d4")} <= iv_keys
+
+
+def test_interval_pairs_bucketed_identical(spark):
+    """The time-bucketed band join must emit exactly the plain band join's
+    pair set (no duplicates from the right-side explode, no boundary loss)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from esa_pfa_spark.operators.pairing import interval_pairs, interval_pairs_bucketed
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        F.col("user_id").alias("entity_id"), "ts", F.col("event_id").alias("doc_id")
+    )
+    kw = dict(key="entity_id", ts="ts", id_col="doc_id",
+              min_tol=dt.timedelta(hours=1), max_tol=dt.timedelta(hours=24))
+    plain = interval_pairs(ev, **kw).toPandas()
+    bucketed = interval_pairs_bucketed(ev, **kw).toPandas()
+    key = ["entity_id", "doc_id1", "doc_id2"]
+    a = plain.sort_values(key, kind="mergesort").reset_index(drop=True)
+    b = bucketed.sort_values(key, kind="mergesort").reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
