@@ -191,6 +191,13 @@ def token_stats_arrow(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     fast path (the pandas_udf ``token_stats`` spends most of its time
     converting list<int32> to object arrays of numpy arrays).
 
+    Measured design note: a pure-JVM expression variant (``F.aggregate``
+    sums + ``F.array_sort`` + ``element_at`` interpolation — zero Python)
+    was prototyped and is ~15x SLOWER (34.4s vs 2.25s on the 2.5M-row
+    bench input at local[32]): Catalyst's higher-order array functions
+    evaluate their lambda per element interpreted, outside whole-stage
+    codegen, while this path is one Arrow hop + vectorized numpy.
+
     Appends the 10 stat columns after all existing columns; null/empty
     token rows get null stats and count 0."""
     import pyarrow as pa
