@@ -510,6 +510,60 @@ GROUP BY r_name, n_name
 """
 
 
+def q_custdist_outer(spark, sf_dir):
+    """Left-outer join surface (TPC-H Q13 shape): distribution of customers
+    by order count, zero-order customers included."""
+    cu = _ld(spark, sf_dir, "customer")
+    o = _ld(spark, sf_dir, "orders")
+    per_cust = (
+        cu.join(o, cu.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+SQL_CUSTDIST = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
+def q_semi_anti(spark, sf_dir):
+    """Semi/anti-join surface: per nation, customers with vs without any
+    order (left_semi / left_anti — no right columns materialized)."""
+    cu = _ld(spark, sf_dir, "customer")
+    o = _ld(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    with_orders = cu.join(o, "c_custkey", "left_semi").groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    without = cu.join(o, "c_custkey", "left_anti").groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_inactive")
+    )
+    return with_orders.join(without, "c_nationkey", "full_outer").select(
+        "c_nationkey",
+        F.coalesce("n_active", F.lit(0)).alias("n_active"),
+        F.coalesce("n_inactive", F.lit(0)).alias("n_inactive"),
+    )
+
+
+SQL_SEMI_ANTI = """
+WITH a AS (SELECT c_nationkey, count(*) AS n_active FROM customer
+           WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           GROUP BY c_nationkey),
+     b AS (SELECT c_nationkey, count(*) AS n_inactive FROM customer
+           WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           GROUP BY c_nationkey)
+SELECT coalesce(a.c_nationkey, b.c_nationkey) AS c_nationkey,
+       coalesce(n_active, 0) AS n_active,
+       coalesce(n_inactive, 0) AS n_inactive
+FROM a FULL OUTER JOIN b ON a.c_nationkey = b.c_nationkey
+"""
+
+
 def q_masked_counts(spark, sf_dir):
     """A3/A4: conditional counts + capped ratio."""
     li = _ld(spark, sf_dir, "lineitem")
@@ -1394,6 +1448,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "tpch_q5_nation_revenue": (q_tpch_q5ish, SQL_TPCH_Q5),
     "broadcast_region_counts": (q_region_counts, SQL_REGION_COUNTS),
     "masked_counts": (q_masked_counts, SQL_MASKED_COUNTS),
+    "custdist_outer_join": (q_custdist_outer, SQL_CUSTDIST),
+    "semi_anti_join_counts": (q_semi_anti, SQL_SEMI_ANTI),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
