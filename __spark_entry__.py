@@ -374,7 +374,7 @@ def q_json_extract(spark, sf_dir):
 
 SQL_JSON = """
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
        round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
 FROM events GROUP BY event_type
 """
@@ -580,7 +580,7 @@ def q_masked_counts(spark, sf_dir):
 
 SQL_MASKED_COUNTS = """
 SELECT l_returnflag, count(*) AS n_total,
-       sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_disc_gt5,
+       CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc_gt5,
        round(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)*1.0/count(*), 6) AS disc_ratio,
        round(least(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)*1.0/count(*)*2, 1.0), 6) AS capped_ratio
 FROM lineitem GROUP BY l_returnflag
@@ -656,15 +656,22 @@ FROM documents
 
 
 def q_ngram_jaccard(spark, sf_dir):
+    """Stop-shingle cap ON (dedup.MAX_SHINGLE_FREQ=1000, mirrored in the
+    oracle): shingles with doc-frequency > 1000 are excluded from both
+    intersections and sizes — bounds the shingle-bucket self-join's
+    per-bucket fan-out at web scale (see ngram_jaccard_pairs docstring)."""
     return DD.ngram_jaccard_pairs(_ld(spark, sf_dir, "documents"), threshold=0.2)
 
 
-SQL_NGRAM_JACCARD = """
+SQL_NGRAM_JACCARD = f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-sh AS (SELECT doc_id, unnest(list_distinct(
+sh0 AS (SELECT doc_id, unnest(list_distinct(
          list_transform(generate_series(1, len(ws)-2),
                         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
        FROM w WHERE len(ws) >= 3),
+capped AS (SELECT shingle FROM sh0 GROUP BY shingle
+           HAVING count(*) <= {DD.MAX_SHINGLE_FREQ}),
+sh AS (SELECT doc_id, sh0.shingle FROM sh0 JOIN capped ON sh0.shingle = capped.shingle),
 sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY 1),
 inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -957,10 +964,10 @@ o(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)),
 pairs AS (
   SELECT a.flag AS f, b.flag AS nf
   FROM g a CROSS JOIN o JOIN g b ON b.x = a.x + o.dx AND b.y = a.y + o.dy)
-SELECT sum(CASE WHEN NOT f AND NOT nf THEN 1 ELSE 0 END) AS n00,
-       sum(CASE WHEN NOT f AND nf THEN 1 ELSE 0 END) AS n01,
-       sum(CASE WHEN f AND NOT nf THEN 1 ELSE 0 END) AS n10,
-       sum(CASE WHEN f AND nf THEN 1 ELSE 0 END) AS n11
+SELECT CAST(sum(CASE WHEN NOT f AND NOT nf THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+       CAST(sum(CASE WHEN NOT f AND nf THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+       CAST(sum(CASE WHEN f AND NOT nf THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+       CAST(sum(CASE WHEN f AND nf THEN 1 ELSE 0 END) AS BIGINT) AS n11
 FROM pairs
 """
 
@@ -989,8 +996,8 @@ cls AS (
   SELECT occ.x, occ.y, coalesce(nset.c, 0) = 4 AS is_inside
   FROM occ LEFT JOIN nset ON occ.x = nset.x AND occ.y = nset.y)
 SELECT count(*) AS occupied,
-       sum(CASE WHEN is_inside THEN 1 ELSE 0 END) AS inside,
-       count(*) - sum(CASE WHEN is_inside THEN 1 ELSE 0 END) AS border,
+       CAST(sum(CASE WHEN is_inside THEN 1 ELSE 0 END) AS BIGINT) AS inside,
+       CAST(count(*) - sum(CASE WHEN is_inside THEN 1 ELSE 0 END) AS BIGINT) AS border,
        round(2.0 - sum(CASE WHEN is_inside THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS fractal_index
 FROM cls
 """
@@ -1311,7 +1318,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     """IVF-style ANN: vectors are assigned to the nearest of 8 seeded
     centroids (argmax dot, ties to lowest index); the probe searches only
     its own cluster, exact cosine re-rank inside."""
-    from esa_pfa_spark.operators.similarity import ivf_assign, cosine
+    from esa_pfa_spark.operators.similarity import ivf_assign, cosine, _rank_topk
 
     emb = _ld(spark, sf_dir, "embeddings")
     cents = _ivf_centroids()
@@ -1324,12 +1331,7 @@ def q_ann_ivf_topk(spark, sf_dir):
         F.col("ivf_cluster") == F.col("__pc")
     )
     scored = cand.select("vec_id", cosine(F.col("embedding"), F.col("q")).alias("cos"))
-    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("vec_id", "rank")
-    )
+    return _rank_topk(scored, 10, "vec_id")
 
 
 def _ivf_sql() -> str:
@@ -1381,8 +1383,8 @@ def q_flag_predicate(spark, sf_dir):
 
 SQL_FLAG_PREDICATE = """
 SELECT event_type, count(*) AS n,
-       sum(CASE WHEN (CAST(event_id % 256 AS INT) & 1) != 0 THEN 1 ELSE 0 END) AS n_invalid,
-       sum(CASE WHEN (CAST(event_id % 256 AS INT) & 18) != 0 THEN 1 ELSE 0 END) AS n_bright_or_land
+       CAST(sum(CASE WHEN (CAST(event_id % 256 AS INT) & 1) != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+       CAST(sum(CASE WHEN (CAST(event_id % 256 AS INT) & 18) != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bright_or_land
 FROM events GROUP BY event_type
 """
 
@@ -1411,6 +1413,136 @@ def q_nan_validity(spark, sf_dir):
 
 SQL_NAN_VALIDITY = """
 SELECT vec_id FROM embeddings WHERE vec_id % 7 != 0
+"""
+
+
+def q_transect_runs(spark, sf_dir):
+    """A6 transect half (ConnectivityMetrics.java:127-164): mean/σ of the
+    per-transect max run length of set cells, over a deterministic transect
+    sample (rows y≡2 mod 5, columns x≡3 mod 5) of the events-derived grid."""
+    from esa_pfa_spark.operators.spatial import transect_run_stats
+
+    m = transect_run_stats(_events_grid(spark, sf_dir), step=5, row_off=2, col_off=3)
+    return m.select(
+        "n_transects",
+        _r6(F.col("mean_max_run")).alias("mean_max_run"),
+        _r6(F.col("std_max_run")).alias("std_max_run"),
+    )
+
+
+SQL_TRANSECT_RUNS = f"""
+WITH {_GRID_CTE},
+t AS (
+  SELECT 'r' || y AS tid, x AS pos, flag FROM g WHERE y % 5 = 2
+  UNION ALL
+  SELECT 'c' || x AS tid, y AS pos, flag FROM g WHERE x % 5 = 3),
+s AS (SELECT tid, pos, pos - row_number() OVER (PARTITION BY tid ORDER BY pos) AS grp
+      FROM t WHERE flag),
+runs AS (SELECT tid, grp, count(*) AS run_len FROM s GROUP BY 1, 2),
+mr AS (SELECT tid, max(run_len) AS max_run FROM runs GROUP BY 1),
+allt AS (SELECT DISTINCT tid FROM t),
+per AS (SELECT allt.tid, coalesce(mr.max_run, 0) AS max_run
+        FROM allt LEFT JOIN mr ON allt.tid = mr.tid)
+SELECT CAST(count(*) AS INT) AS n_transects,
+       round(avg(max_run), 6) AS mean_max_run,
+       round(coalesce(stddev(max_run), 0), 6) AS std_max_run
+FROM per
+"""
+
+
+def q_contagion_clumpiness(spark, sf_dir):
+    """A5 contagion/clumpiness (AggregationMetrics.java:131-164) as a
+    single-row oracle query over the events-derived grid."""
+    from esa_pfa_spark.operators.spatial import contagion_clumpiness_df
+
+    m = contagion_clumpiness_df(_events_grid(spark, sf_dir))
+    return m.select(
+        "n00", "n01", "n10", "n11",
+        _r6(F.col("contagion")).alias("contagion"),
+        _r6(F.col("clumpiness")).alias("clumpiness"),
+    )
+
+
+SQL_CONTAGION_CLUMPINESS = f"""
+WITH {_GRID_CTE},
+o(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)),
+pairs AS (
+  SELECT a.flag AS f, b.flag AS nf
+  FROM g a CROSS JOIN o JOIN g b ON b.x = a.x + o.dx AND b.y = a.y + o.dy),
+n AS (
+  SELECT CAST(sum(CASE WHEN NOT f AND NOT nf THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+         CAST(sum(CASE WHEN NOT f AND nf THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         CAST(sum(CASE WHEN f AND NOT nf THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         CAST(sum(CASE WHEN f AND nf THEN 1 ELSE 0 END) AS BIGINT) AS n11
+  FROM pairs),
+c AS (SELECT CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_set,
+             count(*) AS n_all FROM g),
+m AS (
+  SELECT n00, n01, n10, n11,
+         n00 + n01 + n10 + n11 AS tot,
+         n_set * 1.0 / n_all AS p_cls,
+         CASE WHEN n11 + n10 > 0 THEN n11 * 1.0 / (n11 + n10) ELSE 0.0 END AS gl
+  FROM n, c)
+SELECT n00, n01, n10, n11,
+       round(CASE WHEN tot > 0 THEN 1.0 +
+             ((CASE WHEN n00 > 0 THEN (n00*1.0/tot) * ln(n00*1.0/tot) ELSE 0 END) +
+              (CASE WHEN n01 > 0 THEN (n01*1.0/tot) * ln(n01*1.0/tot) ELSE 0 END) +
+              (CASE WHEN n10 > 0 THEN (n10*1.0/tot) * ln(n10*1.0/tot) ELSE 0 END) +
+              (CASE WHEN n11 > 0 THEN (n11*1.0/tot) * ln(n11*1.0/tot) ELSE 0 END))
+             / (2.0 * ln(2.0)) ELSE 1.0 END, 6) AS contagion,
+       round(CASE WHEN p_cls = 0.0 OR p_cls = 1.0 THEN 0.0
+                  WHEN gl >= p_cls THEN (gl - p_cls) / (1.0 - p_cls)
+                  ELSE (gl - p_cls) / p_cls END, 6) AS clumpiness
+FROM m
+"""
+
+
+def q_diversity_pick(spark, sf_dir):
+    """§3.3 complete getMostAmbiguous: uncertainty ranking THEN deterministic
+    farthest-point diversity selection (ActiveLearning.java:116-149,501-532;
+    KernelKmeansClusterer.java:67-106).  5 picks from the 15 most ambiguous."""
+    import numpy as np
+
+    from esa_pfa_spark.operators.scoring import score_linear
+    from esa_pfa_spark.plans.query import diversity_pick
+
+    emb = _ld(spark, sf_dir, "embeddings")
+    scored = score_linear(emb, np.array(_SCORE_WEIGHTS), bias=0.1)
+    return diversity_pick(
+        scored, decision_col="decision", vec_col="embedding", k=15, n_pick=5
+    )
+
+
+def _diversity_pick_sql() -> str:
+    w = ", ".join(str(x) for x in _SCORE_WEIGHTS)
+    return f"""
+WITH RECURSIVE cand AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_dot_product(embedding::DOUBLE[], [{w}]::DOUBLE[]) + 0.1 AS decision
+  FROM embeddings ORDER BY abs(decision), vec_id LIMIT 15
+),
+pick(step, ids, vecs) AS (
+  SELECT * FROM (
+    SELECT 1 AS step, [vec_id] AS ids, [v] AS vecs
+    FROM cand ORDER BY abs(decision), vec_id LIMIT 1)
+  UNION ALL
+  SELECT p.step + 1,
+         list_append(p.ids, nx.vec_id),
+         list_append(p.vecs, nx.v)
+  FROM pick p, LATERAL (
+    SELECT c.vec_id, c.v
+    FROM cand c
+    WHERE NOT list_contains(p.ids, c.vec_id)
+    ORDER BY list_min(list_transform(p.vecs,
+        s -> list_dot_product(c.v, c.v) + list_dot_product(s, s)
+             - 2*list_dot_product(c.v, s))) DESC,
+      c.vec_id
+    LIMIT 1) nx
+  WHERE p.step < 5
+)
+SELECT CAST(unnest(ids) AS BIGINT) AS vec_id,
+       CAST(unnest(generate_series(1, len(ids))) AS INT) AS pick_order
+FROM pick WHERE step = 5
 """
 
 
@@ -1482,6 +1614,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "asof_backward_multikey_3d": (q_asof_multikey, SQL_ASOF_MULTIKEY),
     "ann_ivf_topk": (q_ann_ivf_topk, _ivf_sql()),
     "flag_predicate_counts": (q_flag_predicate, SQL_FLAG_PREDICATE),
+    "grid_transect_runs": (q_transect_runs, SQL_TRANSECT_RUNS),
+    "grid_contagion_clumpiness": (q_contagion_clumpiness, SQL_CONTAGION_CLUMPINESS),
+    "diversity_pick_farthest": (q_diversity_pick, _diversity_pick_sql()),
     "largest_component_grid": (q_largest_component, None),
     # non-SQL-expressible (rows-only):
     "flagship_feature_table_synth": (q_flagship_synth, None),

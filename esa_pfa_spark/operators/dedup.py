@@ -44,16 +44,30 @@ def shingles(df: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> DataF
     )
 
 
+MAX_SHINGLE_FREQ = 1000
+
+
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str = "text", threshold: float = 0.2, max_shingle_freq: int | None = None
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.2,
+    max_shingle_freq: int | None = MAX_SHINGLE_FREQ,
 ) -> DataFrame:
     """Near-duplicate pairs by k-shingle Jaccard >= threshold.
 
-    Plan shape: shingle table -> (optional stop-shingle cap) -> self
-    equi-join on shingle -> count intersections -> join per-doc sizes ->
-    ratio filter.  The equi-join is hash-partitioned by shingle; with the
-    frequency cap, per-bucket fan-out is bounded, so the plan scales
-    linearly in total shingle count."""
+    Plan shape: shingle table -> stop-shingle cap -> self equi-join on
+    shingle -> count intersections -> join per-doc sizes -> ratio filter.
+    The equi-join is hash-partitioned by shingle; the frequency cap bounds
+    per-bucket fan-out, so the plan scales linearly in total shingle count.
+
+    NOT a silent cap: shingles appearing in more than ``max_shingle_freq``
+    docs ("of the and"-style stop-shingles) are EXCLUDED from both the
+    intersection AND the per-doc sizes — the Jaccard is computed over the
+    capped shingle sets, a deliberate, documented semantic (the SQL oracle
+    applies the identical cap).  Without it a hot shingle's bucket emits
+    O(df^2) pairs — at web scale a single stop-shingle with df=10^8 would
+    attempt 10^16 pairs.  Pass ``max_shingle_freq=None`` to uncap (only
+    sane for small oracle runs)."""
     sh = shingles(df, text_col)
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))

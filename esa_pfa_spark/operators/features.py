@@ -119,7 +119,18 @@ def segmented_stats(flat: np.ndarray, lengths: np.ndarray) -> dict[str, np.ndarr
     # key (row_idx << 32 | token+2^31) — ~3x faster than the two-pass
     # lexsort the generic float path needs.
     rows = np.repeat(np.arange(len(nn)), nn)
-    if is_int and len(nn) < (1 << 31):
+    # The packed-key fast path stores (value + 2^31) in the low 32 bits:
+    # only valid when every value fits in int32.  token_stats_arrow forwards
+    # the NATIVE Arrow dtype, so a list<bigint>/uint32 column with
+    # |v| >= 2^31 would silently overflow into the row-index bits and
+    # corrupt the sort — gate on a <=4-byte SIGNED dtype (uint32 can hold
+    # 2^32-1, which also overflows after the +2^31 shift).
+    packable = (
+        is_int
+        and flat.dtype.itemsize <= 4
+        and np.issubdtype(flat.dtype, np.signedinteger)
+    )
+    if packable and len(nn) < (1 << 31):
         key = (rows.astype(np.int64) << 32) | (
             flat.astype(np.int64) + (1 << 31)
         )

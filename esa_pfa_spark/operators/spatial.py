@@ -12,6 +12,9 @@ scale the grid IS a table of cells, so neighbor access is a self-join on
 * ``connectivity_metrics`` — 4-neighbor occupied/border/inside counts and
   ``fractalIndex = 2 - inside/(inside + border)``
   (pfa-algalblooms/.../ConnectivityMetrics.java:44-126, A6);
+* ``transect_max_runs`` / ``transect_run_stats`` — the transect
+  max-run-length mean/σ half of A6
+  (pfa-algalblooms/.../ConnectivityMetrics.java:127-164);
 * ``connected_components`` — iterative min-label propagation over the
   4-neighbor graph (pfa-sar-fex/.../RegionGrower.java:46-144, A7);
   ``largest_component`` gives the reference's maxClusterSize.
@@ -26,7 +29,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 NEIGH8 = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
@@ -119,6 +122,104 @@ def connectivity_metrics(grid: DataFrame) -> DataFrame:
         "inside",
         (F.col("occupied") - F.col("inside")).alias("border"),
         (F.lit(2.0) - F.col("inside") / (F.col("inside") + (F.col("occupied") - F.col("inside")))).alias("fractal_index"),
+    )
+
+
+def transect_max_runs(
+    grid: DataFrame, step: int = 5, row_off: int = 2, col_off: int = 3
+) -> DataFrame:
+    """Per-transect maximum run length of set cells — the transect half of
+    A6 (ConnectivityMetrics.java:127-164: the reference draws seeded random
+    Bresenham lines across the raster and, per line, tracks the longest run
+    of set pixels via MyLinePixelVisitor).  Here the sampler is
+    seeded-DETERMINISTIC: every grid row ``y ≡ row_off (mod step)`` scanned
+    along x, every column ``x ≡ col_off (mod step)`` scanned along y — and
+    the per-transect max-run is the 1-D gaps-and-islands machinery (W3)
+    applied along the transect axis.  A missing cell breaks a run exactly
+    like an unset one (runs require CONSECUTIVE positions).
+
+    Returns (tid, max_run); transects whose cells are all unset (or
+    absent) appear with max_run = 0, matching the reference's inclusion of
+    empty transects in the mean/σ.
+
+    Scale shape: one filter + union (no shuffle), one window over
+    hashpartitioning(tid) — transects are many and independent, so the
+    partitioning is uniform by construction (the PatchCS grid analog)."""
+    rows_t = grid.filter(F.pmod(F.col("y"), F.lit(step)) == row_off).select(
+        F.concat(F.lit("r"), F.col("y").cast("string")).alias("tid"),
+        F.col("x").alias("pos"),
+        "flag",
+    )
+    cols_t = grid.filter(F.pmod(F.col("x"), F.lit(step)) == col_off).select(
+        F.concat(F.lit("c"), F.col("x").cast("string")).alias("tid"),
+        F.col("y").alias("pos"),
+        "flag",
+    )
+    t = rows_t.unionByName(cols_t)
+    w = Window.partitionBy("tid").orderBy("pos")
+    runs = (
+        t.filter(F.col("flag"))
+        .withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("tid", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    max_runs = runs.groupBy("tid").agg(F.max("run_len").alias("max_run"))
+    all_t = t.select("tid").distinct()
+    return all_t.join(max_runs, "tid", "left").select(
+        "tid", F.coalesce(F.col("max_run"), F.lit(0)).alias("max_run")
+    )
+
+
+def transect_run_stats(
+    grid: DataFrame, step: int = 5, row_off: int = 2, col_off: int = 3
+) -> DataFrame:
+    """mean/σ of per-transect max run length over the deterministic transect
+    sample — the aggregate the reference feeds into its feature vector
+    (ConnectivityMetrics.java:127-164).  σ is the sample standard deviation
+    (Spark/DuckDB ``stddev`` default); single-transect grids get σ = 0."""
+    per = transect_max_runs(grid, step, row_off, col_off)
+    return per.agg(
+        F.count(F.lit(1)).cast("int").alias("n_transects"),
+        F.avg("max_run").alias("mean_max_run"),
+        F.coalesce(F.stddev("max_run"), F.lit(0.0)).alias("std_max_run"),
+    )
+
+
+def contagion_clumpiness_df(grid: DataFrame) -> DataFrame:
+    """``contagion_clumpiness`` as a single-row DataFrame with pure column
+    math — the oracle-checkable form (AggregationMetrics.java:131-164:
+    contagion = 1 + Σ p·ln(p) / (2·ln 2) over the 4-class ordered-pair
+    distribution, Li & Reynolds 1993; clumpiness compares the observed
+    like-adjacency G = n11/(n11+n10) against the class proportion P).
+    Entirely JVM expressions over two tiny single-row aggregates."""
+    adj = adjacency_counts(grid)
+    cells = grid.agg(
+        F.sum(F.col("flag").cast("int")).alias("__set"),
+        F.count(F.lit(1)).alias("__all"),
+    )
+    j = adj.crossJoin(cells)
+    total = F.col("n00") + F.col("n01") + F.col("n10") + F.col("n11")
+
+    def term(c):
+        p = F.col(c) / total
+        return F.when(F.col(c) > 0, p * F.log(p)).otherwise(F.lit(0.0))
+
+    entropy = term("n00") + term("n01") + term("n10") + term("n11")
+    contagion = F.when(
+        total > 0, F.lit(1.0) + entropy / (2.0 * math.log(2.0))
+    ).otherwise(F.lit(1.0))
+    p_cls = F.col("__set") / F.col("__all")
+    denom = F.col("n11") + F.col("n10")
+    g = F.when(denom > 0, F.col("n11") / denom).otherwise(F.lit(0.0))
+    clump = (
+        F.when((p_cls == 0.0) | (p_cls == 1.0), F.lit(0.0))
+        .when(g >= p_cls, (g - p_cls) / (1.0 - p_cls))
+        .otherwise((g - p_cls) / p_cls)
+    )
+    return j.select(
+        "n00", "n01", "n10", "n11",
+        contagion.alias("contagion"),
+        clump.alias("clumpiness"),
     )
 
 

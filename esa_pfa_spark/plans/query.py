@@ -12,8 +12,11 @@ positioned reads) maps to deterministic hash-ordered sampling.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def query(df: DataFrame, predicate: str, limit: int | None = None,
@@ -48,6 +51,62 @@ def most_ambiguous(df: DataFrame, decision_col: str, k: int,
     if tiebreak:
         cols.append(F.col(tiebreak).asc())
     return scored.orderBy(*cols).limit(k).drop("__amb")
+
+
+def diversity_pick(
+    df: DataFrame,
+    decision_col: str,
+    vec_col: str,
+    k: int = 15,
+    n_pick: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Uncertainty ranking THEN diversity selection — the reference's full
+    getMostAmbiguous (ActiveLearning.java:116-149, 501-532 hands the
+    q-ambiguous set to KernelKmeansClusterer.java:67-106 for a diversity
+    pass).  Here the diversity stage is deterministic greedy farthest-point:
+    seed = the single most ambiguous vector, then repeatedly add the
+    candidate maximizing the MIN squared Euclidean distance to the selected
+    set (ties -> lowest id).  Returns (id_col, pick_order 1..n_pick).
+
+    Scale shape: the ranking is distributed (TakeOrderedAndProject merges
+    per-partition k-heaps); the greedy pass sees only the k survivors in
+    ONE tiny applyInPandas group — mirroring the reference, which also
+    clusters the ambiguous set driver-side, but without collect()."""
+    cand = most_ambiguous(
+        df.select(id_col, decision_col, vec_col), decision_col, k, tiebreak=id_col
+    )
+    id_field = next(f for f in df.schema.fields if f.name == id_col)
+    out_schema = T.StructType(
+        [id_field, T.StructField("pick_order", T.IntegerType(), False)]
+    )
+
+    def picker(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf["__a"] = pdf[decision_col].abs()
+        pdf = pdf.sort_values(["__a", id_col]).reset_index(drop=True)
+        V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        ids = pdf[id_col].to_numpy()
+        m = min(n_pick, len(pdf))
+        sq = (V * V).sum(axis=1)
+        sel = [0]
+        d = sq + sq[0] - 2.0 * (V @ V[0])
+        for _ in range(1, m):
+            d[sel] = -np.inf
+            best = int(np.lexsort((ids, -d))[0])  # max min-dist, tie lowest id
+            sel.append(best)
+            d = np.minimum(d, sq + sq[best] - 2.0 * (V @ V[best]))
+        return pd.DataFrame(
+            {id_col: ids[sel], "pick_order": np.arange(1, m + 1, dtype=np.int32)}
+        )
+
+    # a materialized constant grouping column (groupBy(lit(1)) resolves as a
+    # GROUP BY ordinal and fails analysis)
+    return (
+        cand.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(picker, schema=out_schema)
+    )
 
 
 def deterministic_sample(df: DataFrame, n: int, key_cols: list[str],

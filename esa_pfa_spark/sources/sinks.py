@@ -36,6 +36,26 @@ def write_dated(df: DataFrame, path: str, ts_col: str = "ts", mode: str = "overw
     dated.write.mode(mode).partitionBy("y", "m", "d").parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    path: str,
+    key: str,
+    n_partitions: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """One-time layout for resumable runs: materialize the manifest's
+    partition id (``pmod(xxhash64(key), n)``) as a PHYSICAL partition
+    column ``part_id`` and write partitioned parquet.  A subsequent
+    ``ManifestedRun.run_bucketed`` pass filters on ``part_id`` and the scan
+    prunes to that partition's files (PartitionFilters) instead of
+    rescanning the full source per resume slice — the layout promise in
+    manifest.py's scale note, delivered."""
+    from esa_pfa_spark.manifest import BUCKET_COL, partition_id_col
+
+    bucketed = df.withColumn(BUCKET_COL, partition_id_col(key, n_partitions))
+    bucketed.write.mode(mode).partitionBy(BUCKET_COL).parquet(path)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S5 debug sink: tab-separated with header (CsvPatchWriter shape).
     Complex columns must be projected/serialized first."""
@@ -50,6 +70,7 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 SINKS: dict[str, Callable] = {
     "parquet": write_parquet,
     "dated_parquet": write_dated,
+    "bucketed_parquet": write_bucketed,
     "csv": write_csv,
     "json": write_json,
 }

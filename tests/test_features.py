@@ -104,3 +104,39 @@ def test_segmented_stats_int_path_matches_numpy_percentile():
     assert got["p10"] == np.percentile(f, 10)
     assert got["p50"] == np.percentile(f, 50)
     assert got["p90"] == np.percentile(f, 90)
+
+
+def test_segmented_stats_int64_wide_values_no_overflow():
+    """Regression: int64 tokens with |v| >= 2^31 must NOT take the packed
+    int32 fast path (value bits would overflow into the row-index bits and
+    silently corrupt percentiles) — the lexsort path must produce values
+    identical to float64 numpy."""
+    import numpy as np
+
+    from esa_pfa_spark.operators.features import segmented_stats
+
+    big = np.array(
+        [3_000_000_000, -3_000_000_000, 5_000_000_000, 1, -2, 7_000_000_000],
+        dtype=np.int64,
+    )
+    lengths = np.array([4, 2], dtype=np.int64)
+    got = segmented_stats(big, lengths)
+    a, b = big[:4].astype(np.float64), big[4:].astype(np.float64)
+    assert got["p50"][0] == pytest.approx(np.percentile(a, 50))
+    assert got["p10"][1] == pytest.approx(np.percentile(b, 10))
+    assert got["min"][0] == pytest.approx(a.min()) and got["max"][0] == pytest.approx(a.max())
+
+
+def test_segmented_stats_uint32_wide_values_no_overflow():
+    """uint32 can hold 2^32-1: the +2^31 shift would overflow the low 32
+    bits, so unsigned dtypes must also use the lexsort path."""
+    import numpy as np
+
+    from esa_pfa_spark.operators.features import segmented_stats
+
+    u = np.array([4_000_000_000, 10, 4_294_967_295, 7], dtype=np.uint32)
+    lengths = np.array([4], dtype=np.int64)
+    got = segmented_stats(u, lengths)
+    f = u.astype(np.float64)
+    assert got["p50"][0] == pytest.approx(np.percentile(f, 50))
+    assert got["max"][0] == pytest.approx(f.max())

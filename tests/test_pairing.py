@@ -148,3 +148,46 @@ def test_interval_pairs_bucketed_identical(spark):
     b = bucketed.sort_values(key, kind="mergesort").reset_index(drop=True)
     assert len(a) == len(b) and len(a) > 0
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_interval_pairs_bucketed_fractional_tolerance(spark):
+    """Regression (truncated bucket width): with a fractional max_tol the
+    bucket width must CEIL, or an in-band pair can span two boundaries and
+    silently drop.  Equivalence contract vs the plain band join."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from esa_pfa_spark.operators.pairing import interval_pairs, interval_pairs_bucketed
+
+    t0 = dt.datetime(2024, 1, 1)
+    # gaps of 1.2s: pairs at dt=1.2 are in-band for [0, 1.5]; with w=int(1.5)=1
+    # a pair like (t=0.9, t=2.1) spans buckets 0 and 2 and was dropped
+    rows = [("e", t0 + dt.timedelta(seconds=0.3 * i), f"d{i}") for i in range(20)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["entity_id", "ts", "doc_id"])
+    )
+    kw = dict(key="entity_id", ts="ts", id_col="doc_id",
+              min_tol=dt.timedelta(seconds=0), max_tol=dt.timedelta(seconds=1.5))
+    plain = interval_pairs(df, **kw).toPandas()
+    bucketed = interval_pairs_bucketed(df, **kw).toPandas()
+    pk = set(zip(plain["doc_id1"], plain["doc_id2"]))
+    bk = set(zip(bucketed["doc_id1"], bucketed["doc_id2"]))
+    assert pk == bk and len(bucketed) == len(plain)
+
+
+def test_interval_pairs_bucketed_rejects_negative_min(spark):
+    import datetime as dt
+
+    import pytest as _pt
+
+    from esa_pfa_spark.operators.pairing import interval_pairs_bucketed
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "ts", "event_id"
+    )
+    with _pt.raises(ValueError, match="min_tol >= 0"):
+        interval_pairs_bucketed(
+            ev, key="user_id", ts="ts", id_col="event_id",
+            min_tol=dt.timedelta(seconds=-5), max_tol=dt.timedelta(hours=1),
+        )

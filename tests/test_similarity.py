@@ -1,0 +1,111 @@
+"""Similarity operators: numpy scorer parity, top-k plan shape, and the
+diversity pick vs a sequential single-process oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from esa_pfa_spark.operators import similarity as SIM
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_cosine_scores_numpy_matches_jvm_fold(spark):
+    """The Arrow/numpy wide-fan-out scorer must agree with the JVM
+    aggregate/zip_with fold to allclose (pairwise vs sequential summation)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(200)
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal(64)
+    probe = spark.createDataFrame(
+        pd.DataFrame({"q": [q.tolist()]})
+    )
+    jvm = (
+        emb.crossJoin(F.broadcast(probe))
+        .select("vec_id", SIM.cosine(F.col("embedding"), F.col("q")).alias("cos"))
+        .toPandas()
+    )
+    np_scored = emb.select(
+        "vec_id", SIM.cosine_scores(q)(F.col("embedding")).alias("cos")
+    ).toPandas()
+    m = jvm.merge(np_scored, on="vec_id", suffixes=("_jvm", "_np"))
+    assert np.allclose(m["cos_jvm"], m["cos_np"], rtol=1e-9, atol=1e-12)
+
+
+def test_cosine_topk_no_global_window(spark):
+    """The scored set must reach the top-k via TakeOrderedAndProject
+    (per-partition k-heaps), NEVER a partition-less window moving every
+    scored row through one task (the 100x straggler/OOM shape)."""
+    import contextlib, io
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    df = SIM.cosine_topk(emb.filter(F.col("vec_id") != 0), probe, k=20)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan
+    # the old partition-less row_number() window required an
+    # 'Exchange SinglePartition' of the FULL scored set; the replanned form
+    # has no shuffle at all (broadcast join -> per-partition k-heaps ->
+    # k-row window on the limit's single partition)
+    assert "SinglePartition" not in plan
+
+
+def test_ann_lsh_topk_no_global_window(spark):
+    import contextlib, io
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    df = SIM.ann_topk_lsh(emb.filter(F.col("vec_id") != 0), probe, k=10, n_planes=8, seed=7, dim=64)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+def _sequential_farthest_point(cand: pd.DataFrame, n_pick: int) -> list:
+    """Single-process oracle: greedy max-min squared Euclidean, seed = most
+    ambiguous, ties -> lowest id."""
+    cand = cand.copy()
+    cand["__a"] = cand["decision"].abs()
+    cand = cand.sort_values(["__a", "vec_id"]).reset_index(drop=True)
+    V = np.vstack([np.asarray(v, dtype=np.float64) for v in cand["embedding"]])
+    ids = cand["vec_id"].to_numpy()
+    sel = [0]
+    for _ in range(1, n_pick):
+        best_i, best_d = None, -np.inf
+        for i in range(len(cand)):
+            if i in sel:
+                continue
+            d = min(float(((V[i] - V[j]) ** 2).sum()) for j in sel)
+            # note: oracle uses (a-b)^2 form; engine uses a2+b2-2ab — equal
+            # to allclose, and distances here are well separated
+            if d > best_d or (d == best_d and ids[i] < ids[best_i]):
+                best_i, best_d = i, d
+        sel.append(best_i)
+    return [int(ids[i]) for i in sel]
+
+
+def test_diversity_pick_matches_sequential_oracle(spark):
+    from esa_pfa_spark.operators.scoring import score_linear
+    from esa_pfa_spark.plans.query import diversity_pick
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    w = np.array([(((i * 37) % 19) - 9) / 10.0 for i in range(64)])
+    scored = score_linear(emb, w, bias=0.1)
+    got = (
+        diversity_pick(scored, "decision", "embedding", k=15, n_pick=5)
+        .orderBy("pick_order").toPandas()
+    )
+    cand = (
+        scored.withColumn("__a", F.abs("decision"))
+        .orderBy("__a", "vec_id").limit(15)
+        .select("vec_id", "decision", "embedding").toPandas()
+    )
+    want = _sequential_farthest_point(cand, 5)
+    assert list(got["vec_id"]) == want
+    assert list(got["pick_order"]) == [1, 2, 3, 4, 5]

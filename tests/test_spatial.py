@@ -63,3 +63,47 @@ def test_connected_components_snake(spark):
     cc = SP.connected_components(_grid(spark, cells)).toPandas()
     assert cc["component"].nunique() == 1
     assert len(cc) == 17
+
+
+def test_transect_max_runs_hand_counted(spark):
+    """5x5 grid, transects = row y=2 and column x=3 (step 5).
+    Row y=2 set cells at x in {0,1,3} -> runs [2,1], max 2.
+    Column x=3 set cells at y in {2,3,4} -> one run of 3, max 3."""
+    cells = []
+    for x in range(5):
+        for y in range(5):
+            flag = (y == 2 and x in (0, 1, 3)) or (x == 3 and y in (2, 3, 4))
+            cells.append((x, y, flag))
+    per = {r["tid"]: r["max_run"] for r in SP.transect_max_runs(_grid(spark, cells)).collect()}
+    assert per == {"r2": 2, "c3": 3}
+
+
+def test_transect_missing_cell_breaks_run(spark):
+    """A missing cell (no row in the table) breaks a run exactly like an
+    unset one: row y=2 has set cells at x=0,1 and x=3,4 with x=2 ABSENT."""
+    cells = [(x, 2, True) for x in (0, 1, 3, 4)]
+    per = {r["tid"]: r["max_run"] for r in
+           SP.transect_max_runs(_grid(spark, cells), step=5, row_off=2, col_off=99).collect()}
+    assert per == {"r2": 2}
+
+
+def test_transect_empty_transect_counts_zero(spark):
+    """Transects with no set cell appear with max_run=0 (the reference's
+    mean/sigma includes empty transects)."""
+    cells = [(x, 2, False) for x in range(4)] + [(x, 7, True) for x in range(4)]
+    m = SP.transect_run_stats(_grid(spark, cells), step=5, row_off=2, col_off=99).collect()[0]
+    assert m["n_transects"] == 2  # y=2 (all unset) and y=7 (run of 4)
+    assert m["mean_max_run"] == pytest.approx(2.0)  # (0 + 4) / 2
+
+
+def test_contagion_clumpiness_df_matches_dict(spark):
+    """The oracle-checkable DataFrame form must equal the original
+    driver-side dict computation on the same grid."""
+    cells = [(x, y, (x * 3 + y * 5) % 4 == 0) for x in range(6) for y in range(5)]
+    g = _grid(spark, cells)
+    want = SP.contagion_clumpiness(g)
+    row = SP.contagion_clumpiness_df(g).collect()[0]
+    for k in ("n00", "n01", "n10", "n11"):
+        assert row[k] == want[k]
+    assert row["contagion"] == pytest.approx(want["contagion"])
+    assert row["clumpiness"] == pytest.approx(want["clumpiness"])

@@ -103,3 +103,53 @@ def test_stream_ffill_matches_batch_ffill(spark, tmp_path):
     g = got.sort_values(["k", "ts"]).reset_index(drop=True)
     w = want[["k", "ts", "last_value"]].sort_values(["k", "ts"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(g, w)
+
+
+def test_stream_ffill_late_row_not_filled_from_future(spark, tmp_path):
+    """A late row (allowed by the watermark) whose ts PRECEDES the state's
+    last observation must not be filled with that FUTURE value — backward
+    as-of means 'last value at or before ts'.  State keeps only the newest
+    observation, so the honest answer is null (state-limited approximation,
+    documented in the module docstring)."""
+    src = tmp_path / "in5"
+    _write(spark, src, [("a", T0 + dt.timedelta(minutes=10), 9.0)])
+    _write(spark, src, [("a", T0 + dt.timedelta(minutes=5), None)])  # late probe
+    stream = (
+        spark.readStream.schema("k string, ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    out = stream_ffill(stream, key="k", ts="ts", value="v")
+    q = (
+        out.writeStream.format("memory").queryName("ffill_t5")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    res = spark.sql("select * from ffill_t5").toPandas().sort_values("ts").reset_index(drop=True)
+    assert len(res) == 2
+    assert pd.isna(res["last_value"].iloc[0]), (
+        "late probe must NOT see the future observation as its 'last' value"
+    )
+    assert res["last_value"].iloc[1] == 9.0
+
+
+def test_stream_ffill_tolerance_evicts_state(spark, tmp_path):
+    """With a tolerance, EventTimeTimeout must still produce the same
+    answers (eviction only ever removes state that can no longer satisfy
+    the tolerance for non-late rows)."""
+    src = tmp_path / "in6"
+    _write(spark, src, [("a", T0, 5.0)])
+    # watermark after batch1 = T0 - 1h; timeout target = T0 + 10min
+    _write(spark, src, [("a", T0 + dt.timedelta(hours=3), None)])
+    stream = (
+        spark.readStream.schema("k string, ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    out = stream_ffill(stream, key="k", ts="ts", value="v", tolerance=dt.timedelta(minutes=10))
+    q = (
+        out.writeStream.format("memory").queryName("ffill_t6")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    res = spark.sql("select * from ffill_t6").toPandas().sort_values("ts").reset_index(drop=True)
+    assert res["last_value"].iloc[0] == 5.0
+    assert pd.isna(res["last_value"].iloc[1]), "out-of-tolerance probe must be null"
