@@ -106,7 +106,8 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--skew", action="store_true")
     ap.add_argument("--flagship-only", action="store_true")
-    ap.add_argument("--warmup", action="store_true", help="run flagship once before timing")
+    ap.add_argument("--warmup", action="store_true",
+                    help="(no-op, kept for compat: warmup+min-of-3 is now the default)")
     args = ap.parse_args()
 
     if args.scaling:
@@ -154,16 +155,13 @@ def main() -> None:
             _force(qs[name](spark, sf_dir))
             timings[name] = round(time.time() - t0, 3)
 
-    if args.warmup:
-        # two passes: Python-worker spawn + JIT amortize over the first two
-        run_flagship(spark)
-        run_flagship(spark)
-        fsec, n_seq = run_flagship(spark, repeats=3)
-    else:
-        # default mode still warms once: the flagship number should measure
-        # steady-state throughput, not one-off Python-worker spawn + codegen
-        run_flagship(spark)
-        fsec, n_seq = run_flagship(spark, repeats=2)
+    # two warm passes (Python-worker spawn + JIT) then min-of-3: host
+    # scheduling noise on this shared VM swings identical flagship runs
+    # 7-21s WITHIN one JVM (measured), so a single-shot number is a die
+    # roll; min-of-3 after warmup is the steady-state estimator
+    run_flagship(spark)
+    run_flagship(spark)
+    fsec, n_seq = run_flagship(spark, repeats=3)
     timings["flagship_asof_features"] = round(fsec, 3)
 
     total = round(sum(timings.values()), 3)

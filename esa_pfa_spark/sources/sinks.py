@@ -67,12 +67,76 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def _xml_escape(c):
+    """Minimal XML text escaping (&, <, > — the characters the reference's
+    XStream output escapes), as pure column expressions (codegen)."""
+    out = F.regexp_replace(c.cast("string"), "&", "&amp;")
+    out = F.regexp_replace(out, "<", "&lt;")
+    return F.regexp_replace(out, ">", "&gt;")
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "patch", mode: str = "overwrite") -> None:
+    """S8 XML sink (XmlPatchWriter analog, pfa-core/.../out/XmlPatchWriter
+    composed by DefaultPatchWriter.java:79-85): one ``<row_tag>`` element
+    per row, fields as child elements.  Fully distributed — the element is
+    built as ONE string column inside codegen and written via the text
+    sink; no driver-side formatting, no coalesce(1)."""
+    parts = [F.lit(f"<{row_tag}>")]
+    for name in df.columns:
+        parts.append(F.lit(f"<{name}>"))
+        parts.append(F.coalesce(_xml_escape(F.col(name)), F.lit("")))
+        parts.append(F.lit(f"</{name}>"))
+    parts.append(F.lit(f"</{row_tag}>"))
+    df.select(F.concat(*parts).alias("value")).write.mode(mode).text(path)
+
+
+def write_kml(
+    df: DataFrame,
+    path: str,
+    name_col: str = "name",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    mode: str = "overwrite",
+) -> None:
+    """S8 KML sink (KmlPatchWriter analog): one Placemark per row with a
+    Point at (lon, lat).  Same distributed string-column shape as
+    ``write_xml`` (a KML viewer concatenates the part files under one
+    Document wrapper — the wrapper is presentation, the placemarks are
+    the data)."""
+    pm = F.concat(
+        F.lit("<Placemark><name>"),
+        F.coalesce(_xml_escape(F.col(name_col)), F.lit("")),
+        F.lit("</name><Point><coordinates>"),
+        F.col(lon_col).cast("string"),
+        F.lit(","),
+        F.col(lat_col).cast("string"),
+        F.lit("</coordinates></Point></Placemark>"),
+    )
+    df.select(pm.alias("value")).write.mode(mode).text(path)
+
+
+def write_html_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S8 HTML sink (HtmlPatchWriter analog): one ``<tr>`` per row (cells
+    escaped); the page shell around the rows is presentation, left to the
+    consumer.  Distributed string build, text sink."""
+    parts = [F.lit("<tr>")]
+    for name in df.columns:
+        parts.append(F.lit("<td>"))
+        parts.append(F.coalesce(_xml_escape(F.col(name)), F.lit("")))
+        parts.append(F.lit("</td>"))
+    parts.append(F.lit("</tr>"))
+    df.select(F.concat(*parts).alias("value")).write.mode(mode).text(path)
+
+
 SINKS: dict[str, Callable] = {
     "parquet": write_parquet,
     "dated_parquet": write_dated,
     "bucketed_parquet": write_bucketed,
     "csv": write_csv,
     "json": write_json,
+    "xml": write_xml,
+    "kml": write_kml,
+    "html": write_html_table,
 }
 
 

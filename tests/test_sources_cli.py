@@ -66,3 +66,35 @@ def test_cli_package(tmp_path):
     assert "esa_pfa_spark/__init__.py" in names
     assert "esa_pfa_spark/plans/pipeline.py" in names
     assert len(names) > 15
+
+
+def _read_text_sorted(spark, path):
+    return sorted(r["value"] for r in spark.read.text(path).collect())
+
+
+def test_xml_sink_golden(spark, tmp_path):
+    pdf = pd.DataFrame({"pid": ["a<1", "b&2"], "v": ["1.5", None]})
+    df = spark.createDataFrame(pdf)
+    sinks.write(df, "xml", str(tmp_path / "x"), row_tag="patch")
+    lines = _read_text_sorted(spark, str(tmp_path / "x"))
+    assert lines == [
+        "<patch><pid>a&lt;1</pid><v>1.5</v></patch>",
+        "<patch><pid>b&amp;2</pid><v></v></patch>",
+    ]
+
+
+def test_kml_sink_golden(spark, tmp_path):
+    pdf = pd.DataFrame({"name": ["p1"], "lat": [10.5], "lon": [-3.25]})
+    sinks.write(spark.createDataFrame(pdf), "kml", str(tmp_path / "k"))
+    lines = _read_text_sorted(spark, str(tmp_path / "k"))
+    assert lines == [
+        "<Placemark><name>p1</name><Point><coordinates>-3.25,10.5"
+        "</coordinates></Point></Placemark>"
+    ]
+
+
+def test_html_sink_golden(spark, tmp_path):
+    pdf = pd.DataFrame({"a": ["x>y"], "n": [3]})
+    sinks.write(spark.createDataFrame(pdf), "html", str(tmp_path / "h"))
+    lines = _read_text_sorted(spark, str(tmp_path / "h"))
+    assert lines == ["<tr><td>x&gt;y</td><td>3</td></tr>"]
