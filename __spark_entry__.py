@@ -1221,6 +1221,36 @@ FROM s QUALIFY rank <= 10
 """
 
 
+def q_ann_lsh_batch(spark, sf_dir):
+    """Batch-probe ANN (the production shape): probes 0..2 each search
+    their own LSH bucket in one pass; per-probe rank is a window
+    PARTITIONED BY probe_id — the shuffle scales with the probe count."""
+    emb = _ld(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") <= 2).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("q")
+    )
+    cands = emb.filter(F.col("vec_id") > 2)
+    return SIM.ann_topk_lsh_batch(cands, probes, k=5, n_planes=8, seed=7, dim=64)
+
+
+def _ann_lsh_batch_sql() -> str:
+    sig = _sig_sql("embedding")
+    return f"""
+WITH s AS (SELECT vec_id, embedding, ({sig}) AS sig
+           FROM embeddings WHERE vec_id > 2),
+p AS (SELECT vec_id AS probe_id, embedding AS qv, ({sig}) AS sig
+      FROM embeddings WHERE vec_id <= 2),
+sc AS (SELECT p.probe_id, s.vec_id,
+              list_dot_product(s.embedding::DOUBLE[], p.qv::DOUBLE[])
+              / (sqrt(list_dot_product(s.embedding::DOUBLE[], s.embedding::DOUBLE[]))
+                 * sqrt(list_dot_product(p.qv::DOUBLE[], p.qv::DOUBLE[]))) AS cos
+       FROM s JOIN p ON s.sig = p.sig)
+SELECT probe_id, vec_id,
+       CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS INT) AS rank
+FROM sc QUALIFY rank <= 5
+"""
+
+
 def q_embedding_neardup_lsh(spark, sf_dir):
     """Near-dup pairs with LSH blocking (the non-quadratic scale path):
     the self-join is restricted to equal signature buckets."""
@@ -1608,6 +1638,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "session_window_native": (q_session_window_native, SQL_SESSION_WINDOW_NATIVE),
     "salted_agg_by_user": (q_salted_agg, SQL_SALTED_AGG),
     "ann_lsh_topk": (q_ann_lsh_topk, _ann_lsh_sql()),
+    "ann_lsh_topk_batch": (q_ann_lsh_batch, _ann_lsh_batch_sql()),
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, _neardup_lsh_sql()),
     "nan_validity_filter": (q_nan_validity, SQL_NAN_VALIDITY),
     "most_ambiguous_pick": (q_most_ambiguous, _most_ambiguous_sql()),

@@ -175,6 +175,44 @@ def ann_topk_lsh(
     return _rank_topk(scored, k, "vec_id")
 
 
+def ann_topk_lsh_batch(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 7,
+    dim: int = 64,
+    probe_id: str = "probe_id",
+) -> DataFrame:
+    """Batch-probe ANN — the production shape: EVERY probe searches its own
+    LSH bucket in one pass.  Candidate generation is an equi-join on the
+    signature (hash-partitioned by bucket); ranking is ``row_number() OVER
+    (PARTITION BY probe_id ...)`` — partitioned by probe, so the rank
+    shuffle scales with the probe count and per-task work is one probe's
+    candidate list, never a global sort.  Returns (probe_id, vec_id, rank).
+
+    Contrast with ``ann_topk_lsh`` (single probe): there the k survivors
+    come from TakeOrderedAndProject; here the per-probe partition IS the
+    correct parallel decomposition."""
+    sigs = lsh_signature(embeddings, n_planes, seed, dim)
+    withsig = embeddings.join(sigs, "vec_id")
+    psigs = lsh_signature(
+        probes.select(probe_id, F.col("q").alias("embedding")),
+        n_planes, seed, dim, id_col=probe_id,
+    )
+    pside = probes.join(psigs, probe_id)
+    cand = withsig.join(pside, "lsh_sig")
+    scored = cand.select(
+        probe_id, "vec_id", cosine(F.col("embedding"), F.col("q")).alias("cos")
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(probe_id, "vec_id", "rank")
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids,

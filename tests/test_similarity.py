@@ -109,3 +109,26 @@ def test_diversity_pick_matches_sequential_oracle(spark):
     want = _sequential_farthest_point(cand, 5)
     assert list(got["vec_id"]) == want
     assert list(got["pick_order"]) == [1, 2, 3, 4, 5]
+
+
+def test_ann_lsh_batch_partitioned_rank(spark):
+    """Batch-probe ANN ranks within (probe_id) partitions: the window's
+    exchange is hashpartitioning(probe_id), never SinglePartition — the
+    shape that scales with the probe count."""
+    import contextlib, io
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") <= 2).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("q")
+    )
+    df = SIM.ann_topk_lsh_batch(emb.filter(F.col("vec_id") > 2), probes, k=5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(probe_id" in plan
+    # and every probe gets exactly k ranked rows (dense 1..k)
+    got = df.toPandas()
+    for pid, grp in got.groupby("probe_id"):
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
