@@ -920,13 +920,13 @@ GROUP BY label, i - 1
 
 
 def q_source_dictionary(spark, sf_dir):
-    """A10 name->index dictionary via dense_rank (Lucene2Simple.java:64-91)."""
+    """A10 name->index dictionary (Lucene2Simple.java:64-91), built with
+    the scalable two-pass ranked form (operators/dictionary.py) — no
+    partition-less dense_rank window; identical output."""
+    from esa_pfa_spark.operators.dictionary import dense_ids
+
     docs = _ld(spark, sf_dir, "documents")
-    distinct = docs.select("source").distinct()
-    return distinct.select(
-        "source",
-        (F.dense_rank().over(Window.orderBy("source")) - 1).alias("dict_id"),
-    )
+    return dense_ids(docs, "source", out_col="dict_id")
 
 
 SQL_SOURCE_DICT = """

@@ -1,0 +1,73 @@
+"""Distributed dense-id dictionary build — A10, the scalable form.
+
+The reference builds a name->index map single-threaded while writing its
+binary store (pfa-database/.../db/Lucene2Simple.java:64-91).  The naive
+Spark translation, ``dense_rank() OVER (ORDER BY name)``, funnels every
+distinct value through ONE task (partition-less window) — fine for 20
+sources, a straggler for 10^8 distinct names.
+
+``dense_ids`` produces the identical mapping with no global window:
+
+  1. distinct values are range-partitioned and sorted within partitions
+     (so partition p holds a contiguous slice of the global order);
+  2. one tiny action collects per-partition counts -> cumulative offsets
+     (n_partitions rows to the driver, not the data);
+  3. a zero-copy ``mapInArrow`` pass numbers each partition's rows
+     offset + 0..count-1 via TaskContext.partitionId().
+
+Every stage is O(distinct/n_partitions) per task.  For DISTINCT inputs
+row-position == dense_rank, so the result is bit-identical to the SQL
+oracle's ``dense_rank() OVER (ORDER BY col) - 1``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark import TaskContext
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def dense_ids(
+    df: DataFrame,
+    col: str,
+    out_col: str = "dict_id",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """0-based dense ids over the distinct values of ``col``, ordered by
+    value — ``dense_rank() OVER (ORDER BY col) - 1`` without the global
+    window (see module docstring for the plan shape)."""
+    spark = df.sparkSession
+    if n_partitions is None:
+        n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    distinct = df.select(col).distinct()
+    ranged = distinct.repartitionByRange(n_partitions, F.col(col)).sortWithinPartitions(col)
+
+    # per-partition counts -> global offsets (tiny: n_partitions rows)
+    counts = (
+        ranged.select(F.spark_partition_id().alias("__pid"))
+        .groupBy("__pid")
+        .count()
+        .collect()
+    )
+    sizes = np.zeros(n_partitions, dtype=np.int64)
+    for r in counts:
+        sizes[r["__pid"]] = r["count"]
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+
+    out_schema = T.StructType(
+        [ranged.schema[col], T.StructField(out_col, T.LongType(), False)]
+    )
+
+    def number(batches):
+        import pyarrow as pa
+
+        base = int(offsets[TaskContext.get().partitionId()])
+        seen = 0
+        for b in batches:
+            ids = pa.array(np.arange(base + seen, base + seen + b.num_rows, dtype=np.int64))
+            seen += b.num_rows
+            yield pa.RecordBatch.from_arrays([b.column(0), ids], [col, out_col])
+
+    return ranged.mapInArrow(number, schema=out_schema)

@@ -147,3 +147,25 @@ def test_modular_pipeline_two_exchanges(spark):
     probes = synth.queries_df(spark, seed=2, n_entities=10, mean_obs=5)
     plan = plan_of(feature_table(obs, probes))
     assert n_exchanges(plan) == 2, plan
+
+
+def test_dense_ids_matches_dense_rank_and_avoids_global_window(spark):
+    """A10 scalable dictionary: identical mapping to dense_rank() OVER
+    (ORDER BY col) - 1, with NO SinglePartition exchange in the plan
+    (the naive global window funnels every distinct value into one task)."""
+    from pyspark.sql import Window, functions as F
+
+    from esa_pfa_spark.operators.dictionary import dense_ids
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = dense_ids(ev, "user_id").toPandas().sort_values("user_id").reset_index(drop=True)
+    want = (
+        ev.select("user_id").distinct()
+        .select("user_id", (F.dense_rank().over(Window.orderBy("user_id")) - 1).alias("dict_id"))
+        .toPandas().sort_values("user_id").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want.astype({"dict_id": "int64"}))
+    plan = plan_of(dense_ids(ev, "user_id"))
+    assert "SinglePartition" not in plan
