@@ -119,15 +119,31 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", n_hashes: int = N_
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_band_candidates(df: DataFrame, text_col: str = "text") -> DataFrame:
+def minhash_band_candidates(
+    df: DataFrame, text_col: str = "text", max_band_freq: int | None = None
+) -> DataFrame:
     """LSH banding over the 6-hash signature (2 bands x 3 rows): candidate
     pairs agree on ALL hashes of at least one band.  The band join is an
-    equi-join on the concatenated band key — the bucket-join scale path."""
+    equi-join on the concatenated band key — the bucket-join scale path.
+
+    Hot-bucket caveat (same class as the n-gram stop-shingle blowup): an
+    EXACT-duplicate cluster of n docs shares every band, so its bucket
+    emits O(n²) pairs.  The standard pipeline order is exact_dedup FIRST
+    (collapsing identical docs to one canonical id), after which band
+    buckets hold only near-dups and stay small.  ``max_band_freq`` is the
+    belt-and-braces cap for corpora where that ordering can't be assumed:
+    buckets with more than that many docs are dropped (and should be
+    routed to exact dedup instead) — mirror any cap in the oracle."""
     sig = minhash_signatures(df, text_col)
     bands = [("band0", ["mh0", "mh1", "mh2"]), ("band1", ["mh3", "mh4", "mh5"])]
     outs = []
     for name, cols in bands:
         keyed = sig.select("doc_id", F.concat_ws("|", *cols).alias("bk"))
+        if max_band_freq is not None:
+            freq = keyed.groupBy("bk").agg(F.count(F.lit(1)).alias("__bf"))
+            keyed = keyed.join(
+                freq.filter(F.col("__bf") <= max_band_freq).select("bk"), "bk"
+            )
         l = keyed.select(F.col("doc_id").alias("doc_id_a"), "bk")
         r = keyed.select(F.col("doc_id").alias("doc_id_b"), "bk")
         outs.append(

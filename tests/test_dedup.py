@@ -1,0 +1,47 @@
+"""Dedup operator unit tests (the oracle mirror covers end-to-end parity;
+these pin the cap semantics and the shingle generator directly)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from esa_pfa_spark.operators import dedup as DD
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": [f"d{i}" for i in range(len(texts))], "text": texts})
+    )
+
+
+def test_shingles_tiny_doc(spark):
+    got = sorted(
+        (r["doc_id"], r["shingle"])
+        for r in DD.shingles(_docs(spark, ["a b c d", "x y"])).collect()
+    )
+    assert got == [("d0", "a b c"), ("d0", "b c d")]  # d1 too short -> dropped
+
+
+def test_ngram_cap_excludes_hot_shingle_from_sizes(spark):
+    """With the cap at 1, the shared shingle (df=2) is excluded from BOTH
+    the intersection and the per-doc sizes -> no pair survives."""
+    texts = ["p q r s", "p q r t"]  # share shingle 'p q r'
+    uncapped = DD.ngram_jaccard_pairs(
+        _docs(spark, texts), threshold=0.1, max_shingle_freq=None
+    ).collect()
+    assert len(uncapped) == 1
+    capped = DD.ngram_jaccard_pairs(
+        _docs(spark, texts), threshold=0.1, max_shingle_freq=1
+    ).collect()
+    assert capped == []
+
+
+def test_minhash_band_cap_drops_duplicate_cluster(spark):
+    """An exact-duplicate cluster shares every band; max_band_freq routes
+    it out of the band join (pipeline order: exact_dedup first)."""
+    dup = "the same exact document text here"
+    texts = [dup, dup, dup, "another quite different document body text"]
+    plain = DD.minhash_band_candidates(_docs(spark, texts)).collect()
+    assert len(plain) == 3  # the 3 duplicate pairs
+    capped = DD.minhash_band_candidates(_docs(spark, texts), max_band_freq=2).collect()
+    assert capped == []

@@ -132,3 +132,32 @@ def test_ann_lsh_batch_partitioned_rank(spark):
     got = df.toPandas()
     for pid, grp in got.groupby("probe_id"):
         assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+
+
+def test_diversity_pick_random_vectors_property(spark):
+    """Random vector sets: the distributed diversity pick must equal the
+    sequential farthest-point oracle (seed choice, max-min distances, and
+    id tie-breaks all covered by the same deterministic rules)."""
+    rng = np.random.default_rng(17)
+    for trial in range(3):
+        n = 30
+        pdf = pd.DataFrame(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": [rng.standard_normal(8).tolist() for _ in range(n)],
+                "decision": rng.standard_normal(n),
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        from esa_pfa_spark.plans.query import diversity_pick
+
+        got = (
+            diversity_pick(df, "decision", "embedding", k=12, n_pick=6)
+            .orderBy("pick_order").toPandas()
+        )
+        cand = (
+            df.withColumn("__a", F.abs("decision"))
+            .orderBy("__a", "vec_id").limit(12)
+            .select("vec_id", "decision", "embedding").toPandas()
+        )
+        assert list(got["vec_id"]) == _sequential_farthest_point(cand, 6), f"trial {trial}"
