@@ -1527,6 +1527,68 @@ FROM m
 """
 
 
+def q_patch_metrics(spark, sf_dir):
+    """A5 in the reference's true consumption shape: contagion/clumpiness
+    PER PATCH (the rejection filter consumes per-patch clumpiness,
+    AlgalBloomFeatureWriter.java:277-303) — grouped neighbor join, one row
+    per 10x10 patch of the events grid."""
+    from esa_pfa_spark.operators.spatial import patch_metrics
+
+    m = patch_metrics(_events_grid(spark, sf_dir), patch=10)
+    return m.select(
+        "px", "py", "n00", "n01", "n10", "n11",
+        _r6(F.col("contagion")).alias("contagion"),
+        _r6(F.col("clumpiness")).alias("clumpiness"),
+    )
+
+
+SQL_PATCH_METRICS = f"""
+WITH {_GRID_CTE},
+o(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)),
+pairs AS (
+  SELECT a.x // 10 AS px, a.y // 10 AS py, a.flag AS f, b.flag AS nf
+  FROM g a CROSS JOIN o JOIN g b ON b.x = a.x + o.dx AND b.y = a.y + o.dy
+  WHERE (a.x + o.dx) // 10 = a.x // 10 AND (a.y + o.dy) // 10 = a.y // 10),
+adj AS (
+  SELECT px, py,
+         CAST(sum(CASE WHEN NOT f AND NOT nf THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+         CAST(sum(CASE WHEN NOT f AND nf THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         CAST(sum(CASE WHEN f AND NOT nf THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         CAST(sum(CASE WHEN f AND nf THEN 1 ELSE 0 END) AS BIGINT) AS n11
+  FROM pairs GROUP BY 1, 2),
+cells AS (
+  SELECT x // 10 AS px, y // 10 AS py,
+         CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS nset,
+         count(*) AS nall
+  FROM g GROUP BY 1, 2),
+m AS (
+  SELECT c.px, c.py,
+         CAST(coalesce(adj.n00, 0) AS BIGINT) AS n00,
+         CAST(coalesce(adj.n01, 0) AS BIGINT) AS n01,
+         CAST(coalesce(adj.n10, 0) AS BIGINT) AS n10,
+         CAST(coalesce(adj.n11, 0) AS BIGINT) AS n11,
+         nset, nall
+  FROM cells c LEFT JOIN adj ON c.px = adj.px AND c.py = adj.py),
+x AS (
+  SELECT px, py, n00, n01, n10, n11,
+         n00 + n01 + n10 + n11 AS tot,
+         nset * 1.0 / nall AS p_cls,
+         CASE WHEN n11 + n10 > 0 THEN n11 * 1.0 / (n11 + n10) ELSE 0.0 END AS gl
+  FROM m)
+SELECT CAST(px AS INT) AS px, CAST(py AS INT) AS py, n00, n01, n10, n11,
+       round(CASE WHEN tot > 0 THEN 1.0 +
+             ((CASE WHEN n00 > 0 THEN (n00*1.0/tot) * ln(n00*1.0/tot) ELSE 0 END) +
+              (CASE WHEN n01 > 0 THEN (n01*1.0/tot) * ln(n01*1.0/tot) ELSE 0 END) +
+              (CASE WHEN n10 > 0 THEN (n10*1.0/tot) * ln(n10*1.0/tot) ELSE 0 END) +
+              (CASE WHEN n11 > 0 THEN (n11*1.0/tot) * ln(n11*1.0/tot) ELSE 0 END))
+             / (2.0 * ln(2.0)) ELSE 1.0 END, 6) AS contagion,
+       round(CASE WHEN p_cls = 0.0 OR p_cls = 1.0 THEN 0.0
+                  WHEN gl >= p_cls THEN (gl - p_cls) / (1.0 - p_cls)
+                  ELSE (gl - p_cls) / p_cls END, 6) AS clumpiness
+FROM x
+"""
+
+
 def q_diversity_pick(spark, sf_dir):
     """§3.3 complete getMostAmbiguous: uncertainty ranking THEN deterministic
     farthest-point diversity selection (ActiveLearning.java:116-149,501-532;
@@ -1647,6 +1709,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flag_predicate_counts": (q_flag_predicate, SQL_FLAG_PREDICATE),
     "grid_transect_runs": (q_transect_runs, SQL_TRANSECT_RUNS),
     "grid_contagion_clumpiness": (q_contagion_clumpiness, SQL_CONTAGION_CLUMPINESS),
+    "grid_patch_metrics": (q_patch_metrics, SQL_PATCH_METRICS),
     "diversity_pick_farthest": (q_diversity_pick, _diversity_pick_sql()),
     "largest_component_grid": (q_largest_component, None),
     # non-SQL-expressible (rows-only):

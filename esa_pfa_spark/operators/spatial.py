@@ -223,6 +223,71 @@ def contagion_clumpiness_df(grid: DataFrame) -> DataFrame:
     )
 
 
+def patch_metrics(grid: DataFrame, patch: int = 10) -> DataFrame:
+    """Per-patch A5 metrics — the reference's actual consumption shape:
+    AggregationMetrics runs on each PATCH raster independently (the
+    rejection filter consumes per-patch clumpiness,
+    AlgalBloomFeatureWriter.java:277-303), so the grouped form computes
+    n00..n11 + contagion + clumpiness per (px, py) patch in ONE neighbor
+    join + groupBy.  Neighbor pairs crossing a patch boundary are excluded
+    — each patch is its own raster, exactly as in the reference.
+
+    Scale shape: the neighbor equi-join is hash-partitioned on (nx, ny);
+    the metric groupBy on (px, py) — patches are uniform by construction
+    (the PatchCS grid), so no skew handling is needed, mirroring the
+    reference's uniform grid keys."""
+    px = F.floor(F.col("x") / patch)
+    py = F.floor(F.col("y") / patch)
+    pairs = _neighbor_join(grid, NEIGH8)
+    same_patch = (F.floor(F.col("nx") / patch) == px) & (
+        F.floor(F.col("ny") / patch) == py
+    )
+    a = F.col("flag").cast("int")
+    b = F.col("nflag").cast("int")
+    adj = (
+        pairs.filter(same_patch)
+        .groupBy(px.alias("px"), py.alias("py"))
+        .agg(
+            F.sum((1 - a) * (1 - b)).alias("n00"),
+            F.sum((1 - a) * b).alias("n01"),
+            F.sum(a * (1 - b)).alias("n10"),
+            F.sum(a * b).alias("n11"),
+        )
+    )
+    cells = grid.groupBy(px.alias("px"), py.alias("py")).agg(
+        F.sum(F.col("flag").cast("int")).alias("__set"),
+        F.count(F.lit(1)).alias("__all"),
+    )
+    j = cells.join(adj, ["px", "py"], "left").na.fill(
+        0, ["n00", "n01", "n10", "n11"]
+    )
+    total = F.col("n00") + F.col("n01") + F.col("n10") + F.col("n11")
+
+    def term(c):
+        p = F.col(c) / total
+        return F.when(F.col(c) > 0, p * F.log(p)).otherwise(F.lit(0.0))
+
+    entropy = term("n00") + term("n01") + term("n10") + term("n11")
+    contagion = F.when(
+        total > 0, F.lit(1.0) + entropy / (2.0 * math.log(2.0))
+    ).otherwise(F.lit(1.0))
+    p_cls = F.col("__set") / F.col("__all")
+    denom = F.col("n11") + F.col("n10")
+    g = F.when(denom > 0, F.col("n11") / denom).otherwise(F.lit(0.0))
+    clump = (
+        F.when((p_cls == 0.0) | (p_cls == 1.0), F.lit(0.0))
+        .when(g >= p_cls, (g - p_cls) / (1.0 - p_cls))
+        .otherwise((g - p_cls) / p_cls)
+    )
+    return j.select(
+        F.col("px").cast("int").alias("px"),
+        F.col("py").cast("int").alias("py"),
+        "n00", "n01", "n10", "n11",
+        contagion.alias("contagion"),
+        clump.alias("clumpiness"),
+    )
+
+
 def connected_components(grid: DataFrame, max_iter: int = 50, checkpoint_every: int = 5) -> DataFrame:
     """4-neighbor connected components by iterative min-label propagation:
     label := min(label, neighbors' labels) until fixpoint.  Returns

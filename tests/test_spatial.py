@@ -107,3 +107,34 @@ def test_contagion_clumpiness_df_matches_dict(spark):
         assert row[k] == want[k]
     assert row["contagion"] == pytest.approx(want["contagion"])
     assert row["clumpiness"] == pytest.approx(want["clumpiness"])
+
+
+def test_patch_metrics_boundary_exclusion(spark):
+    """Two set cells adjacent ACROSS a patch boundary (x=1 vs x=2, patch=2)
+    must not see each other — each patch is its own raster, as in the
+    reference's per-patch AggregationMetrics."""
+    cells = [(x, 0, x in (1, 2)) for x in range(4)]  # patches {0,1} and {2,3}
+    rows = {(r["px"], r["py"]): r for r in
+            SP.patch_metrics(_grid(spark, cells), patch=2).collect()}
+    # patch 0: cells (0,F),(1,T) -> ordered pairs: (F,T),(T,F) -> n01=n10=1, n11=0
+    p0 = rows[(0, 0)]
+    assert (p0["n00"], p0["n01"], p0["n10"], p0["n11"]) == (0, 1, 1, 0)
+    # patch 1: cells (2,T),(3,F) -> mirror
+    p1 = rows[(1, 0)]
+    assert (p1["n00"], p1["n01"], p1["n10"], p1["n11"]) == (0, 1, 1, 0)
+    # no n11 anywhere: the set-set adjacency straddles the boundary
+    assert all(r["n11"] == 0 for r in rows.values())
+
+
+def test_patch_metrics_matches_global_when_one_patch(spark):
+    """With the patch bigger than the grid, per-patch == global metrics."""
+    cells = [(x, y, (x + y) % 3 == 0) for x in range(4) for y in range(4)]
+    g = _grid(spark, cells)
+    per = SP.patch_metrics(g, patch=100).collect()
+    assert len(per) == 1
+    want = SP.contagion_clumpiness_df(g).collect()[0]
+    got = per[0]
+    for k in ("n00", "n01", "n10", "n11"):
+        assert got[k] == want[k]
+    assert got["contagion"] == pytest.approx(want["contagion"])
+    assert got["clumpiness"] == pytest.approx(want["clumpiness"])
