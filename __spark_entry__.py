@@ -1589,6 +1589,61 @@ FROM x
 """
 
 
+def q_patch_rejection(spark, sf_dir):
+    """P3 composed as in the reference (AlgalBloomFeatureWriter.java:277-303):
+    reject a patch when valid ratio < 0.2, or ratio < 0.5 AND
+    clumpiness < 0.0 (cheap test first, clumpiness only in the uncertain
+    band)."""
+    from esa_pfa_spark.operators.spatial import patch_rejection
+
+    m = patch_rejection(_events_grid(spark, sf_dir), patch=10)
+    return m.select(
+        "px", "py",
+        _r6(F.col("valid_ratio")).alias("valid_ratio"),
+        _r6(F.col("clumpiness")).alias("clumpiness"),
+        F.col("accepted").cast("int").alias("accepted"),
+    )
+
+
+SQL_PATCH_REJECTION = f"""
+WITH {_GRID_CTE},
+o(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)),
+pairs AS (
+  SELECT a.x // 10 AS px, a.y // 10 AS py, a.flag AS f, b.flag AS nf
+  FROM g a CROSS JOIN o JOIN g b ON b.x = a.x + o.dx AND b.y = a.y + o.dy
+  WHERE (a.x + o.dx) // 10 = a.x // 10 AND (a.y + o.dy) // 10 = a.y // 10),
+adj AS (
+  SELECT px, py,
+         CAST(sum(CASE WHEN f AND NOT nf THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         CAST(sum(CASE WHEN f AND nf THEN 1 ELSE 0 END) AS BIGINT) AS n11
+  FROM pairs GROUP BY 1, 2),
+cells AS (
+  SELECT x // 10 AS px, y // 10 AS py,
+         CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS nset,
+         count(*) AS nall
+  FROM g GROUP BY 1, 2),
+m AS (
+  SELECT c.px, c.py,
+         CAST(coalesce(adj.n10, 0) AS BIGINT) AS n10,
+         CAST(coalesce(adj.n11, 0) AS BIGINT) AS n11,
+         nset * 1.0 / nall AS ratio
+  FROM cells c LEFT JOIN adj ON c.px = adj.px AND c.py = adj.py),
+x AS (
+  SELECT px, py, ratio,
+         CASE WHEN ratio = 0.0 OR ratio = 1.0 THEN 0.0
+              WHEN (CASE WHEN n11 + n10 > 0 THEN n11 * 1.0 / (n11 + n10) ELSE 0.0 END) >= ratio
+              THEN ((CASE WHEN n11 + n10 > 0 THEN n11 * 1.0 / (n11 + n10) ELSE 0.0 END) - ratio) / (1.0 - ratio)
+              ELSE ((CASE WHEN n11 + n10 > 0 THEN n11 * 1.0 / (n11 + n10) ELSE 0.0 END) - ratio) / ratio
+         END AS clump
+  FROM m)
+SELECT CAST(px AS INT) AS px, CAST(py AS INT) AS py,
+       round(ratio, 6) AS valid_ratio,
+       round(clump, 6) AS clumpiness,
+       CAST(NOT (ratio < 0.2 OR (ratio < 0.5 AND clump < 0.0)) AS INT) AS accepted
+FROM x
+"""
+
+
 def q_diversity_pick(spark, sf_dir):
     """§3.3 complete getMostAmbiguous: uncertainty ranking THEN deterministic
     farthest-point diversity selection (ActiveLearning.java:116-149,501-532;
@@ -1710,6 +1765,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "grid_transect_runs": (q_transect_runs, SQL_TRANSECT_RUNS),
     "grid_contagion_clumpiness": (q_contagion_clumpiness, SQL_CONTAGION_CLUMPINESS),
     "grid_patch_metrics": (q_patch_metrics, SQL_PATCH_METRICS),
+    "grid_patch_rejection": (q_patch_rejection, SQL_PATCH_REJECTION),
     "diversity_pick_farthest": (q_diversity_pick, _diversity_pick_sql()),
     "largest_component_grid": (q_largest_component, None),
     # non-SQL-expressible (rows-only):

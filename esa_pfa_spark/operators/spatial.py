@@ -288,6 +288,37 @@ def patch_metrics(grid: DataFrame, patch: int = 10) -> DataFrame:
     )
 
 
+def patch_rejection(
+    grid: DataFrame,
+    patch: int = 10,
+    min_valid_ratio: float = 0.2,
+    min_clumpiness: float = 0.0,
+    clumpiness_gate_ratio: float = 0.5,
+) -> DataFrame:
+    """P3 in the reference's composed form (AlgalBloomFeatureWriter.java:
+    277-303): a patch is rejected when its set-cell ratio is below
+    ``min_valid_ratio``, or when the ratio is below
+    ``clumpiness_gate_ratio`` AND its clumpiness is below
+    ``min_clumpiness`` (cheap ratio test first, clumpiness only consulted
+    in the uncertain band — the reference's exact ordering).  Returns all
+    patches with (ratio, clumpiness, accepted); filter on ``accepted`` for
+    the reference's surviving set."""
+    m = patch_metrics(grid, patch)
+    px = F.floor(F.col("x") / patch)
+    py = F.floor(F.col("y") / patch)
+    cells = grid.groupBy(px.alias("px"), py.alias("py")).agg(
+        (F.sum(F.col("flag").cast("int")) / F.count(F.lit(1))).alias("valid_ratio")
+    )
+    j = m.join(cells.withColumn("px", F.col("px").cast("int")).withColumn("py", F.col("py").cast("int")), ["px", "py"])
+    rejected = (F.col("valid_ratio") < min_valid_ratio) | (
+        (F.col("valid_ratio") < clumpiness_gate_ratio)
+        & (F.col("clumpiness") < min_clumpiness)
+    )
+    return j.select(
+        "px", "py", "valid_ratio", "clumpiness", (~rejected).alias("accepted")
+    )
+
+
 def connected_components(grid: DataFrame, max_iter: int = 50, checkpoint_every: int = 5) -> DataFrame:
     """4-neighbor connected components by iterative min-label propagation:
     label := min(label, neighbors' labels) until fixpoint.  Returns

@@ -138,3 +138,24 @@ def test_patch_metrics_matches_global_when_one_patch(spark):
         assert got[k] == want[k]
     assert got["contagion"] == pytest.approx(want["contagion"])
     assert got["clumpiness"] == pytest.approx(want["clumpiness"])
+
+
+def test_patch_rejection_ordering_semantics(spark):
+    """The reference's rejection order: ratio < 0.2 rejects regardless of
+    clumpiness; ratio in [0.2, 0.5) consults clumpiness; ratio >= 0.5
+    accepts regardless."""
+    # patch (0,0): 1/4 set, dispersed (clump < 0) -> rejected by the gate
+    # patch (1,0): 4/4 set -> accepted (ratio >= 0.5)
+    # patch (2,0): 0/4 set -> rejected (ratio < 0.2)
+    cells = (
+        [(0, 0, True), (1, 0, False), (0, 1, False), (1, 1, False)]
+        + [(x, y, True) for x in (2, 3) for y in (0, 1)]
+        + [(x, y, False) for x in (4, 5) for y in (0, 1)]
+    )
+    rows = {(r["px"], r["py"]): r for r in
+            SP.patch_rejection(_grid(spark, cells), patch=2,
+                               min_valid_ratio=0.2, min_clumpiness=0.0,
+                               clumpiness_gate_ratio=0.5).collect()}
+    assert not rows[(0, 0)]["accepted"]
+    assert rows[(1, 0)]["accepted"]
+    assert not rows[(2, 0)]["accepted"]
