@@ -1589,6 +1589,41 @@ FROM x
 """
 
 
+def q_patch_connectivity(spark, sf_dir):
+    """A6 per patch (ConnectivityMetrics on each patch raster): occupied /
+    inside / border / fractal per 10x10 patch; only patches with at least
+    one set cell appear (no raster -> no metric, as in the reference)."""
+    from esa_pfa_spark.operators.spatial import patch_connectivity
+
+    m = patch_connectivity(_events_grid(spark, sf_dir), patch=10)
+    return m.select(
+        "px", "py", "occupied", "inside", "border",
+        _r6(F.col("fractal_index")).alias("fractal_index"),
+    )
+
+
+SQL_PATCH_CONNECTIVITY = f"""
+WITH {_GRID_CTE},
+occ AS (SELECT x, y, x // 10 AS px, y // 10 AS py FROM g WHERE flag),
+o(dx, dy) AS (VALUES (-1,0),(1,0),(0,-1),(0,1)),
+nset AS (
+  SELECT a.x, a.y, count(*) AS c
+  FROM occ a CROSS JOIN o JOIN g b
+    ON b.x = a.x + o.dx AND b.y = a.y + o.dy AND b.flag
+  WHERE (a.x + o.dx) // 10 = a.px AND (a.y + o.dy) // 10 = a.py
+  GROUP BY a.x, a.y),
+cls AS (
+  SELECT occ.px, occ.py, coalesce(nset.c, 0) = 4 AS is_inside
+  FROM occ LEFT JOIN nset ON occ.x = nset.x AND occ.y = nset.y)
+SELECT CAST(px AS INT) AS px, CAST(py AS INT) AS py,
+       count(*) AS occupied,
+       CAST(sum(CASE WHEN is_inside THEN 1 ELSE 0 END) AS BIGINT) AS inside,
+       CAST(count(*) - sum(CASE WHEN is_inside THEN 1 ELSE 0 END) AS BIGINT) AS border,
+       round(2.0 - sum(CASE WHEN is_inside THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS fractal_index
+FROM cls GROUP BY 1, 2
+"""
+
+
 def q_patch_rejection(spark, sf_dir):
     """P3 composed as in the reference (AlgalBloomFeatureWriter.java:277-303):
     reject a patch when valid ratio < 0.2, or ratio < 0.5 AND
@@ -1766,6 +1801,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "grid_contagion_clumpiness": (q_contagion_clumpiness, SQL_CONTAGION_CLUMPINESS),
     "grid_patch_metrics": (q_patch_metrics, SQL_PATCH_METRICS),
     "grid_patch_rejection": (q_patch_rejection, SQL_PATCH_REJECTION),
+    "grid_patch_connectivity": (q_patch_connectivity, SQL_PATCH_CONNECTIVITY),
     "diversity_pick_farthest": (q_diversity_pick, _diversity_pick_sql()),
     "largest_component_grid": (q_largest_component, None),
     # non-SQL-expressible (rows-only):

@@ -288,6 +288,41 @@ def patch_metrics(grid: DataFrame, patch: int = 10) -> DataFrame:
     )
 
 
+def patch_connectivity(grid: DataFrame, patch: int = 10) -> DataFrame:
+    """Per-patch A6 connectivity (ConnectivityMetrics.java:44-126 evaluated
+    on each patch raster): occupied / inside / border counts and the
+    fractal index per (px, py), with neighbor relations confined to the
+    patch (a set cell on the patch edge cannot be 'inside' — its
+    cross-boundary neighbors belong to another raster).  Same grouped
+    neighbor-join shape as ``patch_metrics``."""
+    px = F.floor(F.col("x") / patch)
+    py = F.floor(F.col("y") / patch)
+    occ = grid.filter(F.col("flag"))
+    pairs = _neighbor_join(occ, NEIGH4)
+    same_patch = (F.floor(F.col("nx") / patch) == px) & (
+        F.floor(F.col("ny") / patch) == py
+    )
+    set_neigh = (
+        pairs.filter(same_patch & F.col("nflag"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_set_neighbors"))
+    )
+    classified = occ.join(set_neigh, ["x", "y"], "left").select(
+        px.cast("int").alias("px"),
+        py.cast("int").alias("py"),
+        (F.coalesce(F.col("n_set_neighbors"), F.lit(0)) == 4).alias("is_inside"),
+    )
+    agg = classified.groupBy("px", "py").agg(
+        F.count(F.lit(1)).alias("occupied"),
+        F.sum(F.col("is_inside").cast("int")).alias("inside"),
+    )
+    return agg.select(
+        "px", "py", "occupied", "inside",
+        (F.col("occupied") - F.col("inside")).alias("border"),
+        (F.lit(2.0) - F.col("inside") / F.col("occupied")).alias("fractal_index"),
+    )
+
+
 def patch_rejection(
     grid: DataFrame,
     patch: int = 10,

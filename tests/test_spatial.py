@@ -159,3 +159,18 @@ def test_patch_rejection_ordering_semantics(spark):
     assert not rows[(0, 0)]["accepted"]
     assert rows[(1, 0)]["accepted"]
     assert not rows[(2, 0)]["accepted"]
+
+
+def test_patch_connectivity_edge_cells_not_inside(spark):
+    """3x3 all-set patch alone: center is inside (8 occupied border);
+    a second patch whose cells touch the first across the boundary must
+    not gain inside cells from it."""
+    cells = [(x, y, True) for x in range(3) for y in range(3)]
+    cells += [(3, y, True) for y in range(3)]  # column in the next patch (patch=3)
+    rows = {(r["px"], r["py"]): r for r in
+            SP.patch_connectivity(_grid(spark, cells), patch=3).collect()}
+    p0 = rows[(0, 0)]
+    assert (p0["occupied"], p0["inside"], p0["border"]) == (9, 1, 8)
+    assert p0["fractal_index"] == pytest.approx(2 - 1 / 9)
+    p1 = rows[(1, 0)]
+    assert (p1["occupied"], p1["inside"]) == (3, 0)  # a 1-wide strip has no inside
