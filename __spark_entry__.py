@@ -804,6 +804,43 @@ FROM (SELECT doc_id,
 """
 
 
+def q_curation(spark, sf_dir):
+    """End-to-end curation pipeline (plans/curation.py): quality gate ->
+    exact dedup (keep min doc_id per digest) -> near-dup removal (drop the
+    greater doc of each Jaccard>=0.2 pair).  The production composition
+    of the engine's text/dedup operators, one lazy DataFrame program."""
+    from esa_pfa_spark.plans.curation import curate_documents
+
+    return curate_documents(_ld(spark, sf_dir, "documents"))
+
+
+SQL_CURATION = f"""
+WITH good AS (
+  SELECT d.* FROM documents d
+  WHERE len(string_split(text, ' ')) >= 5
+    AND len(list_filter(string_split(text, ' '), w -> w IN ({_STOP_IN}))) * 1.0
+        / len(string_split(text, ' ')) <= 0.7),
+canon AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY md5(text)),
+k AS (SELECT good.* FROM good JOIN canon USING (doc_id)),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM k),
+sh0 AS (SELECT doc_id, unnest(list_distinct(
+         list_transform(generate_series(1, len(ws)-2),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+       FROM w WHERE len(ws) >= 3),
+capped AS (SELECT shingle FROM sh0 GROUP BY shingle
+           HAVING count(*) <= {DD.MAX_SHINGLE_FREQ}),
+sh AS (SELECT doc_id, sh0.shingle FROM sh0 JOIN capped ON sh0.shingle = capped.shingle),
+sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+nd AS (SELECT DISTINCT db AS doc_id
+       FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+       WHERE i * 1.0 / (sa.s + sb.s - i) >= 0.2)
+SELECT k.doc_id, k.source FROM k ANTI JOIN nd USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Non-SQL-expressible (rows-only checks): flagship synthetic pipeline
 # ---------------------------------------------------------------------------
@@ -1770,6 +1807,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "lang_guess": (q_lang_guess, SQL_LANG_GUESS),
     "fingerprint_md5": (q_fingerprint, SQL_FINGERPRINT),
     "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "curation_survivors": (q_curation, SQL_CURATION),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIG),
     "minhash_band_candidates": (q_minhash_candidates, SQL_MINHASH_CAND),
     "simhash16": (q_simhash, _simhash_sql()),

@@ -1,0 +1,51 @@
+"""End-to-end training-data curation over a documents table — the
+composed pipeline a 100 TB pretraining corpus actually runs, built
+entirely from this engine's operators:
+
+  1. quality gate        (textstats.quality_scores thresholds)
+  2. exact dedup         (dedup.exact_dedup, keep the min doc_id per digest)
+  3. near-dup removal    (dedup.ngram_jaccard_pairs; drop the greater doc
+                          of every pair — keeps the minimal elements of
+                          the pair graph, deterministic)
+
+Order matters at scale and is the production order: the quality gate
+prunes before any join; exact dedup collapses identical docs BEFORE the
+shingle self-join so duplicate clusters cannot blow up near-dup buckets
+(see dedup.minhash_band_candidates' hot-bucket caveat).
+
+Every stage is a hash-partitioned groupBy/join — no global windows, no
+driver-side loops; the whole pipeline is one lazy DataFrame program.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from esa_pfa_spark.operators import dedup as DD
+from esa_pfa_spark.operators import textstats as TS
+
+
+def curate_documents(
+    docs: DataFrame,
+    min_words: int = 5,
+    max_stopword_ratio: float = 0.7,
+    jaccard_threshold: float = 0.2,
+) -> DataFrame:
+    """Surviving documents after the quality -> exact-dedup -> near-dup
+    chain.  Returns (doc_id, source); deterministic for fixed thresholds."""
+    q = TS.quality_scores(docs)
+    good_ids = q.filter(
+        (F.col("n_words") >= min_words)
+        & (F.col("stopword_ratio") <= max_stopword_ratio)
+    ).select("doc_id")
+    good = docs.join(good_ids, "doc_id")
+
+    canonical = DD.exact_dedup(good).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    kept = good.join(canonical, "doc_id")
+
+    pairs = DD.ngram_jaccard_pairs(kept, threshold=jaccard_threshold)
+    near_dups = pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
+    return kept.join(near_dups, "doc_id", "left_anti").select("doc_id", "source")

@@ -153,3 +153,34 @@ def test_stream_ffill_tolerance_evicts_state(spark, tmp_path):
     res = spark.sql("select * from ffill_t6").toPandas().sort_values("ts").reset_index(drop=True)
     assert res["last_value"].iloc[0] == 5.0
     assert pd.isna(res["last_value"].iloc[1]), "out-of-tolerance probe must be null"
+
+
+def test_stream_exact_dedup_across_microbatches(spark, tmp_path):
+    """Duplicate content arriving in a LATER micro-batch is dropped (digest
+    state persists across batches within the watermark)."""
+    from esa_pfa_spark.streaming.dedup import stream_exact_dedup
+
+    src = tmp_path / "dd"
+    pd.DataFrame(
+        {"doc_id": ["a"], "text": ["same text"], "ts": [T0]}
+    ).pipe(lambda p: spark.createDataFrame(p, schema="doc_id string, text string, ts timestamp")
+           .write.mode("append").parquet(str(src)))
+    pd.DataFrame(
+        {"doc_id": ["b", "c"], "text": ["same text", "other text"],
+         "ts": [T0 + dt.timedelta(minutes=1), T0 + dt.timedelta(minutes=2)]}
+    ).pipe(lambda p: spark.createDataFrame(p, schema="doc_id string, text string, ts timestamp")
+           .write.mode("append").parquet(str(src)))
+    stream = (
+        spark.readStream.schema("doc_id string, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    out = stream_exact_dedup(stream)
+    q = (
+        out.writeStream.format("memory").queryName("dd1")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    res = spark.sql("select * from dd1").toPandas().sort_values("doc_id")
+    assert set(res["doc_id"]) == {"a", "c"}, (
+        "duplicate 'b' must be dropped by digest state across micro-batches"
+    )
