@@ -1775,6 +1775,184 @@ def q_largest_component(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Token-sequence operators (the input-hint payload: tokens array<int32>).
+# Token ids are DERIVED from documents.text with the portable md5-hash
+# tokenizer (tokens.word_token) so every query has an exact DuckDB oracle:
+#   Spark  conv(substr(md5(w),1,6),16,10) % V
+#   DuckDB CAST(('0x' || substr(md5(w),1,6)) AS INTEGER) % V
+# verified bit-identical.  Production inputs arrive pre-tokenized and skip
+# the derivation step.
+# ---------------------------------------------------------------------------
+
+_TOK_SQL = (
+    "list_transform(string_split(text, ' '), "
+    "w -> CAST(('0x' || substr(md5(w), 1, 6)) AS INTEGER) % 32768)"
+)
+
+
+def _tokenized_docs(spark, sf_dir):
+    from esa_pfa_spark.operators.tokens import tokenize
+
+    return tokenize(_ld(spark, sf_dir, "documents"))
+
+
+def q_token_chunks(spark, sf_dir):
+    """Fixed-window LM chunking (max_len=16, stride=12 => overlapping
+    windows): map-only column math, no shuffle.  chunk_fp is the md5 of the
+    comma-joined window — the token-array equality witness the north rule
+    requires, checked cell-for-cell against the oracle."""
+    from esa_pfa_spark.operators.tokens import chunk_tokens
+
+    return chunk_tokens(_tokenized_docs(spark, sf_dir), max_len=16, stride=12)
+
+
+SQL_TOKEN_CHUNKS = f"""
+WITH tok AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+st AS (SELECT doc_id, toks,
+              unnest(generate_series(0, len(toks) - 1, 12)) AS s
+       FROM tok WHERE len(toks) > 0),
+c AS (SELECT doc_id, s // 12 AS chunk_idx, list_slice(toks, s + 1, s + 16) AS ck
+      FROM st)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(ck) AS BIGINT) AS n_chunk,
+       CAST(ck[1] AS BIGINT) AS first_tok,
+       CAST(ck[len(ck)] AS BIGINT) AS last_tok,
+       md5(array_to_string(ck, ',')) AS chunk_fp
+FROM c
+"""
+
+
+def q_token_packing(spark, sf_dir):
+    """Context-window sequence packing (capacity=128) in deterministic
+    (source, doc_id) order.  The oracle's global-window cumsum is the
+    single-task plan; the engine uses the range-partitioned per-partition
+    offset decomposition (tokens.pack_offsets) — same rows, scalable."""
+    from esa_pfa_spark.operators.tokens import pack_offsets
+
+    return pack_offsets(_tokenized_docs(spark, sf_dir), capacity=128)
+
+
+SQL_TOKEN_PACKING = """
+WITH tok AS (SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+             FROM documents),
+cum AS (SELECT source, doc_id, n_tok,
+               sum(n_tok) OVER (ORDER BY source, doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tok AS gs
+        FROM tok WHERE n_tok > 0),
+sp AS (SELECT source, doc_id, n_tok, gs,
+              unnest(generate_series(CAST(gs // 128 AS BIGINT),
+                                     CAST((gs + n_tok - 1) // 128 AS BIGINT))) AS chunk_id
+       FROM cum)
+SELECT source, doc_id,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(greatest(chunk_id * 128 - gs, 0) AS BIGINT) AS tok_start_in_doc,
+       CAST(least(chunk_id * 128 + 128 - gs, n_tok)
+            - greatest(chunk_id * 128 - gs, 0) AS BIGINT) AS n_in_chunk
+FROM sp
+"""
+
+
+def q_token_vocab(spark, sf_dir):
+    """Vocabulary histogram top-50: explode -> partial-agg (map-side
+    combine) -> TakeOrderedAndProject; deterministic tie-break (cnt desc,
+    token asc)."""
+    from esa_pfa_spark.operators.tokens import vocab_counts
+
+    return vocab_counts(_tokenized_docs(spark, sf_dir), k=50)
+
+
+SQL_TOKEN_VOCAB = f"""
+WITH tok AS (SELECT {_TOK_SQL} AS toks FROM documents),
+t AS (SELECT unnest(toks) AS token FROM tok)
+SELECT CAST(token AS BIGINT) AS token, count(*) AS cnt
+FROM t GROUP BY 1
+ORDER BY cnt DESC, token ASC LIMIT 50
+"""
+
+
+def q_token_bigrams(spark, sf_dir):
+    """Adjacent-pair (bigram) count table top-40 — the n-gram LM shape;
+    pairs built JVM-side, same partial-agg top-k plan as the vocab."""
+    from esa_pfa_spark.operators.tokens import bigram_counts
+
+    return bigram_counts(_tokenized_docs(spark, sf_dir), k=40)
+
+
+SQL_TOKEN_BIGRAMS = f"""
+WITH tok AS (SELECT {_TOK_SQL} AS toks FROM documents),
+p AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> {{'t1': toks[i], 't2': toks[i + 1]}})) AS pr
+      FROM tok WHERE len(toks) >= 2)
+SELECT CAST(pr.t1 AS BIGINT) AS t1, CAST(pr.t2 AS BIGINT) AS t2, count(*) AS cnt
+FROM p GROUP BY 1, 2
+ORDER BY cnt DESC, t1 ASC, t2 ASC LIMIT 40
+"""
+
+
+def q_dup_ngram_spans(spark, sf_dir):
+    """Exact-substring training-data dedup at 8-gram granularity: corpus-
+    duplicated token windows merged into maximal per-doc spans.  Fingerprint
+    agg with map-side combine, equi-join back, doc-partitioned span merge —
+    no all-pairs stage (see tokens.dup_ngram_summary scale notes)."""
+    from esa_pfa_spark.operators.tokens import dup_ngram_summary
+
+    return dup_ngram_summary(_tokenized_docs(spark, sf_dir), n=8, min_count=2)
+
+
+SQL_DUP_NGRAM = f"""
+WITH tok AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+w AS (SELECT doc_id, len(toks) AS n_tok,
+             unnest(generate_series(0, len(toks) - 8)) AS s, toks
+      FROM tok WHERE len(toks) >= 8),
+f AS (SELECT doc_id, n_tok, s,
+             md5(array_to_string(list_slice(toks, s + 1, s + 8), ',')) AS fp
+      FROM w),
+d AS (SELECT fp FROM f GROUP BY fp HAVING count(*) >= 2),
+dw AS (SELECT doc_id, n_tok, s FROM f JOIN d USING (fp)),
+b AS (SELECT doc_id, n_tok, s,
+             CASE WHEN s - lag(s) OVER (PARTITION BY doc_id ORDER BY s) <= 8
+                  THEN 0 ELSE 1 END AS brk
+      FROM dw),
+g AS (SELECT doc_id, n_tok, s,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS grp
+      FROM b),
+sp AS (SELECT doc_id, n_tok, grp, count(*) AS w, max(s) + 8 - min(s) AS len
+       FROM g GROUP BY 1, 2, 3)
+SELECT doc_id,
+       CAST(max(n_tok) AS BIGINT) AS n_tok,
+       CAST(sum(w) AS BIGINT) AS n_dup_windows,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(len) AS BIGINT) AS dup_tokens,
+       round(sum(len) * 1.0 / max(n_tok), 6) AS dup_frac
+FROM sp GROUP BY doc_id
+"""
+
+
+def q_token_repetition(spark, sf_dir):
+    """Gopher-style intra-document repetition gates: distinct-token ratio +
+    most-frequent-token share.  Two-level aggregation, one shuffle keyed by
+    doc_id."""
+    from esa_pfa_spark.operators.tokens import repetition_stats
+
+    return repetition_stats(_tokenized_docs(spark, sf_dir))
+
+
+SQL_TOKEN_REPETITION = f"""
+WITH tok AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+pt AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+c AS (SELECT doc_id, token, count(*) AS c FROM pt GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tok,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(1.0 - count(*) * 1.0 / sum(c), 6) AS dup_ratio,
+       round(max(c) * 1.0 / sum(c), 6) AS top_token_share
+FROM c GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -1841,6 +2019,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "grid_patch_rejection": (q_patch_rejection, SQL_PATCH_REJECTION),
     "grid_patch_connectivity": (q_patch_connectivity, SQL_PATCH_CONNECTIVITY),
     "diversity_pick_farthest": (q_diversity_pick, _diversity_pick_sql()),
+    "token_chunk_windows": (q_token_chunks, SQL_TOKEN_CHUNKS),
+    "token_pack_capacity": (q_token_packing, SQL_TOKEN_PACKING),
+    "token_vocab_topk": (q_token_vocab, SQL_TOKEN_VOCAB),
+    "token_bigrams_topk": (q_token_bigrams, SQL_TOKEN_BIGRAMS),
+    "token_repetition_stats": (q_token_repetition, SQL_TOKEN_REPETITION),
+    "token_dup_ngram_spans": (q_dup_ngram_spans, SQL_DUP_NGRAM),
     "largest_component_grid": (q_largest_component, None),
     # non-SQL-expressible (rows-only):
     "flagship_feature_table_synth": (q_flagship_synth, None),

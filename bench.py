@@ -49,6 +49,9 @@ HEADLINE = [
     "ann_lsh_topk",
     "salted_agg_by_user",
     "asof_backward_multikey_3d",
+    "token_chunk_windows",
+    "token_pack_capacity",
+    "token_repetition_stats",
 ]
 
 # flagship synthetic scale (distributed generation, written once to parquet)

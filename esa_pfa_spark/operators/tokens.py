@@ -1,0 +1,332 @@
+"""Token-sequence operators for LLM training-data pipelines: portable
+tokenization, fixed-window chunking, context-window sequence packing,
+vocabulary / bigram statistics, and intra-document repetition signals.
+
+These operate on the engine's core payload — pre-tokenized sequences
+(BASELINE input hint: ``tokens array<int32>``).  For oracle-checkable
+queries the token column is DERIVED from ``documents.text`` with an
+engine-portable tokenizer (md5-hash word ids, bit-identical between
+Spark and DuckDB); production inputs arrive already tokenized and skip
+``tokenize``.
+
+Scale notes (100 TB):
+ - ``tokenize``/``chunk_tokens`` are pure JVM column math (codegen) — a
+   map-only stage, no shuffle.
+ - ``pack_offsets`` needs a GLOBAL deterministic concatenation order.
+   The naive form is a partition-less window cumsum (one task sees every
+   row).  The scalable form here mirrors ``dictionary.dense_ids``:
+   range-partition by the order key, per-partition token sums to the
+   driver (n_partitions rows, not data), then a zero-copy Arrow cumsum
+   per partition — every task touches O(rows/n_partitions).
+ - ``vocab_counts``/``bigram_counts`` are explode -> partial-agg (map-side
+   combine) -> top-k via TakeOrderedAndProject; the shuffle carries one
+   row per distinct (token) or (t1,t2), not per occurrence.
+ - ``repetition_stats`` is a two-level aggregation (per (doc,token) then
+   per doc) — one shuffle keyed by doc_id; no joins.
+
+Reference analog: the reference has no token ops (imaging domain); these
+are the training-data additions the brief requires, shaped like its
+per-patch statistics (AbstractApplicationDescriptor feature vectors).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark import TaskContext
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_VOCAB = 32768
+
+
+def word_token(col, vocab: int = DEFAULT_VOCAB):
+    """Portable word -> token id: ``conv(substr(md5(w),1,6),16,10) % vocab``.
+    md5 is bit-identical across Spark / DuckDB / Python; 6 hex chars fit an
+    int32.  DuckDB equivalent: ``CAST(('0x' || substr(md5(w),1,6)) AS
+    INTEGER) % vocab``."""
+    return (F.conv(F.substring(F.md5(col), 1, 6), 16, 10).cast("int") % vocab).cast("int")
+
+
+def tokenize(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab: int = DEFAULT_VOCAB,
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Append ``tokens array<int>`` + ``n_tok int`` — the input-hint shape
+    — derived from whitespace words via the portable hash tokenizer."""
+    words = F.split(F.col(text_col), " ")
+    toks = F.transform(words, lambda w: word_token(w, vocab))
+    return df.withColumn(out_col, toks).withColumn("n_tok", F.size(F.col(out_col)))
+
+
+def chunk_tokens(
+    df: DataFrame,
+    max_len: int = 16,
+    stride: int = 12,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document's token array into fixed-length windows of
+    ``max_len`` starting every ``stride`` tokens (stride < max_len =>
+    overlapping windows, the usual LM pretraining shape).  A window starts
+    at every offset 0, stride, 2*stride, ... < n_tok.
+
+    Output per (doc, window): ``chunk_idx`` (0-based), ``n_chunk`` (<=
+    max_len; the final window may be short), ``first_tok``/``last_tok``,
+    and ``chunk_fp`` = md5 of the comma-joined window — the token-array
+    equality witness, portable to the SQL oracle.
+
+    Pure column math + one explode: map-only, no shuffle; at 100 TB this
+    is embarrassingly parallel over input splits."""
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    out = (
+        df.filter(n > 0)
+        .select(id_col, toks.alias("__t"), F.posexplode(starts).alias("chunk_idx", "__s"))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.slice(F.col("__t"), F.col("__s") + 1, max_len).alias("__c"),
+        )
+    )
+    chunk_str = F.array_join(F.transform(F.col("__c"), lambda x: x.cast("string")), ",")
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("__c").cast("long").alias("n_chunk"),
+        F.element_at("__c", 1).cast("long").alias("first_tok"),
+        F.element_at("__c", -1).cast("long").alias("last_tok"),
+        F.md5(chunk_str).alias("chunk_fp"),
+    )
+
+
+def pack_offsets(
+    df: DataFrame,
+    capacity: int = 128,
+    order_cols: tuple[str, ...] = ("source", "doc_id"),
+    ntok_col: str = "n_tok",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Context-window sequence packing: concatenate all documents in the
+    deterministic global order ``order_cols``, then cut the stream into
+    windows of ``capacity`` tokens.  A document spanning a boundary is
+    split (standard LM packing with document concatenation); emit one row
+    per (document x window) overlap with the in-document token span.
+
+    Equivalent SQL: global-window cumsum of n_tok + generate_series over
+    the spanned window ids — but ``sum() OVER (ORDER BY ...)`` funnels all
+    rows through one task.  Scalable plan (dense_ids pattern):
+
+      1. range-partition + sort by ``order_cols`` (partition p holds a
+         contiguous slice of the global order);
+      2. collect per-partition SUM(n_tok) -> cumulative start offsets
+         (n_partitions scalars to the driver);
+      3. zero-copy Arrow cumsum per partition, shifted by the offset ->
+         each doc's global ``tok_start``;
+      4. window span + per-window token range: pure column math + explode.
+
+    Output: order_cols…, ``chunk_id`` (global window ordinal), ``tok_start
+    _in_doc``/``n_in_chunk`` (0-based half-open span of this doc's tokens
+    inside the window), ``n_tok``."""
+    spark = df.sparkSession
+    if n_partitions is None:
+        n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = df.filter(F.col(ntok_col) > 0).select(*order_cols, F.col(ntok_col).alias("n_tok"))
+    ranged = base.repartitionByRange(n_partitions, *[F.col(c) for c in order_cols]) \
+                 .sortWithinPartitions(*order_cols)
+
+    sums = (
+        ranged.select(F.spark_partition_id().alias("__pid"), "n_tok")
+        .groupBy("__pid")
+        .agg(F.sum("n_tok").alias("s"))
+        .collect()
+    )
+    totals = np.zeros(n_partitions, dtype=np.int64)
+    for r in sums:
+        totals[r["__pid"]] = r["s"]
+    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]])
+
+    out_schema = T.StructType(
+        [ranged.schema[c] for c in order_cols]
+        + [
+            T.StructField("n_tok", T.IntegerType(), False),
+            T.StructField("tok_start", T.LongType(), False),
+        ]
+    )
+
+    def cumsum(batches):
+        import pyarrow as pa
+
+        running = int(offsets[TaskContext.get().partitionId()])
+        for b in batches:
+            n = b.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+            starts = running + np.concatenate([[0], np.cumsum(n)[:-1]])
+            running += int(n.sum())
+            arrays = [b.column(c) for c in order_cols] + [
+                b.column("n_tok").cast(pa.int32()),
+                pa.array(starts, type=pa.int64()),
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, list(order_cols) + ["n_tok", "tok_start"])
+
+    placed = ranged.withColumn("n_tok", F.col("n_tok").cast("int")).mapInArrow(
+        cumsum, schema=out_schema
+    )
+
+    start, ntok = F.col("tok_start"), F.col("n_tok")
+    first_c = F.floor(start / capacity)
+    last_c = F.floor((start + ntok - 1) / capacity)
+    spans = placed.select(
+        *order_cols,
+        ntok.alias("n_tok"),
+        start.alias("__gs"),
+        F.explode(F.sequence(first_c, last_c)).alias("chunk_id"),
+    )
+    cstart = F.col("chunk_id") * capacity
+    tok_start_in_doc = F.greatest(cstart - F.col("__gs"), F.lit(0)).cast("long")
+    tok_end_in_doc = F.least(cstart + capacity - F.col("__gs"), F.col("n_tok").cast("long"))
+    return spans.select(
+        *order_cols,
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        tok_start_in_doc.alias("tok_start_in_doc"),
+        (tok_end_in_doc - tok_start_in_doc).cast("long").alias("n_in_chunk"),
+    )
+
+
+def vocab_counts(
+    df: DataFrame, tokens_col: str = "tokens", k: int | None = 50
+) -> DataFrame:
+    """Token-frequency table (the vocabulary histogram a tokenizer audit
+    needs).  explode -> groupBy(token).count: Spark's hash aggregate does
+    the map-side partial combine, so the shuffle moves one row per
+    distinct token per task, not per occurrence.  With ``k``, ordering is
+    deterministic (count desc, token asc) via TakeOrderedAndProject."""
+    counts = (
+        df.select(F.explode(F.col(tokens_col)).alias("__tok"))
+        .select(F.col("__tok").cast("long").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if k is None:
+        return counts
+    return counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(k)
+
+
+def bigram_counts(
+    df: DataFrame, tokens_col: str = "tokens", k: int | None = 40
+) -> DataFrame:
+    """Adjacent-pair (bigram) frequency over token arrays — the n-gram LM
+    count table.  Pairs are built JVM-side (transform over an index
+    sequence; Spark ``arr[i]`` is 0-based), then the same partial-agg
+    top-k shape as ``vocab_counts``."""
+    toks = F.col(tokens_col)
+    pairs = F.expr(
+        f"transform(sequence(0, size({tokens_col}) - 2), "
+        f"i -> struct({tokens_col}[i] AS t1, {tokens_col}[i + 1] AS t2))"
+    )
+    counts = (
+        df.filter(F.size(toks) >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.t1").cast("long").alias("t1"), F.col("p.t2").cast("long").alias("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if k is None:
+        return counts
+    return counts.orderBy(F.col("cnt").desc(), F.col("t1").asc(), F.col("t2").asc()).limit(k)
+
+
+def dup_ngram_summary(
+    df: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated-substring detection at token n-gram
+    granularity (the exact-substring training-data dedup pass, approximated
+    with fixed n): find every length-``n`` token window whose fingerprint
+    occurs >= ``min_count`` times in the corpus, merge overlapping /
+    adjacent duplicated windows into maximal spans per document, and report
+    per-doc totals.
+
+    Output: ``doc_id, n_tok, n_dup_windows, n_spans, dup_tokens,
+    dup_frac`` (dup_tokens = tokens covered by the union of spans).
+
+    Plan shape (100 TB): window fingerprints are one explode (xn_tok rows)
+    -> groupBy(fp) partial-agg (map-side combine shrinks the shuffle to one
+    row per distinct fingerprint per task) -> equi-join back on fp ->
+    per-doc span merge via a doc_id-partitioned window (gaps-and-islands).
+    No all-pairs comparison anywhere; the heavy shuffle carries (fp,
+    doc, pos) triples only for windows that are actually duplicated."""
+    toks = F.col(tokens_col)
+    starts = F.sequence(F.lit(0), F.size(toks) - n)
+    gram = F.slice(F.col("__t"), F.col("s") + 1, n)
+    wins = (
+        df.filter(F.size(toks) >= n)
+        .select(id_col, F.size(toks).alias("__n_tok"), toks.alias("__t"),
+                F.explode(starts).alias("s"))
+        .select(
+            id_col,
+            "__n_tok",
+            "s",
+            F.md5(
+                F.array_join(F.transform(gram, lambda x: x.cast("string")), ",")
+            ).alias("fp"),
+        )
+    )
+    dup_fp = (
+        wins.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= min_count)
+        .select("fp")
+    )
+    dw = wins.join(dup_fp, "fp").select(id_col, "__n_tok", "s")
+
+    from pyspark.sql import Window as W
+
+    byd = W.partitionBy(id_col).orderBy("s")
+    spans = (
+        dw.withColumn("__prev", F.lag("s").over(byd))
+        .withColumn(
+            "__brk",
+            F.when(F.col("__prev").isNull() | (F.col("s") - F.col("__prev") > n), 1).otherwise(0),
+        )
+        .withColumn("__grp", F.sum("__brk").over(byd))
+        .groupBy(id_col, "__n_tok", "__grp")
+        .agg(
+            F.count(F.lit(1)).alias("__w"),
+            (F.max("s") + n - F.min("s")).alias("__len"),
+        )
+    )
+    return spans.groupBy(id_col).agg(
+        F.first("__n_tok").cast("long").alias("n_tok"),
+        F.sum("__w").cast("long").alias("n_dup_windows"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("__len").cast("long").alias("dup_tokens"),
+        F.round(F.sum("__len") / F.first("__n_tok"), 6).alias("dup_frac"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id"
+) -> DataFrame:
+    """Intra-document repetition signals (Gopher-style quality gates):
+    distinct-token ratio and the most-frequent-token share.  Two-level
+    aggregation — per (doc, token) counts, then per doc — one shuffle
+    keyed by doc_id, no self-join, no per-row Python."""
+    per_tok = (
+        df.select(id_col, F.explode(F.col(tokens_col)).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    return per_tok.groupBy(id_col).agg(
+        n.cast("long").alias("n_tok"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.round(F.lit(1.0) - F.count(F.lit(1)) / n, 6).alias("dup_ratio"),
+        F.round(F.max("c") / n, 6).alias("top_token_share"),
+    )

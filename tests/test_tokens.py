@@ -1,0 +1,173 @@
+"""Token-sequence operator tests: hand-counted chunking goldens, sequence
+packing vs a sequential numpy oracle (the global-concatenation semantics),
+vocab/bigram counts, and repetition stats.  The oracle mirror
+(test_entry_oracle.py) covers DuckDB parity end-to-end; these pin the
+semantics on tiny inputs where the expected values are hand-checkable."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from esa_pfa_spark.operators import tokens as TK
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        ("d1", "a b c d e f g", "s1"),
+        ("d2", "a a a b", "s1"),
+        ("d3", "x", "s2"),
+        ("d4", "p q r s t u v w x y z", "s2"),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string, source string")
+
+
+def test_tokenize_shape_and_determinism(docs):
+    out = TK.tokenize(docs).select("doc_id", "tokens", "n_tok").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id["d1"]["n_tok"] == 7
+    assert by_id["d3"]["n_tok"] == 1
+    # same word -> same id, everywhere
+    t2 = by_id["d2"]["tokens"]
+    assert t2[0] == t2[1] == t2[2]
+    assert t2[0] == by_id["d1"]["tokens"][0]  # 'a' in both docs
+    assert all(0 <= t < TK.DEFAULT_VOCAB for r in out for t in r["tokens"])
+
+
+def test_chunk_tokens_windows(spark):
+    df = spark.createDataFrame(
+        [("d", list(range(10)))], "doc_id string, tokens array<int>"
+    )
+    got = {
+        r["chunk_idx"]: r
+        for r in TK.chunk_tokens(df, max_len=4, stride=3).collect()
+    }
+    # starts 0,3,6,9 -> windows [0..3],[3..6],[6..9],[9]
+    assert sorted(got) == [0, 1, 2, 3]
+    assert (got[0]["first_tok"], got[0]["last_tok"], got[0]["n_chunk"]) == (0, 3, 4)
+    assert (got[1]["first_tok"], got[1]["last_tok"]) == (3, 6)
+    assert (got[3]["first_tok"], got[3]["last_tok"], got[3]["n_chunk"]) == (9, 9, 1)
+    # fingerprint is the md5 of the comma-joined window
+    import hashlib
+
+    assert got[2]["chunk_fp"] == hashlib.md5(b"6,7,8,9").hexdigest()
+
+
+def test_chunk_tokens_drops_empty(spark):
+    df = spark.createDataFrame(
+        [("e", []), ("f", [5])], "doc_id string, tokens array<int>"
+    )
+    rows = TK.chunk_tokens(df, max_len=4, stride=3).collect()
+    assert [r["doc_id"] for r in rows] == ["f"]
+
+
+def _pack_oracle(rows, capacity):
+    """Sequential reference: concatenate in (source, doc_id) order, cut at
+    capacity boundaries, emit (source, doc_id, n_tok, chunk_id, start_in_doc,
+    n_in_chunk)."""
+    out = []
+    gs = 0
+    for source, doc_id, n in sorted(rows):
+        first_c, last_c = gs // capacity, (gs + n - 1) // capacity
+        for c in range(first_c, last_c + 1):
+            lo = max(c * capacity - gs, 0)
+            hi = min(c * capacity + capacity - gs, n)
+            out.append((source, doc_id, n, c, lo, hi - lo))
+        gs += n
+    return sorted(out)
+
+
+@pytest.mark.parametrize("n_partitions", [1, 5])
+def test_pack_offsets_matches_sequential_oracle(spark, n_partitions):
+    rng = np.random.default_rng(7)
+    rows = [
+        (f"s{i % 3}", f"d{i:03d}", int(rng.integers(1, 40))) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id string, n_tok int")
+    got = sorted(
+        tuple(r)
+        for r in TK.pack_offsets(df, capacity=64, n_partitions=n_partitions)
+        .select("source", "doc_id", "n_tok", "chunk_id", "tok_start_in_doc", "n_in_chunk")
+        .collect()
+    )
+    assert got == _pack_oracle(rows, 64)
+
+
+def test_pack_offsets_tiles_exactly(spark):
+    """Every token lands in exactly one window; full windows hold exactly
+    `capacity` tokens."""
+    rows = [("s", f"d{i:02d}", 10 + i) for i in range(20)]
+    df = spark.createDataFrame(rows, "source string, doc_id string, n_tok int")
+    out = TK.pack_offsets(df, capacity=32, n_partitions=3)
+    total = out.agg(F.sum("n_in_chunk")).collect()[0][0]
+    assert total == sum(n for _, _, n in rows)
+    per_chunk = {
+        r["chunk_id"]: r["s"]
+        for r in out.groupBy("chunk_id").agg(F.sum("n_in_chunk").alias("s")).collect()
+    }
+    last = max(per_chunk)
+    for cid, s in per_chunk.items():
+        assert s == 32 or cid == last
+
+
+def test_vocab_and_bigram_counts(spark):
+    df = spark.createDataFrame(
+        [("a", [1, 2, 1]), ("b", [1, 3]), ("c", [9])],
+        "doc_id string, tokens array<int>",
+    )
+    vc = {r["token"]: r["cnt"] for r in TK.vocab_counts(df, k=None).collect()}
+    assert vc == {1: 3, 2: 1, 3: 1, 9: 1}
+    top = TK.vocab_counts(df, k=2).collect()
+    assert [(r["token"], r["cnt"]) for r in top] == [(1, 3), (2, 1)]
+    bg = {(r["t1"], r["t2"]): r["cnt"] for r in TK.bigram_counts(df, k=None).collect()}
+    assert bg == {(1, 2): 1, (2, 1): 1, (1, 3): 1}
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [("a", [5, 5, 5, 7]), ("b", [1, 2, 3, 4])],
+        "doc_id string, tokens array<int>",
+    )
+    got = {r["doc_id"]: r for r in TK.repetition_stats(df).collect()}
+    assert got["a"]["n_tok"] == 4 and got["a"]["n_distinct"] == 2
+    assert got["a"]["dup_ratio"] == 0.5 and got["a"]["top_token_share"] == 0.75
+    assert got["b"]["dup_ratio"] == 0.0 and got["b"]["top_token_share"] == 0.25
+
+
+def test_dup_ngram_summary(spark):
+    """Two docs sharing one 4-gram at overlapping positions; spans merge."""
+    shared = [10, 11, 12, 13]
+    d1 = [1, 2] + shared + [3, 4]          # dup window at s=2
+    d2 = shared + [9, 9, 9] + shared       # dup windows at s=0 and s=7
+    d3 = [5, 6, 7, 8, 5, 6]                # no duplicated 4-gram
+    df = spark.createDataFrame(
+        [("a", d1), ("b", d2), ("c", d3)], "doc_id string, tokens array<int>"
+    )
+    got = {r["doc_id"]: r for r in TK.dup_ngram_summary(df, n=4).collect()}
+    assert set(got) == {"a", "b"}
+    assert (got["a"]["n_dup_windows"], got["a"]["n_spans"], got["a"]["dup_tokens"]) == (1, 1, 4)
+    # d2: s=0 and s=7, gap 7 > n=4 -> two separate spans of 4 tokens each
+    assert (got["b"]["n_dup_windows"], got["b"]["n_spans"], got["b"]["dup_tokens"]) == (2, 2, 8)
+    assert got["b"]["dup_frac"] == round(8 / 11, 6)
+
+
+def test_dup_ngram_merges_overlapping_windows(spark):
+    """A run of duplicated windows at consecutive starts collapses to ONE
+    span covering the union."""
+    rep = [7, 7, 7, 7, 7, 7]  # all 3-grams inside are identical -> dup
+    df = spark.createDataFrame([("a", rep)], "doc_id string, tokens array<int>")
+    got = TK.dup_ngram_summary(df, n=3).collect()[0]
+    # starts 0..3 all duplicated (same fp occurs 4x), one span covering 0..5
+    assert (got["n_dup_windows"], got["n_spans"], got["dup_tokens"]) == (4, 1, 6)
+    assert got["dup_frac"] == 1.0
+
+
+def test_chunking_plan_is_map_only(spark):
+    """chunk_tokens must not shuffle: no Exchange in the plan."""
+    df = spark.createDataFrame(
+        [("d", list(range(10)))], "doc_id string, tokens array<int>"
+    )
+    plan = TK.chunk_tokens(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
