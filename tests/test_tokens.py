@@ -164,6 +164,17 @@ def test_dup_ngram_merges_overlapping_windows(spark):
     assert got["dup_frac"] == 1.0
 
 
+def test_dup_ngram_skew_safe_path_identical(spark):
+    rng = np.random.default_rng(3)
+    rows = [
+        (f"d{i}", [int(x) for x in rng.integers(0, 6, size=30)]) for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    a = sorted(map(tuple, TK.dup_ngram_summary(df, n=4).collect()))
+    b = sorted(map(tuple, TK.dup_ngram_summary(df, n=4, skew_safe=True).collect()))
+    assert a == b and len(a) > 0
+
+
 def test_chunking_plan_is_map_only(spark):
     """chunk_tokens must not shuffle: no Exchange in the plan."""
     df = spark.createDataFrame(
