@@ -1947,7 +1947,9 @@ SELECT doc_id,
        CAST(sum(c) AS BIGINT) AS n_tok,
        CAST(count(*) AS BIGINT) AS n_distinct,
        round(1.0 - count(*) * 1.0 / sum(c), 6) AS dup_ratio,
-       round(max(c) * 1.0 / sum(c), 6) AS top_token_share
+       round(max(c) * 1.0 / sum(c), 6) AS top_token_share,
+       round(ln(sum(c)) - CAST(sum(CAST(c * ln(c) AS DECIMAL(18,6))) AS DOUBLE)
+             / sum(c), 6) AS entropy
 FROM c GROUP BY doc_id
 """
 

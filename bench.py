@@ -153,6 +153,13 @@ def main() -> None:
         # caches so per-query numbers measure steady-state execution, not
         # first-query compilation (the first query otherwise pays ~5s JIT)
         _force(qs[HEADLINE[0]](spark, sf_dir))
+        # spawn the Python/Arrow worker pool before timing: mapInArrow /
+        # pandas_udf queries otherwise charge one-time worker startup
+        # (~8s measured for token_pack_capacity cold vs 2.5s warm) to
+        # whichever Arrow query runs first — production reuses workers
+        spark.range(1024).repartition(64).mapInArrow(
+            lambda it: it, schema="id: long"
+        ).count()
         for name in HEADLINE:
             t0 = time.time()
             _force(qs[name](spark, sf_dir))

@@ -55,10 +55,13 @@ def tokenize(
     out_col: str = "tokens",
 ) -> DataFrame:
     """Append ``tokens array<int>`` + ``n_tok int`` — the input-hint shape
-    — derived from whitespace words via the portable hash tokenizer."""
+    — derived from whitespace words via the portable hash tokenizer.
+    ``n_tok`` is size(words), not size(tokens): same value, but consumers
+    that only project the count (e.g. ``pack_offsets``) then skip the md5
+    transform entirely after column pruning."""
     words = F.split(F.col(text_col), " ")
     toks = F.transform(words, lambda w: word_token(w, vocab))
-    return df.withColumn(out_col, toks).withColumn("n_tok", F.size(F.col(out_col)))
+    return df.withColumn(out_col, toks).withColumn("n_tok", F.size(words))
 
 
 def chunk_tokens(
@@ -332,18 +335,23 @@ def repetition_stats(
     df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id"
 ) -> DataFrame:
     """Intra-document repetition signals (Gopher-style quality gates):
-    distinct-token ratio and the most-frequent-token share.  Two-level
-    aggregation — per (doc, token) counts, then per doc — one shuffle
-    keyed by doc_id, no self-join, no per-row Python."""
+    distinct-token ratio, most-frequent-token share, and unigram entropy
+    (nats; ln(n) - sum(c*ln c)/n).  Two-level aggregation — per (doc,
+    token) counts, then per doc — one shuffle keyed by doc_id, no
+    self-join, no per-row Python.  The entropy inner sum goes through a
+    per-row decimal(18,6) cast so addition is order-independent and
+    bit-stable against the SQL oracle."""
     per_tok = (
         df.select(id_col, F.explode(F.col(tokens_col)).alias("token"))
         .groupBy(id_col, "token")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     n = F.sum("c")
+    clogc = F.sum((F.col("c") * F.log("c")).cast("decimal(18,6)")).cast("double")
     return per_tok.groupBy(id_col).agg(
         n.cast("long").alias("n_tok"),
         F.count(F.lit(1)).cast("long").alias("n_distinct"),
         F.round(F.lit(1.0) - F.count(F.lit(1)) / n, 6).alias("dup_ratio"),
         F.round(F.max("c") / n, 6).alias("top_token_share"),
+        F.round(F.log(n) - clogc / n, 6).alias("entropy"),
     )

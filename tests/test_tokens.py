@@ -134,6 +134,13 @@ def test_repetition_stats(spark):
     assert got["a"]["n_tok"] == 4 and got["a"]["n_distinct"] == 2
     assert got["a"]["dup_ratio"] == 0.5 and got["a"]["top_token_share"] == 0.75
     assert got["b"]["dup_ratio"] == 0.0 and got["b"]["top_token_share"] == 0.25
+    import math
+
+    # a: counts {3,1} over 4 -> H = ln(4) - (3 ln 3)/4 (decimal-truncated sum)
+    want_a = round(math.log(4) - float(int(3 * math.log(3) * 1e6)) / 1e6 / 4, 6)
+    assert abs(got["a"]["entropy"] - want_a) < 2e-6
+    # b: uniform over 4 distinct -> ln(4)
+    assert abs(got["b"]["entropy"] - round(math.log(4), 6)) < 2e-6
 
 
 def test_dup_ngram_summary(spark):
