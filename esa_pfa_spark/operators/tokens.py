@@ -248,7 +248,7 @@ def dup_ngram_summary(
     min_count: int = 2,
     tokens_col: str = "tokens",
     id_col: str = "doc_id",
-    skew_safe: bool = False,
+    skew_safe: bool = True,
 ) -> DataFrame:
     """Cross-document duplicated-substring detection at token n-gram
     granularity (the exact-substring training-data dedup pass, approximated
@@ -261,11 +261,16 @@ def dup_ngram_summary(
     dup_frac`` (dup_tokens = tokens covered by the union of spans).
 
     Plan shape (100 TB): window fingerprints are one explode (xn_tok rows)
-    -> corpus-frequency filter (default: one partition-by-fp window count =
-    one shuffle/one scan; ``skew_safe=True``: groupBy(fp) + AQE-skew-split
-    equi-join back, for corpora where one boilerplate fingerprint dominates)
-    -> per-doc span merge via a doc_id-partitioned window
-    (gaps-and-islands).  No all-pairs comparison anywhere."""
+    -> corpus-frequency filter -> per-doc span merge via a doc_id-
+    partitioned window (gaps-and-islands).  No all-pairs comparison
+    anywhere.  ``skew_safe`` (default True) computes the frequency filter
+    as groupBy(fp) partial-agg + equi-join back: a boilerplate fingerprint
+    duplicated 10^7x (license headers are exactly this) is counted
+    map-side and streams through the AQE-skew-splittable join probe.
+    ``skew_safe=False`` uses a partition-by-fp window count instead —
+    halves scans/shuffles (3 Exchanges/2 scans -> 2/1, 7.2s -> 4.2s cold
+    at sf0.1) but sorts each fingerprint's rows in ONE window task; only
+    for corpora with known-bounded duplication."""
     toks = F.col(tokens_col)
     starts = F.sequence(F.lit(0), F.size(toks) - n)
     gram = F.slice(F.col("__t"), F.col("s") + 1, n)

@@ -36,6 +36,27 @@ def test_ngram_cap_excludes_hot_shingle_from_sizes(spark):
     assert capped == []
 
 
+def test_ngram_jaccard_skew_paths_identical(spark):
+    """The skew-safe (groupBy+join) and window-count doc-frequency paths
+    produce identical pairs, capped and uncapped."""
+    texts = [
+        "a b c d e f", "a b c d x y", "a b c z w v",
+        "q r s t u v", "q r s t u w",
+    ]
+    for cap in (None, 2):
+        a = sorted(
+            map(tuple, DD.ngram_jaccard_pairs(
+                _docs(spark, texts), threshold=0.05, max_shingle_freq=cap,
+                skew_safe=True).collect())
+        )
+        b = sorted(
+            map(tuple, DD.ngram_jaccard_pairs(
+                _docs(spark, texts), threshold=0.05, max_shingle_freq=cap,
+                skew_safe=False).collect())
+        )
+        assert a == b and len(a) > 0
+
+
 def test_minhash_band_cap_drops_duplicate_cluster(spark):
     """An exact-duplicate cluster shares every band; max_band_freq routes
     it out of the band join (pipeline order: exact_dedup first)."""
