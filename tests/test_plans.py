@@ -169,3 +169,31 @@ def test_dense_ids_matches_dense_rank_and_avoids_global_window(spark):
     pd.testing.assert_frame_equal(got, want.astype({"dict_id": "int64"}))
     plan = plan_of(dense_ids(ev, "user_id"))
     assert "SinglePartition" not in plan
+
+
+def test_pack_offsets_avoids_global_window(spark):
+    """Sequence packing must never plan the naive global-window cumsum:
+    no SinglePartition exchange; the order comes from ONE range partition
+    + within-partition sort."""
+    df = entry_mod.queries()["token_pack_capacity"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "SinglePartition" not in plan
+    assert len(re.findall(r"rangepartitioning", plan)) == 1
+
+
+def test_token_topk_is_take_ordered(spark):
+    """Vocab/bigram top-k compile to TakeOrderedAndProject — per-partition
+    k-heaps, never a global sort of the count table."""
+    for q in ("token_vocab_topk", "token_bigrams_topk"):
+        plan = plan_of(entry_mod.queries()[q](spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan, q
+        assert "SinglePartition" not in plan, q
+
+
+def test_dup_ngram_no_single_partition(spark):
+    """The n-gram span dedup (skew-safe default) keeps every stage hash-
+    or doc-partitioned: no SinglePartition exchange, and the frequency
+    filter aggregates partially (map-side combine) before its shuffle."""
+    plan = plan_of(entry_mod.queries()["token_dup_ngram_spans"](spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    assert re.search(r"partial_count|HashAggregate.*partial", plan, re.I | re.S)
