@@ -56,6 +56,38 @@ def write_bucketed(
     bucketed.write.mode(mode).partitionBy(BUCKET_COL).parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    keys: str | list[str],
+    n_buckets: int = 32,
+    sort_cols: str | list[str] | None = None,
+    data_path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed catalog table (``bucketBy`` + optional in-bucket
+    ``sortBy``): the co-located-join layout.  A scan of a bucketed table
+    reports hash partitioning on ``keys``, so joins between two tables
+    bucketed the same way — and groupBy / cogroup on the bucket keys —
+    satisfy their distribution requirement WITHOUT an Exchange: the
+    cluster's biggest repeated shuffle (re-partitioning a 100 TB fact
+    table by entity for every run) is paid once at write time instead of
+    per query.  ``sort_cols`` pre-orders within buckets (e.g. ``ts``) so
+    as-of / merge consumers start from near-sorted runs.  With
+    ``data_path`` the table is external (data there, metadata in the
+    session catalog); plan effects are asserted in tests/test_plans.py.  (The
+    registry's positional destination is the TABLE name for this sink;
+    the external data location is ``data_path``.)"""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    w = df.write.mode(mode).bucketBy(n_buckets, *keys)
+    if sort_cols:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        w = w.sortBy(*sort_cols)
+    if data_path is not None:
+        w = w.option("path", data_path)
+    w.format("parquet").saveAsTable(table)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S5 debug sink: tab-separated with header (CsvPatchWriter shape).
     Complex columns must be projected/serialized first."""
@@ -132,6 +164,8 @@ SINKS: dict[str, Callable] = {
     "parquet": write_parquet,
     "dated_parquet": write_dated,
     "bucketed_parquet": write_bucketed,
+    # (df, table_name, keys=...) — catalog table, co-located-join layout
+    "bucketed_table": write_bucketed_table,
     "csv": write_csv,
     "json": write_json,
     "xml": write_xml,

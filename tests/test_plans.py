@@ -190,6 +190,43 @@ def test_token_topk_is_take_ordered(spark):
         assert "SinglePartition" not in plan, q
 
 
+def test_bucketed_tables_join_and_agg_without_exchange(spark, tmp_path):
+    """Co-located joins via bucketing: two tables bucketed by the same key
+    sort-merge-join with ZERO shuffle exchanges, and groupBy on the bucket
+    key aggregates without one — the write-once/shuffle-never layout for
+    a 100 TB fact table."""
+    from pyspark.sql import functions as F
+
+    from esa_pfa_spark.sources.sinks import write_bucketed_table
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    write_bucketed_table(
+        ev, "ev_bucketed", "user_id", n_buckets=4,
+        sort_cols="ts", data_path=str(tmp_path / "ev"),
+    )
+    agg = ev.groupBy("user_id").agg(F.sum("value").alias("total"))
+    write_bucketed_table(
+        agg, "agg_bucketed", "user_id", n_buckets=4, data_path=str(tmp_path / "agg"),
+    )
+    a = spark.table("ev_bucketed")
+    b = spark.table("agg_bucketed")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "user_id")
+        jplan = plan_of(joined)
+        assert "SortMergeJoin" in jplan
+        assert n_exchanges(jplan) == 0, jplan
+        assert joined.count() == ev.count()
+
+        gplan = plan_of(a.groupBy("user_id").count())
+        assert n_exchanges(gplan) == 0, gplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+        spark.sql("DROP TABLE IF EXISTS agg_bucketed")
+
+
 def test_dup_ngram_no_single_partition(spark):
     """The n-gram span dedup (skew-safe default) keeps every stage hash-
     or doc-partitioned: no SinglePartition exchange, and the frequency
