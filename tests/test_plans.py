@@ -227,6 +227,46 @@ def test_bucketed_tables_join_and_agg_without_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS agg_bucketed")
 
 
+def test_bucketed_asof_cogroup_no_exchange(spark, tmp_path):
+    """The 10^12-row as-of story end-to-end: probes AND observations
+    pre-bucketed by entity (the write-once layout) let the cogrouped
+    as-of run with ZERO shuffle exchanges — and the result is identical
+    to the un-bucketed union+window plan."""
+    import datetime as dt
+
+    from esa_pfa_spark.operators.asof import asof_join, asof_join_pandas
+    from esa_pfa_spark.sources.sinks import write_bucketed_table
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    from pyspark.sql import functions as F
+
+    obs = ev.select("user_id", "ts", "value")
+    probes = ev.select("user_id", (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("query_ts"))
+    write_bucketed_table(obs, "asof_obs_b", "user_id", n_buckets=4,
+                         sort_cols="ts", data_path=str(tmp_path / "obs"))
+    write_bucketed_table(probes, "asof_probe_b", "user_id", n_buckets=4,
+                         sort_cols="query_ts", data_path=str(tmp_path / "probes"))
+    try:
+        bp, bo = spark.table("asof_probe_b"), spark.table("asof_obs_b")
+        joined = asof_join_pandas(
+            bp, bo, on="user_id", tolerance=dt.timedelta(days=7)
+        )
+        plan = plan_of(joined)
+        assert n_exchanges(plan) == 0, plan
+
+        got = joined.toPandas().sort_values(["user_id", "query_ts"]).reset_index(drop=True)
+        want = (
+            asof_join(probes, obs, on="user_id", tolerance=dt.timedelta(days=7))
+            .toPandas().sort_values(["user_id", "query_ts"]).reset_index(drop=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(got[sorted(got.columns)], want[sorted(want.columns)])
+    finally:
+        spark.sql("DROP TABLE IF EXISTS asof_obs_b")
+        spark.sql("DROP TABLE IF EXISTS asof_probe_b")
+
+
 def test_dup_ngram_no_single_partition(spark):
     """The n-gram span dedup (skew-safe default) keeps every stage hash-
     or doc-partitioned: no SinglePartition exchange, and the frequency
