@@ -270,7 +270,10 @@ def dup_ngram_summary(
     ``skew_safe=False`` uses a partition-by-fp window count instead —
     halves scans/shuffles (3 Exchanges/2 scans -> 2/1, 7.2s -> 4.2s cold
     at sf0.1) but sorts each fingerprint's rows in ONE window task; only
-    for corpora with known-bounded duplication."""
+    for corpora with known-bounded duplication.  Measured trade-off on a
+    hot-fingerprint spam corpus: BENCH/SKEW_TOKENS.md (the skew-safe form
+    is worst-case insurance — AQE-splittable straggler — not a local
+    speedup)."""
     toks = F.col(tokens_col)
     starts = F.sequence(F.lit(0), F.size(toks) - n)
     gram = F.slice(F.col("__t"), F.col("s") + 1, n)
