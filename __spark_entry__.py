@@ -1955,6 +1955,91 @@ FROM c GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Dataset assembly: split / mixture-sample / deterministic shuffle order.
+# Same md5 portability primitive as the tokenizer; no rand() anywhere, so
+# membership and order are properties of the row, reproducible across
+# engines, partitionings and cluster sizes.
+# ---------------------------------------------------------------------------
+
+
+def q_dataset_split(spark, sf_dir):
+    """Deterministic 90/5/5 split; output = per-(source, split) counts
+    (small) so the oracle checks the full assignment without shipping
+    every row."""
+    from esa_pfa_spark.operators.dataset import hash_split
+
+    d = hash_split(
+        _ld(spark, sf_dir, "documents"),
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+        seed=7,
+    )
+    return d.groupBy("source", "split").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_DATASET_SPLIT = """
+WITH b AS (
+  SELECT source,
+         CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS INTEGER)
+             % 10000 AS bk
+  FROM documents),
+s AS (SELECT source,
+             CASE WHEN bk < 9000 THEN 'train'
+                  WHEN bk < 9500 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b)
+SELECT source, split, count(*) AS n FROM s GROUP BY 1, 2
+"""
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Per-source mixture weighting: src0 30%, src1 100%, everything else
+    5% — the sampled doc_ids themselves (deterministic membership)."""
+    from esa_pfa_spark.operators.dataset import mixture_sample
+
+    return mixture_sample(
+        _ld(spark, sf_dir, "documents"),
+        {"src0": 0.3, "src1": 1.0},
+        seed=11,
+        default_rate=0.05,
+    ).select("doc_id", "source")
+
+
+SQL_MIXTURE_SAMPLE = """
+SELECT doc_id, source
+FROM (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS INTEGER)
+             % 10000 AS bk,
+         CASE WHEN source = 'src0' THEN 0.3
+              WHEN source = 'src1' THEN 1.0
+              ELSE 0.05 END AS rate
+  FROM documents)
+WHERE bk < CAST(rate * 10000 AS INTEGER)
+"""
+
+
+def q_shuffle_order(spark, sf_dir):
+    """Seeded global shuffle order for export.  The oracle's row_number()
+    OVER (ORDER BY md5) is the single-task plan; the engine ranks via
+    content-defined hash-prefix buckets + per-bucket offsets
+    (plan-asserted no SinglePartition in tests/test_plans.py)."""
+    from esa_pfa_spark.operators.dataset import deterministic_shuffle
+
+    return deterministic_shuffle(
+        _ld(spark, sf_dir, "documents").select("doc_id"), seed=3
+    )
+
+
+SQL_SHUFFLE_ORDER = """
+SELECT doc_id,
+       row_number() OVER (
+           ORDER BY md5('3:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+           AS shuffle_pos
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -2027,6 +2112,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "token_bigrams_topk": (q_token_bigrams, SQL_TOKEN_BIGRAMS),
     "token_repetition_stats": (q_token_repetition, SQL_TOKEN_REPETITION),
     "token_dup_ngram_spans": (q_dup_ngram_spans, SQL_DUP_NGRAM),
+    "dataset_split_counts": (q_dataset_split, SQL_DATASET_SPLIT),
+    "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
+    "shuffle_order": (q_shuffle_order, SQL_SHUFFLE_ORDER),
     "largest_component_grid": (q_largest_component, None),
     # non-SQL-expressible (rows-only):
     "flagship_feature_table_synth": (q_flagship_synth, None),

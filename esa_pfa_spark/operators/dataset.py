@@ -1,0 +1,141 @@
+"""Dataset-assembly operators: the last mile of a training-data pipeline.
+
+  * ``hash_split``        — deterministic train/val/test assignment
+  * ``mixture_sample``    — per-source sampling rates (mixture weighting)
+  * ``deterministic_shuffle`` — seeded global shuffle order for export
+
+All three are pure column math over an md5 keyed hash (bit-identical
+Spark/DuckDB/Python — the repo's portability primitive), so membership is
+a property of the ROW, not of the run: re-executing on different
+partitioning, cluster size, or engine yields the same assignment — the
+reproducibility contract a training pipeline needs (no rand(), which is
+per-task-seeded and non-portable).
+
+Scale notes (100 TB): split/sample are map-only (no shuffle; predicate
+pushes to the scan after partition pruning).  The shuffle ORDER is one
+hash-prefix bucket shuffle + per-bucket sort and offset numbering —
+never a partition-less window (see deterministic_shuffle docstring).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BUCKETS = 10_000
+
+
+def _hash_bucket(id_col, seed: int, buckets: int = BUCKETS):
+    """Deterministic bucket in [0, buckets): md5 of ``seed || ':' || id``,
+    first 6 hex chars as int (fits int32).  DuckDB equivalent:
+    ``CAST(('0x' || substr(md5(seed || ':' || id), 1, 6)) AS INTEGER) %
+    buckets``."""
+    key = F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    return (F.conv(F.substring(F.md5(key), 1, 6), 16, 10).cast("int") % buckets).cast("int")
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split with probability ~= its weight,
+    deterministically in ``id_col``: bucket < 0.9*B -> train, etc.
+    Weights must sum to 1 (+-1e-9).  Map-only."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    b = _hash_bucket(id_col, seed)
+    expr, edge = None, 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        edge += weights[name]
+        cond = b < int(round(edge * BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    )
+    return df.withColumn(out_col, expr)
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-group deterministic sampling (mixture weighting): keep a row of
+    group g iff bucket(id) < rates[g] * B.  Groups absent from ``rates``
+    use ``default_rate``.  Map-only; the rate table is a literal CASE
+    chain (tiny), so no join at all."""
+    b = _hash_bucket(id_col, seed)
+    rate = None
+    for g, r in rates.items():
+        cond = F.col(group_col) == g
+        rate = F.when(cond, r) if rate is None else rate.when(cond, r)
+    rate = F.lit(default_rate) if rate is None else rate.otherwise(default_rate)
+    return df.filter(b < (rate * BUCKETS).cast("int"))
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    n_partitions: int | None = None,
+    out_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Seeded global shuffle order for training export: rank every row by
+    ``md5(seed || ':' || id)`` (a pseudo-random but reproducible
+    permutation).  Equivalent SQL is ``row_number() OVER (ORDER BY
+    md5(...))`` — a partition-less window.
+
+    The scalable plan uses CONTENT-DEFINED buckets, not sampled range
+    partitioning: bucket = the hash key's leading 16 bits mapped onto
+    ``n_partitions`` contiguous ranges.  Sampled boundaries
+    (``repartitionByRange``) are re-drawn per JOB — with a
+    non-deterministic upstream (round-robin repartition, sample, limit)
+    the counts pass and the numbering pass can disagree on where a
+    partition starts and silently corrupt ranks (caught by
+    tests/test_dataset.py::test_deterministic_shuffle_partition_invariant).
+    Hash-prefix buckets are a pure function of the ROW: both passes agree
+    under any input partitioning, and md5 uniformity keeps them balanced.
+    Per-bucket counts go to the driver (n_partitions scalars); each
+    bucket then sorts its own slice and numbers from its offset — a
+    doc-partitioned applyInPandas group, never a global window.  Ties
+    (md5 collisions) are broken by the id, so the order is total."""
+    spark = df.sparkSession
+    if n_partitions is None:
+        n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    prefix = F.conv(F.substring(key, 1, 4), 16, 10).cast("int")
+    bucket = F.floor(prefix * n_partitions / 65536).cast("int")
+    keyed = df.withColumn("__shufkey", key).withColumn("__b", bucket)
+
+    counts = keyed.groupBy("__b").count().collect()
+    sizes = np.zeros(n_partitions, dtype=np.int64)
+    for r in counts:
+        sizes[r["__b"]] = r["count"]
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+
+    cols = list(df.columns)
+    out_schema = T.StructType(
+        [keyed.schema[c] for c in cols] + [T.StructField(out_col, T.LongType(), False)]
+    )
+
+    def number(pdf):
+        b = int(pdf["__b"].iloc[0])
+        pdf = pdf.sort_values(["__shufkey", id_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        pdf[out_col] = np.arange(
+            offsets[b], offsets[b] + len(pdf), dtype=np.int64
+        )
+        return pdf[cols + [out_col]]
+
+    return keyed.groupBy("__b").applyInPandas(number, schema=out_schema)

@@ -18,6 +18,12 @@ sources, a straggler for 10^8 distinct names.
 Every stage is O(distinct/n_partitions) per task.  For DISTINCT inputs
 row-position == dense_rank, so the result is bit-identical to the SQL
 oracle's ``dense_rank() OVER (ORDER BY col) - 1``.
+
+Determinism constraint: both passes re-execute ``repartitionByRange``;
+its sampled boundaries reproduce only over deterministic inputs (scans,
+hash shuffles — the ``distinct()`` here qualifies).  See
+``dataset.deterministic_shuffle`` for the content-defined-bucket variant
+used when the key distribution is known-uniform.
 """
 
 from __future__ import annotations

@@ -133,7 +133,16 @@ def pack_offsets(
 
     Output: order_cols…, ``chunk_id`` (global window ordinal), ``tok_start
     _in_doc``/``n_in_chunk`` (0-based half-open span of this doc's tokens
-    inside the window), ``n_tok``."""
+    inside the window), ``n_tok``.
+
+    Determinism constraint: the offsets pass and the numbering pass each
+    re-execute ``repartitionByRange``, whose sampled boundaries are only
+    reproducible when the INPUT is (file scans, hash shuffles — not
+    round-robin ``repartition()``/``sample()``/``limit()`` upstreams).
+    ``dataset.deterministic_shuffle`` shows the content-defined-bucket
+    alternative for keys with a known-uniform distribution; order keys
+    here are arbitrary strings, so sampling is the right tool and the
+    constraint is documented instead."""
     spark = df.sparkSession
     if n_partitions is None:
         n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))

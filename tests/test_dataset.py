@@ -1,0 +1,94 @@
+"""Dataset-assembly operators: deterministic membership/order invariants.
+Oracle mirror (test_entry_oracle.py) covers engine parity; these pin the
+semantics: assignment is a property of the row (stable across runs and
+partitionings), proportions track weights, and the shuffle is a total
+permutation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from esa_pfa_spark.operators import dataset as DS
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "web")
+        .when(F.col("id") % 3 == 1, "books")
+        .otherwise("misc")
+        .alias("source"),
+    )
+
+
+def test_hash_split_proportions_and_determinism(docs):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = DS.hash_split(docs, w, seed=1).groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in a}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    # same seed -> identical assignment; different seed -> different
+    one = set(
+        r["doc_id"]
+        for r in DS.hash_split(docs, w, seed=1).filter("split = 'val'").collect()
+    )
+    two = set(
+        r["doc_id"]
+        for r in DS.hash_split(docs, w, seed=1).filter("split = 'val'").collect()
+    )
+    other = set(
+        r["doc_id"]
+        for r in DS.hash_split(docs, w, seed=2).filter("split = 'val'").collect()
+    )
+    assert one == two
+    assert one != other
+
+
+def test_hash_split_rejects_bad_weights(docs):
+    with pytest.raises(ValueError):
+        DS.hash_split(docs, {"a": 0.5, "b": 0.2})
+
+
+def test_mixture_sample_rates_and_membership(docs):
+    out = DS.mixture_sample(
+        docs, {"web": 0.5, "books": 1.0}, seed=4, default_rate=0.0
+    )
+    got = out.groupBy("source").count().collect()
+    counts = {r["source"]: r["count"] for r in got}
+    assert "misc" not in counts            # default_rate=0 drops the rest
+    assert counts["books"] == 667          # rate 1.0 keeps every books row
+    assert abs(counts["web"] / 667 - 0.5) < 0.1
+    # membership is per-row deterministic: a second run is identical
+    again = {
+        r["source"]: r["count"]
+        for r in DS.mixture_sample(
+            docs, {"web": 0.5, "books": 1.0}, seed=4, default_rate=0.0
+        ).groupBy("source").count().collect()
+    }
+    assert again == counts
+
+
+@pytest.mark.parametrize("n_parts", [1, 7])
+def test_deterministic_shuffle_is_total_permutation(docs, n_parts):
+    out = DS.deterministic_shuffle(docs, seed=9, n_partitions=n_parts).collect()
+    pos = sorted(r["shuffle_pos"] for r in out)
+    assert pos == list(range(2000))        # total order, no gaps/dupes
+    # order is seed-determined, not input-order: doc 0..9 are scattered
+    head = [r["doc_id"] for r in sorted(out, key=lambda r: r["shuffle_pos"])[:10]]
+    assert head != list(range(10))
+
+
+def test_deterministic_shuffle_partition_invariant(docs):
+    a = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in DS.deterministic_shuffle(docs, seed=9, n_partitions=2).collect()
+    }
+    b = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in DS.deterministic_shuffle(
+            docs.repartition(13), seed=9, n_partitions=8
+        ).collect()
+    }
+    assert a == b

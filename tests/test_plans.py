@@ -267,6 +267,23 @@ def test_bucketed_asof_cogroup_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS asof_probe_b")
 
 
+def test_shuffle_order_avoids_global_window(spark):
+    """The export shuffle order must not plan row_number() OVER (ORDER BY)
+    — no SinglePartition exchange, ONE bucket-hash exchange; split and
+    mixture-sample plan as pure map stages (zero exchanges)."""
+    plan = plan_of(entry_mod.queries()["shuffle_order"](spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    assert n_exchanges(plan) == 1, plan
+
+    from esa_pfa_spark.operators.dataset import hash_split, mixture_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sp = plan_of(hash_split(docs, {"train": 0.9, "val": 0.1}))
+    assert n_exchanges(sp) == 0, sp
+    mp = plan_of(mixture_sample(docs, {"web": 0.5}))
+    assert n_exchanges(mp) == 0, mp
+
+
 def test_dup_ngram_no_single_partition(spark):
     """The n-gram span dedup (skew-safe default) keeps every stage hash-
     or doc-partitioned: no SinglePartition exchange, and the frequency
