@@ -81,6 +81,30 @@ def cmd_run(args) -> None:
         print(f"wrote {args.out}")
 
 
+def cmd_dataset(args) -> None:
+    """Dataset assembly: deterministic split + seeded export-shuffle order
+    over a documents/tokens table, written partitioned by split.  Input
+    needs ``doc_id`` plus either ``tokens`` (pre-tokenized, the input-hint
+    shape) or ``text`` (tokenized here with the portable hash tokenizer)."""
+    from esa_pfa_spark.operators.dataset import deterministic_shuffle, hash_split
+    from esa_pfa_spark.session import get_spark
+
+    spark = get_spark(app_name="esa_pfa_dataset")
+    df = spark.read.parquet(args.input)
+    if "tokens" not in df.columns and "text" in df.columns:
+        from esa_pfa_spark.operators.tokens import tokenize
+
+        df = tokenize(df)
+    names = ("train", "val", "test")
+    ws = [float(x) for x in args.split.split(",")]
+    if len(ws) != 3:
+        raise SystemExit("--split needs three comma-separated weights")
+    d = hash_split(df, dict(zip(names, ws)), seed=args.seed)
+    d = deterministic_shuffle(d, seed=args.seed)
+    d.write.mode("overwrite").partitionBy("split").parquet(args.out)
+    print(f"wrote {args.out} (partitioned by split; order column shuffle_pos)")
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(prog="esa_pfa_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -105,6 +129,13 @@ def main(argv=None) -> None:
     p.add_argument("--resume", action="store_true", help="manifest-checkpointed run")
     p.add_argument("--partitions", type=int, default=64)
     p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("dataset", help="split + shuffle a documents/tokens table for training export")
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--split", default="0.9,0.05,0.05", help="train,val,test weights")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_dataset)
 
     args = ap.parse_args(argv)
     args.fn(args)

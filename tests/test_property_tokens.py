@@ -51,8 +51,13 @@ def test_chunk_windows_cover_and_reconstruct(spark, docs, max_len, stride):
             fp = hashlib.md5(",".join(map(str, want)).encode()).hexdigest()
             assert r["chunk_fp"] == fp
         if stride >= max_len and rs:
+            # non-last windows are full (s + max_len <= s + stride < n);
+            # the last covers whatever remains of the doc past its start
             covered = sum(r["n_chunk"] for r in rs)
-            assert covered == min(len(d), (len(starts) - 1) * stride + max_len)
+            last_start = (len(starts) - 1) * stride
+            assert covered == (len(starts) - 1) * max_len + min(
+                max_len, len(d) - last_start
+            )
 
 
 @given(

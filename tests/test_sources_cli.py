@@ -68,6 +68,42 @@ def test_cli_package(tmp_path):
     assert len(names) > 15
 
 
+def test_cli_dataset_split_and_shuffle(spark, tmp_path):
+    """dataset subcommand end-to-end: tokenizes text input, writes parquet
+    partitioned by split, and shuffle_pos is a total permutation that is
+    identical on a re-run (deterministic export)."""
+    import pandas as pd
+
+    from esa_pfa_spark import cli
+
+    src = tmp_path / "docs"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(300)],
+            "text": [f"alpha beta w{i} gamma" for i in range(300)],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(str(src))
+    out = tmp_path / "ds"
+    cli.main(["dataset", "--input", str(src), "--out", str(out), "--seed", "5"])
+
+    back = spark.read.parquet(str(out))
+    assert {"doc_id", "tokens", "n_tok", "shuffle_pos", "split"} <= set(back.columns)
+    rows = back.select("doc_id", "split", "shuffle_pos").collect()
+    assert sorted(r["shuffle_pos"] for r in rows) == list(range(300))
+    splits = {r["split"] for r in rows}
+    assert splits == {"train", "val", "test"}
+    first = {r["doc_id"]: (r["split"], r["shuffle_pos"]) for r in rows}
+
+    out2 = tmp_path / "ds2"
+    cli.main(["dataset", "--input", str(src), "--out", str(out2), "--seed", "5"])
+    again = {
+        r["doc_id"]: (r["split"], r["shuffle_pos"])
+        for r in spark.read.parquet(str(out2)).select("doc_id", "split", "shuffle_pos").collect()
+    }
+    assert again == first
+
+
 def _read_text_sorted(spark, path):
     return sorted(r["value"] for r in spark.read.text(path).collect())
 
