@@ -1854,6 +1854,40 @@ FROM sp
 """
 
 
+def q_pack_manifest(spark, sf_dir):
+    """Per-window document-composition manifest (capacity=128): what a
+    training loader needs to rebuild attention-mask boundaries inside each
+    packed context window."""
+    from esa_pfa_spark.operators.tokens import pack_manifest
+
+    return pack_manifest(_tokenized_docs(spark, sf_dir), capacity=128)
+
+
+SQL_PACK_MANIFEST = """
+WITH tok AS (SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+             FROM documents),
+cum AS (SELECT source, doc_id, n_tok,
+               sum(n_tok) OVER (ORDER BY source, doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tok AS gs
+        FROM tok WHERE n_tok > 0),
+sp AS (SELECT source, doc_id, n_tok, gs,
+              unnest(generate_series(CAST(gs // 128 AS BIGINT),
+                                     CAST((gs + n_tok - 1) // 128 AS BIGINT))) AS chunk_id
+       FROM cum),
+pieces AS (SELECT chunk_id, source, doc_id,
+                  least(chunk_id * 128 + 128 - gs, n_tok)
+                  - greatest(chunk_id * 128 - gs, 0) AS n_in_chunk
+           FROM sp)
+SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_in_chunk) AS BIGINT) AS n_tok,
+       string_agg(source || ':' || CAST(doc_id AS VARCHAR) || ':'
+                  || CAST(n_in_chunk AS VARCHAR), '|'
+                  ORDER BY source, doc_id) AS manifest
+FROM pieces GROUP BY chunk_id
+"""
+
+
 def q_token_vocab(spark, sf_dir):
     """Vocabulary histogram top-50: explode -> partial-agg (map-side
     combine) -> TakeOrderedAndProject; deterministic tie-break (cnt desc,
@@ -2108,6 +2142,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "diversity_pick_farthest": (q_diversity_pick, _diversity_pick_sql()),
     "token_chunk_windows": (q_token_chunks, SQL_TOKEN_CHUNKS),
     "token_pack_capacity": (q_token_packing, SQL_TOKEN_PACKING),
+    "token_pack_manifest": (q_pack_manifest, SQL_PACK_MANIFEST),
     "token_vocab_topk": (q_token_vocab, SQL_TOKEN_VOCAB),
     "token_bigrams_topk": (q_token_bigrams, SQL_TOKEN_BIGRAMS),
     "token_repetition_stats": (q_token_repetition, SQL_TOKEN_REPETITION),

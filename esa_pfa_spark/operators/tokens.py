@@ -208,6 +208,45 @@ def pack_offsets(
     )
 
 
+def pack_manifest(
+    df: DataFrame,
+    capacity: int = 128,
+    order_cols: tuple[str, ...] = ("source", "doc_id"),
+    ntok_col: str = "n_tok",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Loader-facing view of ``pack_offsets``: one row per training window
+    with its document composition — ``n_docs``, ``n_tok`` (== capacity
+    except the final window), and ``manifest``: the '|'-joined
+    'order_cols…:n_in_chunk' pieces in concatenation order.  This is the
+    artifact a data loader needs to materialize attention-mask document
+    boundaries inside each packed window.
+
+    One extra shuffle over pack_offsets (groupBy chunk_id); the in-chunk
+    piece order comes from array_sort over the (order_cols) struct —
+    deterministic, no window."""
+    spans = pack_offsets(
+        df, capacity=capacity, order_cols=order_cols,
+        ntok_col=ntok_col, n_partitions=n_partitions,
+    )
+    s = F.struct(*[F.col(c) for c in order_cols], F.col("n_in_chunk"))
+
+    def _piece(x):
+        parts = []
+        for c in order_cols:
+            parts.append(x[c].cast("string"))
+        parts.append(x["n_in_chunk"].cast("string"))
+        return F.concat_ws(":", *parts)
+
+    return spans.groupBy("chunk_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_in_chunk").cast("long").alias("n_tok"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(s)), _piece), "|"
+        ).alias("manifest"),
+    )
+
+
 def vocab_counts(
     df: DataFrame, tokens_col: str = "tokens", k: int | None = 50
 ) -> DataFrame:

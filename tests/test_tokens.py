@@ -112,6 +112,20 @@ def test_pack_offsets_tiles_exactly(spark):
         assert s == 32 or cid == last
 
 
+def test_pack_manifest_composition(spark):
+    """Hand case: docs of 5/4/6 tokens, capacity 8 -> window 0 holds d0:5 +
+    d1:3 (split), window 1 holds d1:1 + d2:6; boundaries reconstruct."""
+    rows = [("s", "d0", 5), ("s", "d1", 4), ("s", "d2", 6)]
+    df = spark.createDataFrame(rows, "source string, doc_id string, n_tok int")
+    got = {
+        r["chunk_id"]: r for r in TK.pack_manifest(df, capacity=8).collect()
+    }
+    assert got[0]["manifest"] == "s:d0:5|s:d1:3"
+    assert (got[0]["n_docs"], got[0]["n_tok"]) == (2, 8)
+    assert got[1]["manifest"] == "s:d1:1|s:d2:6"
+    assert (got[1]["n_docs"], got[1]["n_tok"]) == (2, 7)
+
+
 def test_vocab_and_bigram_counts(spark):
     df = spark.createDataFrame(
         [("a", [1, 2, 1]), ("b", [1, 3]), ("c", [9])],
