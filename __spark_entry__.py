@@ -841,6 +841,44 @@ SELECT k.doc_id, k.source FROM k ANTI JOIN nd USING (doc_id)
 """
 
 
+def q_training_windows(spark, sf_dir):
+    """Corpus -> training windows, end-to-end: curation chain -> portable
+    tokenization -> capacity-128 packing (plans/curation.py
+    training_windows).  The whole training-data path as ONE lazy program
+    with an exact chained-CTE oracle."""
+    from esa_pfa_spark.plans.curation import training_windows
+
+    return training_windows(_ld(spark, sf_dir, "documents"))
+
+
+# the curation CTE chain (SQL_CURATION) feeding the packing cumsum
+# (SQL_TOKEN_PACKING) over the survivors
+SQL_TRAINING_WINDOWS = (
+    SQL_CURATION.rsplit("SELECT k.doc_id", 1)[0].rstrip().rstrip(")")
+    + """),
+surv AS (
+  SELECT k.source, k.doc_id, k.text FROM k ANTI JOIN nd USING (doc_id)),
+tok AS (SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+        FROM surv),
+cum AS (SELECT source, doc_id, n_tok,
+               sum(n_tok) OVER (ORDER BY source, doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tok AS gs
+        FROM tok WHERE n_tok > 0),
+sp AS (SELECT source, doc_id, n_tok, gs,
+              unnest(generate_series(CAST(gs // 128 AS BIGINT),
+                                     CAST((gs + n_tok - 1) // 128 AS BIGINT))) AS chunk_id
+       FROM cum)
+SELECT source, doc_id,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(greatest(chunk_id * 128 - gs, 0) AS BIGINT) AS tok_start_in_doc,
+       CAST(least(chunk_id * 128 + 128 - gs, n_tok)
+            - greatest(chunk_id * 128 - gs, 0) AS BIGINT) AS n_in_chunk
+FROM sp
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Non-SQL-expressible (rows-only checks): flagship synthetic pipeline
 # ---------------------------------------------------------------------------
@@ -2107,6 +2145,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "fingerprint_md5": (q_fingerprint, SQL_FINGERPRINT),
     "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "curation_survivors": (q_curation, SQL_CURATION),
+    "training_windows_e2e": (q_training_windows, SQL_TRAINING_WINDOWS),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIG),
     "minhash_band_candidates": (q_minhash_candidates, SQL_MINHASH_CAND),
     "simhash16": (q_simhash, _simhash_sql()),

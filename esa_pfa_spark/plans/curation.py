@@ -49,3 +49,22 @@ def curate_documents(
     pairs = DD.ngram_jaccard_pairs(kept, threshold=jaccard_threshold)
     near_dups = pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
     return kept.join(near_dups, "doc_id", "left_anti").select("doc_id", "source")
+
+
+def training_windows(
+    docs: DataFrame,
+    capacity: int = 128,
+    **curate_kwargs,
+) -> DataFrame:
+    """The full corpus-to-context-windows pipeline: curate (quality gate ->
+    exact dedup -> near-dup removal) -> portable tokenization -> pack the
+    survivors into fixed ``capacity`` training windows in deterministic
+    (source, doc_id) order.  One lazy DataFrame program from raw documents
+    to the rows a training loader reads; every stage keeps its scalable
+    shape (the packing offsets pass is the only driver interaction —
+    n_partitions scalars)."""
+    from esa_pfa_spark.operators.tokens import pack_offsets, tokenize
+
+    kept = curate_documents(docs, **curate_kwargs)
+    survivors = docs.join(kept.select("doc_id"), "doc_id")
+    return pack_offsets(tokenize(survivors), capacity=capacity)
