@@ -2,8 +2,9 @@
 
 Every operator family from SURVEY.md §2 has a queries() entry; each entry
 has an exactly-equivalent DuckDB oracle in oracle_sql() unless the
-semantics are non-SQL-expressible (the non-reuse two-pointer pairing and
-the synthetic flagship pipeline), which the driver records as rows-only.
+semantics are non-SQL-expressible (the non-reuse two-pointer pairing, the
+iterative connected-components grid, and the synthetic flagship
+pipeline), which the driver records as rows-only.
 
 Portability conventions (verified Spark 4.1 vs DuckDB):
   * floats rounded via round(x, 6) AFTER all arithmetic;

@@ -213,9 +213,13 @@ def run_scaling() -> None:
         the *work*, which is what scales on a real cluster.
       * Input is pre-generated once at full parallelism, then both configs
         read the same parquet files; generation is excluded from timing.
-      * Two alternating JVM rounds per config (N, 4N, N, 4N), best round
-        kept: fresh-JVM codegen/GC state adds 10-30% run-to-run noise, and
-        alternating decorrelates transient host load from the config.
+      * Three alternating JVM rounds per config (N, 4N, N, 4N, ...), best
+        round kept: fresh-JVM codegen/GC state adds 10-30% run-to-run
+        noise, and alternating decorrelates transient host load from the
+        config.  ALL draws are reported in the output, not just the best —
+        the efficiency ratio divides two noisy numbers, and the honest
+        picture is the spread (measured 0.80-1.0 across sessions on this
+        shared host).
     """
     scale_env = {
         "BENCH_ENTITIES": str(SCALING_ENTITIES),
@@ -232,7 +236,8 @@ def run_scaling() -> None:
         capture_output=True, text=True, env=gen_env, cwd=str(REPO), check=True,
     )
     results = {}
-    for rnd in range(2):
+    draws: dict[int, list[float]] = {N_CORES: [], N4_CORES: []}
+    for rnd in range(3):
         for cpus in (N_CORES, N4_CORES):
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), **scale_env)
             proc = subprocess.run(
@@ -241,6 +246,7 @@ def run_scaling() -> None:
             )
             line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
             res = json.loads(line)
+            draws[cpus].append(res["sequences_per_sec"])
             prev = results.get(cpus)
             if prev is None or res["sequences_per_sec"] > prev["sequences_per_sec"]:
                 results[cpus] = res
@@ -255,6 +261,8 @@ def run_scaling() -> None:
     sha = subprocess.run(
         ["git", "rev-parse", "--short", "HEAD"], capture_output=True, text=True, cwd=str(REPO)
     ).stdout.strip()
+    draws_n = ", ".join(f"{d:,.0f}" for d in draws[N_CORES])
+    draws_4n = ", ".join(f"{d:,.0f}" for d in draws[N4_CORES])
 
     md = f"""# BENCH/BASELINE — measured scaling baseline
 
@@ -265,8 +273,9 @@ table ({results[N_CORES]['flagship_sequences']:,} sequences, mean
 {FLAGSHIP_MEAN_TOK} tokens), probes = 4/entity.  Same parquet input for
 both runs; generation excluded from timing (pre-generated at full
 parallelism); two warm-up passes per JVM (Python-worker spawn + JIT);
-reported time is min-of-3 within a JVM, best of two alternating JVM
-rounds per config (N, 4N, N, 4N — decorrelates transient host load).
+reported time is min-of-3 within a JVM, best of three alternating JVM
+rounds per config (N, 4N, N, 4N, ... — decorrelates transient host
+load); every round's draw is listed below, not just the best.
 The scaling input is 4x the per-round bench input so fixed per-run costs
 (~1.5s of job scheduling / stage barriers) stay under ~5% of the 4N run,
 as they would be at production scale.
@@ -282,10 +291,10 @@ exist (hardware ceiling ~0.56 efficiency regardless of software).  The
 N vs 4N pair is therefore taken within physical cores: local[{N_CORES}]
 vs local[{N4_CORES}] (hardware ceiling ~0.91).
 
-| parallelism | wall sec | sequences/sec |
-|---|---|---|
-| local[{N_CORES}]  (N)  | {results[N_CORES]['queries']['flagship_asof_features']} | {t8:,.1f} |
-| local[{N4_CORES}] (4N) | {results[N4_CORES]['queries']['flagship_asof_features']} | {t32:,.1f} |
+| parallelism | wall sec (best) | sequences/sec (best) | all draws (seq/s) |
+|---|---|---|---|
+| local[{N_CORES}]  (N)  | {results[N_CORES]['queries']['flagship_asof_features']} | {t8:,.1f} | {draws_n} |
+| local[{N4_CORES}] (4N) | {results[N4_CORES]['queries']['flagship_asof_features']} | {t32:,.1f} | {draws_4n} |
 
 **Scaling efficiency** = {t32:,.1f} / (4 x {t8:,.1f}) = **{eff:.3f}**
 (pass threshold: >= 0.8)
@@ -294,8 +303,10 @@ A measured efficiency can land slightly ABOVE the pure-CPU calibration
 ceiling: the ceiling models compute-saturated cores, while the real job's
 N-run best draw still carries shared-host noise and phases that do not
 saturate 4 cores (I/O, stage barriers, GC) — both inflate T_N and with it
-the ratio.  Round-to-round draws on this host have spanned 0.85-1.0; the
-gate asks >= 0.8, which every recorded round passes.
+the ratio.  The ratio divides two noisy numbers, so single draws scatter:
+measured 0.80-1.0 across sessions on this shared host (0.889 in round 1,
+0.993 and one 0.799 draw during round 2) — which is why all draws are
+listed, not just the best pair.
 
 Spark conf: AQE on (coalescePartitions + skewJoin), shuffle.partitions =
 cpus, autoBroadcastJoinThreshold 64MB, Arrow maxRecordsPerBatch 10000,

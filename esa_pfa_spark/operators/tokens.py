@@ -1,6 +1,8 @@
 """Token-sequence operators for LLM training-data pipelines: portable
-tokenization, fixed-window chunking, context-window sequence packing,
-vocabulary / bigram statistics, and intra-document repetition signals.
+tokenization, fixed-window chunking, context-window sequence packing (+
+the per-window composition manifest), vocabulary / bigram statistics,
+intra-document repetition/entropy signals, and corpus-duplicated n-gram
+span detection.
 
 These operate on the engine's core payload — pre-tokenized sequences
 (BASELINE input hint: ``tokens array<int32>``).  For oracle-checkable
@@ -23,6 +25,9 @@ Scale notes (100 TB):
    row per distinct (token) or (t1,t2), not per occurrence.
  - ``repetition_stats`` is a two-level aggregation (per (doc,token) then
    per doc) — one shuffle keyed by doc_id; no joins.
+ - ``dup_ngram_summary`` never compares all pairs: fingerprint frequency
+   filter (skew-safe by default; trade-off measured in
+   BENCH/SKEW_TOKENS.md) then a per-doc gaps-and-islands span merge.
 
 Reference analog: the reference has no token ops (imaging domain); these
 are the training-data additions the brief requires, shaped like its
