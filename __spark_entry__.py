@@ -2003,6 +2003,43 @@ FROM sp GROUP BY doc_id
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs scored by 8-gram overlap
+    with a deterministic held-out "eval" slice (md5(doc_id) first hex char
+    '0', ~1/16 of docs).  Eval fingerprints are DISTINCT + broadcast — the
+    exploded training windows never shuffle; one per-doc agg Exchange."""
+    from esa_pfa_spark.operators.tokens import decontaminate
+
+    docs = _tokenized_docs(spark, sf_dir)
+    is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    return decontaminate(docs.filter(~is_eval), docs.filter(is_eval), n=8)
+
+
+SQL_DECONTAMINATE = f"""
+WITH tok AS (SELECT doc_id, {_TOK_SQL} AS toks,
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_eval
+             FROM documents),
+w AS (SELECT doc_id, is_eval, len(toks) AS n_tok,
+             unnest(generate_series(0, len(toks) - 8)) AS s, toks
+      FROM tok WHERE len(toks) >= 8),
+f AS (SELECT doc_id, is_eval, n_tok, s,
+             md5(array_to_string(list_slice(toks, s + 1, s + 8), ',')) AS fp
+      FROM w),
+ev AS (SELECT DISTINCT fp FROM f WHERE is_eval),
+j AS (SELECT f.doc_id, f.n_tok,
+             CASE WHEN ev.fp IS NULL THEN 0 ELSE 1 END AS hit
+      FROM f LEFT JOIN ev ON f.fp = ev.fp
+      WHERE NOT f.is_eval)
+SELECT doc_id,
+       CAST(max(n_tok) AS BIGINT) AS n_tok,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(hit) AS BIGINT) AS n_eval_hits,
+       round(sum(hit) * 1.0 / count(*), 6) AS contamination_frac,
+       sum(hit) > 0 AS contaminated
+FROM j GROUP BY doc_id
+"""
+
+
 def q_token_repetition(spark, sf_dir):
     """Gopher-style intra-document repetition gates: distinct-token ratio +
     most-frequent-token share.  Two-level aggregation, one shuffle keyed by
@@ -2187,6 +2224,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "token_bigrams_topk": (q_token_bigrams, SQL_TOKEN_BIGRAMS),
     "token_repetition_stats": (q_token_repetition, SQL_TOKEN_REPETITION),
     "token_dup_ngram_spans": (q_dup_ngram_spans, SQL_DUP_NGRAM),
+    "token_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "dataset_split_counts": (q_dataset_split, SQL_DATASET_SPLIT),
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "shuffle_order": (q_shuffle_order, SQL_SHUFFLE_ORDER),

@@ -1,8 +1,9 @@
 """Token-sequence operators for LLM training-data pipelines: portable
 tokenization, fixed-window chunking, context-window sequence packing (+
 the per-window composition manifest), vocabulary / bigram statistics,
-intra-document repetition/entropy signals, and corpus-duplicated n-gram
-span detection.
+intra-document repetition/entropy signals, corpus-duplicated n-gram
+span detection, and benchmark decontamination (n-gram overlap against a
+broadcast eval set).
 
 These operate on the engine's core payload — pre-tokenized sequences
 (BASELINE input hint: ``tokens array<int32>``).  For oracle-checkable
@@ -295,6 +296,78 @@ def bigram_counts(
     return counts.orderBy(F.col("cnt").desc(), F.col("t1").asc(), F.col("t2").asc()).limit(k)
 
 
+def ngram_fps(
+    df: DataFrame,
+    n: int = 8,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Every length-``n`` token window of every document, fingerprinted:
+    ``(id_col, __n_tok, s, fp)`` with ``fp`` = md5 of the comma-joined
+    window (portable to the SQL oracle).  One explode — map-only, no
+    shuffle; the shared front-end of ``dup_ngram_summary`` (corpus
+    self-duplication) and ``decontaminate`` (overlap against an eval
+    set)."""
+    toks = F.col(tokens_col)
+    starts = F.sequence(F.lit(0), F.size(toks) - n)
+    gram = F.slice(F.col("__t"), F.col("s") + 1, n)
+    return (
+        df.filter(F.size(toks) >= n)
+        .select(id_col, F.size(toks).alias("__n_tok"), toks.alias("__t"),
+                F.explode(starts).alias("s"))
+        .select(
+            id_col,
+            "__n_tok",
+            "s",
+            F.md5(
+                F.array_join(F.transform(gram, lambda x: x.cast("string")), ",")
+            ).alias("fp"),
+        )
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: for each training document, count token
+    ``n``-gram windows that also occur anywhere in ``eval_df`` (the held-out
+    benchmark corpus), the standard pre-training hygiene pass that keeps
+    eval answers out of the training set.
+
+    Output per training doc with >= ``n`` tokens: ``doc_id, n_tok,
+    n_windows, n_eval_hits, contamination_frac, contaminated`` (any-hit
+    flag).  Zero-hit docs are reported too — the pass's point is the clean
+    list, not just the offenders.
+
+    Plan shape (100 TB): the eval set is small (benchmarks are thousands
+    of docs, the corpus is billions), so its DISTINCT fingerprint set is
+    built once and **broadcast**; training windows stream through a
+    map-side broadcast-hash left join (no shuffle of the exploded window
+    set), then one per-doc aggregation — the only Exchange.  Never joins
+    training docs against each other."""
+    wins = ngram_fps(df, n=n, tokens_col=tokens_col, id_col=id_col)
+    eval_fps = (
+        ngram_fps(eval_df, n=n, tokens_col=tokens_col, id_col=id_col)
+        .select("fp")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    hits = wins.join(F.broadcast(eval_fps), "fp", "left")
+    n_hits = F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+    n_win = F.count(F.lit(1))
+    return hits.groupBy(id_col).agg(
+        F.first("__n_tok").cast("long").alias("n_tok"),
+        n_win.cast("long").alias("n_windows"),
+        n_hits.cast("long").alias("n_eval_hits"),
+        F.round(n_hits / n_win, 6).alias("contamination_frac"),
+        (n_hits > 0).alias("contaminated"),
+    )
+
+
 def dup_ngram_summary(
     df: DataFrame,
     n: int = 8,
@@ -327,22 +400,7 @@ def dup_ngram_summary(
     hot-fingerprint spam corpus: BENCH/SKEW_TOKENS.md (the skew-safe form
     is worst-case insurance — AQE-splittable straggler — not a local
     speedup)."""
-    toks = F.col(tokens_col)
-    starts = F.sequence(F.lit(0), F.size(toks) - n)
-    gram = F.slice(F.col("__t"), F.col("s") + 1, n)
-    wins = (
-        df.filter(F.size(toks) >= n)
-        .select(id_col, F.size(toks).alias("__n_tok"), toks.alias("__t"),
-                F.explode(starts).alias("s"))
-        .select(
-            id_col,
-            "__n_tok",
-            "s",
-            F.md5(
-                F.array_join(F.transform(gram, lambda x: x.cast("string")), ",")
-            ).alias("fp"),
-        )
-    )
+    wins = ngram_fps(df, n=n, tokens_col=tokens_col, id_col=id_col)
     from pyspark.sql import Window as W
 
     if skew_safe:

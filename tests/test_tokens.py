@@ -203,3 +203,40 @@ def test_chunking_plan_is_map_only(spark):
     )
     plan = TK.chunk_tokens(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_decontaminate_hand_counted(spark):
+    # train doc "t1" contains eval doc "e1"'s 4-gram [1,2,3,4] at s=2 and
+    # s=3 never matches; "t2" is clean; "t3" is too short to window.
+    train = spark.createDataFrame(
+        [
+            ("t1", [9, 9, 1, 2, 3, 4, 9]),   # windows at s=0..3; s=2 hits
+            ("t2", [5, 6, 7, 8, 5, 6]),       # 3 windows, no hits
+            ("t3", [1, 2, 3]),                # < n, dropped
+        ],
+        "doc_id string, tokens array<int>",
+    )
+    ev = spark.createDataFrame(
+        [("e1", [0, 1, 2, 3, 4, 0])], "doc_id string, tokens array<int>"
+    )
+    got = {r["doc_id"]: r for r in TK.decontaminate(train, ev, n=4).collect()}
+    assert sorted(got) == ["t1", "t2"]
+    assert (got["t1"]["n_windows"], got["t1"]["n_eval_hits"]) == (4, 1)
+    assert got["t1"]["contaminated"] is True
+    assert got["t1"]["contamination_frac"] == 0.25
+    assert (got["t2"]["n_eval_hits"], got["t2"]["contaminated"]) == (0, False)
+    assert got["t2"]["n_tok"] == 6
+
+
+def test_decontaminate_plan_broadcasts_eval(spark):
+    train = spark.createDataFrame(
+        [("t", list(range(20)))], "doc_id string, tokens array<int>"
+    )
+    ev = spark.createDataFrame(
+        [("e", list(range(10)))], "doc_id string, tokens array<int>"
+    )
+    plan = TK.decontaminate(train, ev)._jdf.queryExecution().executedPlan().toString()
+    # eval fingerprints ride a broadcast join; the exploded training window
+    # set must NOT be the build/shuffle side of an exchange before the join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
