@@ -2040,6 +2040,60 @@ FROM j GROUP BY doc_id
 """
 
 
+def q_curation_decontaminated(spark, sf_dir):
+    """Curation chain with the benchmark-hygiene tail: quality gate ->
+    exact dedup -> near-dup removal -> drop any survivor sharing an 8-gram
+    with the held-out eval slice (md5(doc_id) hex[0] == '0').  The
+    decontamination stage runs LAST, over only the survivors (the
+    production order: cheapest gates first, broadcast join last)."""
+    from esa_pfa_spark.plans.curation import curate_documents
+
+    docs = _ld(spark, sf_dir, "documents")
+    is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    return curate_documents(docs.filter(~is_eval), eval_docs=docs.filter(is_eval))
+
+
+SQL_CURATION_DECON = f"""
+WITH traindocs AS (
+  SELECT * FROM documents
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0'),
+good AS (
+  SELECT d.* FROM traindocs d
+  WHERE len(string_split(text, ' ')) >= 5
+    AND len(list_filter(string_split(text, ' '), w -> w IN ({_STOP_IN}))) * 1.0
+        / len(string_split(text, ' ')) <= 0.7),
+canon AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY md5(text)),
+k AS (SELECT good.* FROM good JOIN canon USING (doc_id)),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM k),
+sh0 AS (SELECT doc_id, unnest(list_distinct(
+         list_transform(generate_series(1, len(ws)-2),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+       FROM w WHERE len(ws) >= 3),
+capped AS (SELECT shingle FROM sh0 GROUP BY shingle
+           HAVING count(*) <= {DD.MAX_SHINGLE_FREQ}),
+sh AS (SELECT doc_id, sh0.shingle FROM sh0 JOIN capped ON sh0.shingle = capped.shingle),
+sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+nd AS (SELECT DISTINCT db AS doc_id
+       FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+       WHERE i * 1.0 / (sa.s + sb.s - i) >= 0.2),
+surv AS (SELECT k.* FROM k ANTI JOIN nd USING (doc_id)),
+evt AS (SELECT {_TOK_SQL} AS toks FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'),
+evw AS (SELECT DISTINCT md5(array_to_string(list_slice(toks, s + 1, s + 8), ',')) AS fp
+        FROM (SELECT toks, unnest(generate_series(0, len(toks) - 8)) AS s
+              FROM evt WHERE len(toks) >= 8)),
+st AS (SELECT doc_id, {_TOK_SQL} AS toks FROM surv),
+stw AS (SELECT doc_id, md5(array_to_string(list_slice(toks, s + 1, s + 8), ',')) AS fp
+        FROM (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 8)) AS s
+              FROM st WHERE len(toks) >= 8)),
+cont AS (SELECT DISTINCT stw.doc_id FROM stw JOIN evw USING (fp))
+SELECT surv.doc_id, surv.source FROM surv ANTI JOIN cont USING (doc_id)
+"""
+
+
 def q_token_repetition(spark, sf_dir):
     """Gopher-style intra-document repetition gates: distinct-token ratio +
     most-frequent-token share.  Two-level aggregation, one shuffle keyed by
@@ -2183,6 +2237,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "fingerprint_md5": (q_fingerprint, SQL_FINGERPRINT),
     "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "curation_survivors": (q_curation, SQL_CURATION),
+    "curation_decontaminated": (q_curation_decontaminated, SQL_CURATION_DECON),
     "training_windows_e2e": (q_training_windows, SQL_TRAINING_WINDOWS),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIG),
     "minhash_band_candidates": (q_minhash_candidates, SQL_MINHASH_CAND),

@@ -7,11 +7,14 @@ entirely from this engine's operators:
   3. near-dup removal    (dedup.ngram_jaccard_pairs; drop the greater doc
                           of every pair — keeps the minimal elements of
                           the pair graph, deterministic)
+  4. decontamination     (optional: tokens.decontaminate vs a held-out
+                          eval corpus; drop any-hit docs)
 
 Order matters at scale and is the production order: the quality gate
 prunes before any join; exact dedup collapses identical docs BEFORE the
 shingle self-join so duplicate clusters cannot blow up near-dup buckets
-(see dedup.minhash_band_candidates' hot-bucket caveat).
+(see dedup.minhash_band_candidates' hot-bucket caveat); decontamination —
+the most token-expensive stage — runs LAST, over only the survivors.
 
 Every stage is a hash-partitioned groupBy/join — no global windows, no
 driver-side loops; the whole pipeline is one lazy DataFrame program.
@@ -31,9 +34,20 @@ def curate_documents(
     min_words: int = 5,
     max_stopword_ratio: float = 0.7,
     jaccard_threshold: float = 0.2,
+    eval_docs: DataFrame | None = None,
+    decontaminate_n: int = 8,
+    max_contamination: float = 0.0,
 ) -> DataFrame:
     """Surviving documents after the quality -> exact-dedup -> near-dup
-    chain.  Returns (doc_id, source); deterministic for fixed thresholds."""
+    (-> decontamination) chain.  Returns (doc_id, source); deterministic
+    for fixed thresholds.
+
+    With ``eval_docs``, survivors sharing more than ``max_contamination``
+    (fraction of their ``decontaminate_n``-gram windows; default: ANY
+    window) with the eval corpus are dropped — the benchmark-hygiene pass,
+    run last over the smallest set.  The eval fingerprints are broadcast
+    (see tokens.decontaminate); docs shorter than ``decontaminate_n``
+    tokens cannot contain an eval n-gram and pass through."""
     q = TS.quality_scores(docs)
     good_ids = q.filter(
         (F.col("n_words") >= min_words)
@@ -48,7 +62,17 @@ def curate_documents(
 
     pairs = DD.ngram_jaccard_pairs(kept, threshold=jaccard_threshold)
     near_dups = pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
-    return kept.join(near_dups, "doc_id", "left_anti").select("doc_id", "source")
+    surv = kept.join(near_dups, "doc_id", "left_anti")
+    if eval_docs is not None:
+        from esa_pfa_spark.operators.tokens import decontaminate, tokenize
+
+        contaminated = (
+            decontaminate(tokenize(surv), tokenize(eval_docs), n=decontaminate_n)
+            .filter(F.col("contamination_frac") > max_contamination)
+            .select("doc_id")
+        )
+        surv = surv.join(contaminated, "doc_id", "left_anti")
+    return surv.select("doc_id", "source")
 
 
 def training_windows(
