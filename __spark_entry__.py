@@ -2003,6 +2003,34 @@ FROM sp GROUP BY doc_id
 """
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Top-3 TF-IDF terms per document: per-(doc,token) hash agg -> vocab-
+    bounded df table broadcast back (scored rows never shuffle) -> per-DOC
+    window top-k (no global window)."""
+    from esa_pfa_spark.operators.tokens import tfidf_topk
+
+    return tfidf_topk(_tokenized_docs(spark, sf_dir), k=3)
+
+
+SQL_TFIDF = f"""
+WITH tok AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+pt AS (SELECT doc_id, len(toks) AS n_tok, unnest(toks) AS token
+       FROM tok WHERE len(toks) > 0),
+c AS (SELECT doc_id, n_tok, token, count(*) AS c FROM pt GROUP BY 1, 2, 3),
+dfq AS (SELECT token, count(*) AS df_t FROM c GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM tok WHERE len(toks) > 0),
+s AS (SELECT doc_id, token, c, df_t,
+             round((c * 1.0 / n_tok) * ln(n_docs * 1.0 / df_t), 6) AS score
+      FROM c JOIN dfq USING (token) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, token ASC) AS rank
+      FROM s)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, CAST(token AS BIGINT) AS token,
+       CAST(c AS BIGINT) AS tf_count, CAST(df_t AS BIGINT) AS doc_freq, score
+FROM r WHERE rank <= 3
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: training docs scored by 8-gram overlap
     with a deterministic held-out "eval" slice (md5(doc_id) first hex char
@@ -2280,6 +2308,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "token_repetition_stats": (q_token_repetition, SQL_TOKEN_REPETITION),
     "token_dup_ngram_spans": (q_dup_ngram_spans, SQL_DUP_NGRAM),
     "token_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "token_tfidf_topk": (q_tfidf_topk, SQL_TFIDF),
     "dataset_split_counts": (q_dataset_split, SQL_DATASET_SPLIT),
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "shuffle_order": (q_shuffle_order, SQL_SHUFFLE_ORDER),

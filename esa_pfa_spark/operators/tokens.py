@@ -1,6 +1,7 @@
 """Token-sequence operators for LLM training-data pipelines: portable
 tokenization, fixed-window chunking, context-window sequence packing (+
-the per-window composition manifest), vocabulary / bigram statistics,
+the per-window composition manifest), vocabulary / bigram / TF-IDF
+statistics,
 intra-document repetition/entropy signals, corpus-duplicated n-gram
 span detection, and benchmark decontamination (n-gram overlap against a
 broadcast eval set).
@@ -447,6 +448,66 @@ def dup_ngram_summary(
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.sum("__len").cast("long").alias("dup_tokens"),
         F.round(F.sum("__len") / F.first("__n_tok"), 6).alias("dup_frac"),
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 3,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document: ``tf = c/n_tok``, ``idf =
+    ln(N/df_t)`` (N = docs with tokens, df_t = docs containing t), ties
+    broken by token asc.  The keyword-extraction / relevance primitive a
+    corpus audit runs after tokenization.
+
+    Plan shape (100 TB): per-(doc,token) counts are one hash aggregation;
+    document frequency aggregates THAT (one row per distinct (doc,token),
+    not per occurrence); the df table is vocab-bounded (<= 32k rows here)
+    so it joins back as a **broadcast** — the scored rows never shuffle;
+    the corpus size N rides a broadcast scalar.  Top-k runs in a window
+    partitioned BY DOC (thousands of tiny partitions — nothing global)."""
+    per_tok = (
+        df.filter(F.size(F.col(tokens_col)) > 0)
+        .select(id_col, F.size(F.col(tokens_col)).alias("__n_tok"),
+                F.explode(F.col(tokens_col)).alias("token"))
+        .groupBy(id_col, "__n_tok", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    docfreq = per_tok.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = (
+        df.filter(F.size(F.col(tokens_col)) > 0)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    scored = (
+        per_tok.join(F.broadcast(docfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                (F.col("c") / F.col("__n_tok"))
+                * F.log(F.col("n_docs") / F.col("df_t")),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    byd = W.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(byd))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            F.col("rank").cast("long").alias("rank"),
+            F.col("token").cast("long").alias("token"),
+            F.col("c").cast("long").alias("tf_count"),
+            F.col("df_t").cast("long").alias("doc_freq"),
+            "score",
+        )
     )
 
 

@@ -240,3 +240,29 @@ def test_decontaminate_plan_broadcasts_eval(spark):
     # set must NOT be the build/shuffle side of an exchange before the join
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_topk_hand_computed(spark):
+    df = spark.createDataFrame(
+        [("d1", [1, 1, 2]), ("d2", [2, 3])], "doc_id string, tokens array<int>"
+    )
+    rows = TK.tfidf_topk(df, k=2).collect()
+    got = {(r["doc_id"], r["rank"]): r for r in rows}
+    # N=2; df: {1: 1, 2: 2, 3: 1}; idf ln(2)=0.693147 for tokens 1,3; 0 for 2
+    assert got[("d1", 1)]["token"] == 1
+    assert got[("d1", 1)]["score"] == pytest.approx(round(2 / 3 * 0.6931472, 6), abs=1e-6)
+    assert (got[("d1", 1)]["tf_count"], got[("d1", 1)]["doc_freq"]) == (2, 1)
+    assert got[("d1", 2)]["token"] == 2 and got[("d1", 2)]["score"] == 0.0
+    assert got[("d2", 1)]["token"] == 3
+    assert got[("d2", 1)]["score"] == pytest.approx(round(1 / 2 * 0.6931472, 6), abs=1e-6)
+
+
+def test_tfidf_plan_broadcasts_docfreq(spark):
+    df = spark.createDataFrame(
+        [("d", list(range(30)))], "doc_id string, tokens array<int>"
+    )
+    plan = TK.tfidf_topk(df)._jdf.queryExecution().executedPlan().toString()
+    # the vocab-bounded docfreq table and the N scalar must both broadcast;
+    # the scored per-(doc,token) rows must not shuffle into a merge join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
