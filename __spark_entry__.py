@@ -109,6 +109,44 @@ def q_asof_forward(spark, sf_dir):
     )
 
 
+def q_asof_nearest(spark, sf_dir):
+    """Nearest as-of: closest purchase within 12h of each click (either
+    side; |dt| ties -> the earlier).  Both directional fills share ONE
+    Exchange (see asof.py)."""
+    ev = _ld(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("query_ts")
+    )
+    obs = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = asof_join(
+        probes, obs, on="user_id", probe_ts="query_ts", obs_ts="ts",
+        payload=["purchase_value"], direction="nearest",
+        tolerance=dt.timedelta(hours=12),
+    )
+    return out.select(
+        "event_id", "user_id", "query_ts", "matched_ts",
+        _r6(F.col("purchase_value")).alias("purchase_value"),
+    )
+
+
+SQL_ASOF_NEAREST = f"""
+WITH c AS (SELECT event_id, user_id, ts AS query_ts FROM events WHERE event_type='click'),
+     p AS (SELECT user_id, ts, value FROM events WHERE event_type='purchase'),
+     m AS (SELECT c.event_id, c.user_id, c.query_ts,
+                  (SELECT p.ts FROM p
+                    WHERE p.user_id=c.user_id
+                      AND abs(epoch_us(c.query_ts)-epoch_us(p.ts)) <= {12*3600*1000000}
+                    ORDER BY abs(epoch_us(c.query_ts)-epoch_us(p.ts)), p.ts
+                    LIMIT 1) AS matched_ts
+           FROM c)
+SELECT m.event_id, m.user_id, m.query_ts, m.matched_ts,
+       round(p.value, 6) AS purchase_value
+FROM m LEFT JOIN p ON p.user_id=m.user_id AND p.ts=m.matched_ts
+"""
+
+
 SQL_ASOF_FORWARD = f"""
 WITH c AS (SELECT event_id, user_id, ts AS query_ts FROM events WHERE event_type='click'),
      p AS (SELECT user_id, ts, value FROM events WHERE event_type='error'),
@@ -2238,6 +2276,7 @@ FROM documents
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "asof_backward_7d": (q_asof_backward, SQL_ASOF_BACKWARD),
     "asof_forward_1d": (q_asof_forward, SQL_ASOF_FORWARD),
+    "asof_nearest_12h": (q_asof_nearest, SQL_ASOF_NEAREST),
     "window_ffill": (q_ffill, SQL_FFILL),
     "window_lag_lead": (q_lag_lead, SQL_LAG_LEAD),
     "window_rolling_mean": (q_rolling_mean, SQL_ROLLING),

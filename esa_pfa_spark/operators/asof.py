@@ -26,6 +26,10 @@ ships two interchangeable physical strategies:
 Leakage invariant (tested): backward matches satisfy
 ``matched_ts <= query_ts`` (ties inclusive), forward matches
 ``matched_ts >= query_ts``; with tolerance t, ``|query_ts - matched_ts| <= t``.
+``direction="nearest"`` picks the in-tolerance match minimizing
+``|query_ts - matched_ts|`` (ties -> the backward one), computed as both
+directional fills over the SAME union — still one Exchange, two
+in-partition window passes.
 """
 
 from __future__ import annotations
@@ -68,8 +72,10 @@ def asof_join(
     plus ``matched_ts`` and the requested observation ``payload`` columns
     (null where no in-tolerance match exists — probe rows are never dropped).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction}"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     payload = list(payload) if payload is not None else [
         c for c in observations.columns if c not in keys + [obs_ts]
@@ -99,48 +105,95 @@ def asof_join(
     )
     unioned = obs_side.unionByName(probe_side)
 
-    if direction == "backward":
-        # obs tag 0 sorts before an equal-ts probe -> inclusive tie match
-        w = (
-            Window.partitionBy(*keys)
-            .orderBy(F.col(_TS).asc(), F.col(_TAG).asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        fill = F.last(_PAY, ignorenulls=True).over(w)
-    else:
-        w = (
-            Window.partitionBy(*keys)
-            .orderBy(F.col(_TS).asc(), F.col(_TAG).desc())
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        )
-        fill = F.first(_PAY, ignorenulls=True).over(w)
-
-    filled = unioned.select(
-        *keys,
-        F.col(_TS),
-        F.col(_TAG),
-        fill.alias(_PAY),
-        *[F.col(f"__p_{c}") for c in probe_cols],
-    ).filter(F.col(_TAG) == 1)
-    filled = filled.select(
-        *keys,
-        F.col(_TS),
-        F.col(_PAY)[_MATCH].alias(_MATCH),
-        *[F.col(_PAY)[c].alias(c) for c in payload],
-        *[F.col(f"__p_{c}") for c in probe_cols],
+    # obs tag 0 sorts before an equal-ts probe -> inclusive tie match
+    w_back = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(_TS).asc(), F.col(_TAG).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(_TS).asc(), F.col(_TAG).desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
     tol_s = _tolerance_seconds(tolerance)
-    if tol_s is not None:
-        delta_us = F.abs(ts_diff_us(_TS, _MATCH))
-        in_tol = F.col(_MATCH).isNotNull() & (delta_us <= F.lit(int(tol_s * 1e6)))
+
+    if direction == "nearest":
+        # BOTH directional fills over the same union: one Exchange, two
+        # in-partition window passes.  Tolerance gates each side BEFORE the
+        # pick (a closer-but-out-of-tolerance side must not mask a valid
+        # one); |dt| ties resolve to the backward match.
+        back = F.last(_PAY, ignorenulls=True).over(w_back)
+        fwd = F.first(_PAY, ignorenulls=True).over(w_fwd)
+        both = unioned.select(
+            *keys,
+            F.col(_TS),
+            F.col(_TAG),
+            back.alias("__b"),
+            fwd.alias("__f"),
+            *[F.col(f"__p_{c}") for c in probe_cols],
+        ).filter(F.col(_TAG) == 1)
+        both = both.withColumn("__bm", F.col("__b")[_MATCH]).withColumn(
+            "__fm", F.col("__f")[_MATCH]
+        )
+        d_b = ts_diff_us(_TS, "__bm")
+        d_f = ts_diff_us("__fm", _TS)
+        valid_b = F.col("__b").isNotNull()
+        valid_f = F.col("__f").isNotNull()
+        if tol_s is not None:
+            tol_us = F.lit(int(tol_s * 1e6))
+            valid_b = valid_b & (d_b <= tol_us)
+            valid_f = valid_f & (d_f <= tol_us)
+        pick = (
+            F.when(valid_b & valid_f,
+                   F.when(d_f < d_b, F.col("__f")).otherwise(F.col("__b")))
+            .when(valid_b, F.col("__b"))
+            .when(valid_f, F.col("__f"))
+        )
+        filled = both.select(
+            *keys,
+            F.col(_TS),
+            pick.alias(_PAY),
+            *[F.col(f"__p_{c}") for c in probe_cols],
+        )
         filled = filled.select(
             *keys,
             F.col(_TS),
-            F.when(in_tol, F.col(_MATCH)).alias(_MATCH),
-            *[F.when(in_tol, F.col(c)).alias(c) for c in payload],
+            F.col(_PAY)[_MATCH].alias(_MATCH),
+            *[F.col(_PAY)[c].alias(c) for c in payload],
             *[F.col(f"__p_{c}") for c in probe_cols],
         )
+    else:
+        if direction == "backward":
+            fill = F.last(_PAY, ignorenulls=True).over(w_back)
+        else:
+            fill = F.first(_PAY, ignorenulls=True).over(w_fwd)
+
+        filled = unioned.select(
+            *keys,
+            F.col(_TS),
+            F.col(_TAG),
+            fill.alias(_PAY),
+            *[F.col(f"__p_{c}") for c in probe_cols],
+        ).filter(F.col(_TAG) == 1)
+        filled = filled.select(
+            *keys,
+            F.col(_TS),
+            F.col(_PAY)[_MATCH].alias(_MATCH),
+            *[F.col(_PAY)[c].alias(c) for c in payload],
+            *[F.col(f"__p_{c}") for c in probe_cols],
+        )
+
+        if tol_s is not None:
+            delta_us = F.abs(ts_diff_us(_TS, _MATCH))
+            in_tol = F.col(_MATCH).isNotNull() & (delta_us <= F.lit(int(tol_s * 1e6)))
+            filled = filled.select(
+                *keys,
+                F.col(_TS),
+                F.when(in_tol, F.col(_MATCH)).alias(_MATCH),
+                *[F.when(in_tol, F.col(c)).alias(c) for c in payload],
+                *[F.col(f"__p_{c}") for c in probe_cols],
+            )
     out = filled.withColumnRenamed(_TS, probe_ts)
     for c in probe_cols:
         out = out.withColumnRenamed(f"__p_{c}", c)

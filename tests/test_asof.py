@@ -141,3 +141,39 @@ def test_sql_and_pandas_paths_agree(spark):
     a = asof_join(probes, obs, **kw).orderBy("entity_id", "query_ts").toPandas()
     b = asof_join_pandas(probes, obs, **kw).orderBy("entity_id", "query_ts").toPandas()
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+EXPECTED_NEAREST_7D = {
+    ("a", T0 + dt.timedelta(days=2)): 2.0,    # 1d back vs 1d fwd tie -> backward
+    ("a", T0 + dt.timedelta(days=3)): 3.0,    # exact match, d=0
+    ("a", T0 + dt.timedelta(days=15)): 4.0,   # back 12d out of tol; fwd 5d in
+    ("a", T0 - dt.timedelta(days=1)): 1.0,    # only forward exists
+    ("b", T0 + dt.timedelta(minutes=30)): 10.0,  # 30min tie -> backward
+    ("c", T0 + dt.timedelta(days=1)): None,
+}
+
+
+def test_asof_nearest_golden(spark):
+    out = asof_join(
+        _probes(spark), _obs(spark), payload=["value"],
+        direction="nearest", tolerance=dt.timedelta(days=7),
+    )
+    assert _collect(out) == EXPECTED_NEAREST_7D
+
+
+def test_asof_nearest_single_exchange(spark):
+    import io, contextlib, re
+
+    out = asof_join(
+        _probes(spark), _obs(spark), payload=["value"],
+        direction="nearest", tolerance=dt.timedelta(days=7),
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="formatted")
+    plan = buf.getvalue()
+    n = len(re.findall(
+        r"(?<![A-Za-z])Exchange (?:\(\d+\)|hashpartitioning|rangepartitioning)", plan
+    ))
+    # both directional window fills must reuse ONE shuffle of the union
+    assert n == 1, f"expected 1 exchange, got {n}:\n{plan}"
