@@ -219,8 +219,10 @@ def asof_join_pandas(
     hot-entity path.  Requires ``tolerance`` when chunking (otherwise a match
     could come from arbitrarily far back).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction}"
+        )
     tol_s = _tolerance_seconds(tolerance)
     chunk_s = _tolerance_seconds(chunk)
     if chunk_s is not None and tol_s is None:
@@ -255,11 +257,25 @@ def asof_join_pandas(
         if direction == "backward":
             idx = np.searchsorted(ots, qts, side="right") - 1
             valid = idx >= 0
-        else:
+        elif direction == "forward":
             idx = np.searchsorted(ots, qts, side="left")
             valid = idx < len(ots)
+        else:  # nearest: both candidates, closer wins, |dt| tie -> backward
+            ib = np.searchsorted(ots, qts, side="right") - 1
+            if_ = np.searchsorted(ots, qts, side="left")
+            vb = ib >= 0
+            vf = if_ < len(ots)
+            d_b = qts - ots[np.clip(ib, 0, len(ots) - 1)]
+            d_f = ots[np.clip(if_, 0, len(ots) - 1)] - qts
+            if tol_s is not None:
+                tol_us = tol_s * 1_000_000
+                vb &= d_b <= tol_us
+                vf &= d_f <= tol_us
+            use_f = vf & (~vb | (d_f < d_b))
+            idx = np.where(use_f, if_, ib)
+            valid = vb | vf
         safe = np.clip(idx, 0, len(ots) - 1)
-        if tol_s is not None:
+        if tol_s is not None and direction != "nearest":
             delta = sign * (qts - ots[safe])
             valid &= delta <= tol_s * 1_000_000
         matched = right.iloc[safe].reset_index(drop=True)
@@ -277,13 +293,14 @@ def asof_join_pandas(
     chunk_sec = int(chunk_s)
     pch = probes.withColumn("__chunk", F.floor(epoch_s(F.col(probe_ts)) / chunk_sec))
     base = F.floor(epoch_s(F.col(obs_ts)) / chunk_sec)
+    spread = int(np.ceil(tol_s / chunk_s))
     if direction == "backward":
         # an obs at the tail of chunk k can serve probes in chunks k..k+ceil(tol/chunk)
-        spread = int(np.ceil(tol_s / chunk_s))
         offsets = list(range(0, spread + 1))
-    else:
-        spread = int(np.ceil(tol_s / chunk_s))
+    elif direction == "forward":
         offsets = list(range(-spread, 1))
+    else:  # nearest can match either side of the chunk boundary
+        offsets = list(range(-spread, spread + 1))
     och = obs_proj.withColumn(
         "__chunk", F.explode(F.array(*[base + F.lit(o) for o in offsets]))
     )

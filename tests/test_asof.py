@@ -177,3 +177,32 @@ def test_asof_nearest_single_exchange(spark):
     ))
     # both directional window fills must reuse ONE shuffle of the union
     assert n == 1, f"expected 1 exchange, got {n}:\n{plan}"
+
+
+def test_asof_nearest_pandas_golden(spark):
+    out = asof_join_pandas(
+        _probes(spark), _obs(spark), payload=["value"],
+        direction="nearest", tolerance=dt.timedelta(days=7),
+    )
+    assert _collect(out) == EXPECTED_NEAREST_7D
+
+
+def test_asof_nearest_chunked_matches_unchunked(spark):
+    out = asof_join_pandas(
+        _probes(spark), _obs(spark), payload=["value"],
+        direction="nearest", tolerance=dt.timedelta(days=7),
+        chunk=dt.timedelta(days=7),
+    )
+    assert _collect(out) == EXPECTED_NEAREST_7D
+
+
+def test_sql_and_pandas_paths_agree_nearest(spark):
+    from esa_pfa_spark import synth
+
+    obs = synth.observations_df(spark, seed=5, n_entities=10, mean_obs=15, mean_tok=8)
+    probes = synth.queries_df(spark, seed=5, n_entities=10, mean_obs=15)
+    kw = dict(payload=["doc_id", "n_tok"], direction="nearest",
+              tolerance=dt.timedelta(days=7))
+    a = asof_join(probes, obs, **kw).orderBy("entity_id", "query_ts").toPandas()
+    b = asof_join_pandas(probes, obs, **kw).orderBy("entity_id", "query_ts").toPandas()
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
