@@ -52,6 +52,9 @@ HEADLINE = [
     "token_chunk_windows",
     "token_pack_capacity",
     "token_repetition_stats",
+    "token_tfidf_topk",
+    "token_decontaminate",
+    "asof_nearest_12h",
 ]
 
 # flagship synthetic scale (distributed generation, written once to parquet)
