@@ -131,3 +131,37 @@ def test_dup_ngram_matches_sequential_oracle(spark, docs, n):
         for r in TK.dup_ngram_summary(df, n=n).collect()
     }
     assert got == _dup_oracle(docs, n, 2)
+
+
+@given(
+    train=corpus,
+    ev=st.lists(
+        st.lists(st.integers(min_value=0, max_value=7), min_size=0, max_size=30),
+        min_size=1, max_size=6,
+    ),
+    n=st.integers(2, 5),
+)
+@SET
+def test_decontaminate_matches_set_oracle(spark, train, ev, n):
+    """Per-doc eval-hit counts equal a brute-force python n-gram-set oracle
+    on arbitrary corpora (small alphabet forces heavy overlap)."""
+    tr_rows = [(f"t{i}", d) for i, d in enumerate(train)]
+    ev_rows = [(f"e{i}", d) for i, d in enumerate(ev)]
+    tdf = spark.createDataFrame(tr_rows, "doc_id string, tokens array<int>")
+    edf = spark.createDataFrame(ev_rows, "doc_id string, tokens array<int>")
+    got = {r["doc_id"]: r for r in TK.decontaminate(tdf, edf, n=n).collect()}
+
+    eval_grams = {
+        tuple(d[s : s + n]) for d in ev for s in range(len(d) - n + 1)
+    }
+    for i, d in enumerate(train):
+        wins = [tuple(d[s : s + n]) for s in range(len(d) - n + 1)]
+        if not wins:
+            assert f"t{i}" not in got
+            continue
+        r = got[f"t{i}"]
+        hits = sum(1 for w in wins if w in eval_grams)
+        assert r["n_windows"] == len(wins)
+        assert r["n_eval_hits"] == hits
+        assert r["contaminated"] == (hits > 0)
+        assert r["contamination_frac"] == round(hits / len(wins), 6)
