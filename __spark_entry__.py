@@ -226,6 +226,32 @@ FROM events
 """
 
 
+def q_rolling_median(spark, sf_dir):
+    """W1 extension: trailing 5-row exact rolling median per user — the
+    robust rolling statistic (operators/windows.py rolling_median; Spark
+    has no frame-median aggregate, so it's array_sort over the frame)."""
+    from esa_pfa_spark.operators.windows import rolling_median
+
+    ev = _ld(spark, sf_dir, "events")
+    # deterministic frame order: (ts, event_id) — mirror SQL_ROLLING
+    ev = ev.withColumn(
+        "__ord", F.struct(F.col("ts"), F.col("event_id"))
+    )
+    out = rolling_median(ev, "value", key="user_id", ts="__ord", before=4, after=0)
+    return out.select(
+        "event_id", "user_id",
+        _r6(F.col("rolling_median_value")).alias("rolling_median_5"),
+    )
+
+
+SQL_ROLLING_MEDIAN = """
+SELECT event_id, user_id,
+       round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS rolling_median_5
+FROM events
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """A7 1-D analog: 30-minute-gap sessions."""
     ev = _ld(spark, sf_dir, "events")
@@ -2280,6 +2306,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "window_ffill": (q_ffill, SQL_FFILL),
     "window_lag_lead": (q_lag_lead, SQL_LAG_LEAD),
     "window_rolling_mean": (q_rolling_mean, SQL_ROLLING),
+    "window_rolling_median": (q_rolling_median, SQL_ROLLING_MEDIAN),
     "sessionize_30m": (q_sessionize, SQL_SESSIONIZE),
     "session_summary_30m": (q_session_summary, SQL_SESSION_SUMMARY),
     "run_length_type": (q_run_length, SQL_RUN_LENGTH),

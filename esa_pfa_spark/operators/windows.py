@@ -72,6 +72,28 @@ def rolling_mean(
     return df.withColumn(out_col or f"rolling_mean_{col}", F.avg(col).over(w))
 
 
+def rolling_median(
+    df: DataFrame, col: str, key: str, ts: str, before: int = 4, after: int = 0,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Exact rolling median over a row frame — the robust (outlier-proof)
+    companion of ``rolling_mean`` for denoising feature streams.  Spark
+    rejects ``median`` with a window frame, so it is composed as
+    ``array_sort(collect_list(...))`` over the frame + middle pick (mean
+    of the two middles for even counts) — all JVM column math; the frame
+    bounds the array to ``before+after+1`` elements, so per-row cost is
+    O(frame log frame), not O(partition)."""
+    w = Window.partitionBy(key).orderBy(ts).rowsBetween(-before, after)
+    arr = F.array_sort(F.collect_list(F.col(col)).over(w))
+    n = F.size(arr)
+    mid_hi = (n / 2 + 1).cast("int")        # 1-based upper middle
+    mid_lo = (n / 2).cast("int")            # lower middle (even n)
+    odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    even = (F.element_at(arr, mid_lo) + F.element_at(arr, mid_hi)) / 2
+    med = F.when(n % 2 == 1, odd).otherwise(even)
+    return df.withColumn(out_col or f"rolling_median_{col}", med)
+
+
 def gradient(df: DataFrame, col: str, key: str, ts: str, out_col: str | None = None) -> DataFrame:
     """Central difference ``lead - lag`` — 1-D analog of the Sobel kernel (W2)."""
     w = Window.partitionBy(key).orderBy(ts)

@@ -68,3 +68,18 @@ def test_run_length_golden(spark):
     out = W.run_length(spark.createDataFrame(pdf), "k", "ts", "flag").orderBy("run_start").toPandas()
     assert list(out["run_len"]) == [2, 1, 3]
     assert list(out["flag"]) == [1, 0, 1]
+
+
+def test_rolling_median_golden(spark):
+    """Trailing 3-row median: odd frames pick the middle, even/short frames
+    average the two middles."""
+    pdf = pd.DataFrame(
+        {"k": ["a"] * 5, "ts": _ts(0, 1, 2, 3, 4), "v": [5.0, 1.0, 4.0, 2.0, 3.0]}
+    )
+    out = (
+        W.rolling_median(spark.createDataFrame(pdf), "v", key="k", ts="ts", before=2, after=0)
+        .orderBy("ts")
+        .toPandas()
+    )
+    # frames: [5] [5,1] [5,1,4] [1,4,2] [4,2,3]
+    assert list(out["rolling_median_v"]) == [5.0, 3.0, 4.0, 2.0, 3.0]
