@@ -1,5 +1,6 @@
-"""Streaming exact deduplication — the ingest-time form of
-``operators.dedup.exact_dedup`` for a document stream.
+"""Ingest-time curation for document streams: streaming exact
+deduplication (the stream form of ``operators.dedup.exact_dedup``) and
+map-only streaming decontamination against a static eval corpus.
 
 Native Structured Streaming: ``dropDuplicatesWithinWatermark`` on the
 content digest keeps ONE state row per distinct digest inside the
@@ -18,6 +19,65 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def stream_decontaminate(
+    stream_df: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    keep: str = "clean",
+) -> DataFrame:
+    """Ingest-time benchmark decontamination: filter a stream of tokenized
+    documents against a STATIC eval corpus's n-gram fingerprint set.
+
+    The eval set is a static DataFrame (benchmarks change rarely); its
+    DISTINCT fingerprints are collected ONCE at plan-build time and
+    embedded as an array literal the stream tests with ``arrays_overlap``
+    — a purely MAP-ONLY, stateless filter (no stream join, no
+    aggregation, no state store), so it composes with any downstream
+    streaming operator and any output mode.  Fingerprints are the same
+    md5 n-gram form as the batch ``tokens.decontaminate`` (shared
+    ``ngram_fps`` semantics; batch/stream parity tested).
+
+    Scale bound (documented, not silent): the literal carries the whole
+    eval fingerprint set through the plan — right for benchmark-sized
+    eval corpora (<= ~10^6 n-grams).  Beyond that, run the batch
+    ``decontaminate`` pass over accumulated micro-batch output instead.
+
+    ``keep="clean"`` passes uncontaminated docs (docs shorter than ``n``
+    tokens cannot contain an eval n-gram and pass); ``keep="flagged"``
+    inverts, emitting only offenders for quarantine sinks."""
+    from esa_pfa_spark.operators.tokens import ngram_fps
+
+    if keep not in ("clean", "flagged"):
+        raise ValueError(f"keep must be clean|flagged, got {keep}")
+    ev = [
+        r["fp"]
+        for r in ngram_fps(eval_docs, n=n, tokens_col=tokens_col, id_col=id_col)
+        .select("fp")
+        .distinct()
+        .collect()
+    ]
+    toks = F.col(tokens_col)
+    if ev:
+        starts = F.sequence(F.lit(0), F.size(toks) - n)
+        fps = F.transform(
+            starts,
+            lambda s: F.md5(
+                F.array_join(
+                    F.transform(F.slice(toks, s + 1, n), lambda x: x.cast("string")),
+                    ",",
+                )
+            ),
+        )
+        flag = F.when(
+            F.size(toks) >= n, F.arrays_overlap(fps, F.lit(ev))
+        ).otherwise(F.lit(False))
+    else:
+        flag = F.lit(False)
+    return stream_df.where(~flag if keep == "clean" else flag)
 
 
 def stream_exact_dedup(

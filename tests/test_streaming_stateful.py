@@ -184,3 +184,52 @@ def test_stream_exact_dedup_across_microbatches(spark, tmp_path):
     assert set(res["doc_id"]) == {"a", "c"}, (
         "duplicate 'b' must be dropped by digest state across micro-batches"
     )
+
+
+def test_stream_decontaminate_filters_eval_overlap(spark, tmp_path):
+    """Map-only streaming decontamination: a doc sharing a 4-gram with the
+    static eval corpus is dropped from the stream; flagged mode inverts.
+    Batch parity: the same filter on a static frame agrees with
+    tokens.decontaminate's contaminated flags."""
+    from esa_pfa_spark.operators.tokens import decontaminate
+    from esa_pfa_spark.streaming.dedup import stream_decontaminate
+
+    ev = spark.createDataFrame(
+        [("e1", [1, 2, 3, 4, 5])], "doc_id string, tokens array<int>"
+    )
+    rows = [
+        ("dirty", [9, 1, 2, 3, 4, 9]),   # contains eval 4-gram [1,2,3,4]
+        ("clean", [6, 7, 8, 9, 6, 7]),
+        ("short", [1, 2, 3]),            # < n -> passes
+    ]
+    src = tmp_path / "decon"
+    spark.createDataFrame(rows, "doc_id string, tokens array<int>") \
+        .write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("doc_id string, tokens array<int>")
+        .option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    out = stream_decontaminate(stream, ev, n=4)
+    q = (
+        out.writeStream.format("memory").queryName("decon1")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    res = spark.sql("select doc_id from decon1").toPandas()
+    assert set(res["doc_id"]) == {"clean", "short"}
+
+    # batch parity on the same (static) frame vs the batch operator
+    static = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    stream_clean = set(
+        r["doc_id"] for r in stream_decontaminate(static, ev, n=4).collect()
+    )
+    batch_flagged = {
+        r["doc_id"]
+        for r in decontaminate(static, ev, n=4).filter("contaminated").collect()
+    }
+    assert stream_clean == {r[0] for r in rows} - batch_flagged
+    flagged = {
+        r["doc_id"] for r in stream_decontaminate(static, ev, n=4, keep="flagged").collect()
+    }
+    assert flagged == batch_flagged == {"dirty"}
