@@ -2,9 +2,10 @@
 
 Every operator family from SURVEY.md §2 has a queries() entry; each entry
 has an exactly-equivalent DuckDB oracle in oracle_sql() unless the
-semantics are non-SQL-expressible (the non-reuse two-pointer pairing, the
-iterative connected-components grid, and the synthetic flagship
-pipeline), which the driver records as rows-only.
+semantics are non-SQL-expressible (the non-reuse two-pointer pairing and
+the synthetic flagship pipeline), which the driver records as rows-only.
+(The iterative connected-components grid IS oracled — a recursive CTE
+propagating decreasing labels.)
 
 Portability conventions (verified Spark 4.1 vs DuckDB):
   * floats rounded via round(x, 6) AFTER all arithmetic;
@@ -1870,11 +1871,31 @@ FROM pick WHERE step = 5
 
 def q_largest_component(spark, sf_dir):
     """A7 connected components (RegionGrower.java:46-144) via iterative
-    min-label propagation — not SQL-expressible without recursion, so
-    rows-only; goldens in tests/test_spatial.py."""
+    min-label propagation; exact DuckDB oracle via a recursive CTE —
+    propagating only DECREASING labels is complete for the per-cell min,
+    because the component's minimum id is smaller than every other cell id
+    it must reach.  Goldens in tests/test_spatial.py."""
     from esa_pfa_spark.operators.spatial import largest_component
 
     return largest_component(_events_grid(spark, sf_dir))
+
+
+SQL_LARGEST_COMPONENT = f"""
+WITH RECURSIVE {_GRID_CTE},
+occ AS (SELECT x, y, x * 1000000 + y AS id FROM g WHERE flag),
+reach(x, y, lbl) AS (
+  SELECT x, y, id FROM occ
+  UNION
+  SELECT o.x, o.y, r.lbl
+  FROM reach r
+  JOIN occ o ON abs(o.x - r.x) + abs(o.y - r.y) = 1
+  WHERE r.lbl < o.x * 1000000 + o.y),
+comp AS (SELECT x, y, min(lbl) AS component FROM reach GROUP BY 1, 2),
+sz AS (SELECT component, count(*) AS s FROM comp GROUP BY 1)
+SELECT CAST(max(s) AS BIGINT) AS max_cluster_size,
+       CAST(sum(s) AS BIGINT) AS num_samples
+FROM sz
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2378,7 +2399,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dataset_split_counts": (q_dataset_split, SQL_DATASET_SPLIT),
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "shuffle_order": (q_shuffle_order, SQL_SHUFFLE_ORDER),
-    "largest_component_grid": (q_largest_component, None),
+    "largest_component_grid": (q_largest_component, SQL_LARGEST_COMPONENT),
     # non-SQL-expressible (rows-only):
     "flagship_feature_table_synth": (q_flagship_synth, None),
     "nonreuse_pairs_synth": (q_nonreuse_pairs_synth, None),
