@@ -790,6 +790,45 @@ FROM sig a JOIN sig b
 """
 
 
+def q_dedup_survivors(spark, sf_dir):
+    """Survivor selection over the MinHash-LSH candidate pairs: clusters
+    by alternating large-star/small-star connected components (O(log n)
+    rounds — see dedup.graph_components), canonical = cluster-min id."""
+    docs = _ld(spark, sf_dir, "documents")
+    return DD.dedup_survivors(docs, DD.minhash_band_candidates(docs))
+
+
+SQL_DEDUP_SURVIVORS = """
+WITH RECURSIVE
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(
+         list_transform(generate_series(1, len(ws)-2),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+       FROM w WHERE len(ws) >= 3),
+sig AS (SELECT doc_id,
+        min(md5('s0:' || shingle)) AS mh0, min(md5('s1:' || shingle)) AS mh1,
+        min(md5('s2:' || shingle)) AS mh2, min(md5('s3:' || shingle)) AS mh3,
+        min(md5('s4:' || shingle)) AS mh4, min(md5('s5:' || shingle)) AS mh5
+        FROM sh GROUP BY doc_id),
+cand AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+         FROM sig a JOIN sig b
+           ON a.doc_id < b.doc_id
+          AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.mh2 = b.mh2)
+            OR (a.mh3 = b.mh3 AND a.mh4 = b.mh4 AND a.mh5 = b.mh5))),
+e AS (SELECT u, v FROM cand UNION SELECT v, u FROM cand),
+nodes AS (SELECT DISTINCT u AS id FROM e),
+reach(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN e ON e.u = r.id WHERE r.lbl < e.v),
+comp AS (SELECT id, min(lbl) AS canonical FROM reach GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(c.canonical, d.doc_id) AS canonical_doc_id,
+       coalesce(c.canonical, d.doc_id) = d.doc_id AS survives
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+
+
 def q_simhash(spark, sf_dir):
     return DD.simhash16(_ld(spark, sf_dir, "documents"))
 
@@ -2346,6 +2385,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "custdist_outer_join": (q_custdist_outer, SQL_CUSTDIST),
     "semi_anti_join_counts": (q_semi_anti, SQL_SEMI_ANTI),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "minhash_dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "lang_guess": (q_lang_guess, SQL_LANG_GUESS),

@@ -170,6 +170,116 @@ def minhash_band_candidates(
     return outs[0].unionByName(outs[1]).distinct()
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round: every node u connects its strictly-larger
+    neighbors to ``m = min(N(u) ∪ {u})``."""
+    bid = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = bid.groupBy("u").agg(F.min("v").alias("__mn"))
+    m = m.select("u", F.least(F.col("u"), F.col("__mn")).alias("__m"))
+    return (
+        bid.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge (larger, smaller); every
+    node u connects its smaller neighbors (and itself) to their minimum."""
+    o = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    m = o.groupBy("u").agg(F.min("v").alias("__m"))
+    leaves = o.join(m, "u").select(F.col("v").alias("u"), F.col("__m").alias("v"))
+    centers = m.select("u", F.col("__m").alias("v"))
+    return (
+        leaves.unionByName(centers).filter(F.col("u") != F.col("v")).distinct()
+    )
+
+
+def graph_components(
+    pairs: DataFrame,
+    src: str = "doc_id_a",
+    dst: str = "doc_id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of an arbitrary pair graph by alternating
+    large-star / small-star contraction (Kiveris, Lattanzi, Mirrokni,
+    Rastogi, Vassilvitskii — "Connected Components in MapReduce and
+    Beyond", SoCC 2014).  Returns (id, component) for every node that
+    appears in ``pairs``; the component label is the minimum node id of
+    the component (deterministic).
+
+    Why not plain min-label propagation (the grid CC in spatial.py):
+    propagation needs O(graph diameter) joins — fine on a raster blob,
+    pathological on a web-scale duplicate graph where transitive
+    near-dup chains can be long.  Star contraction converges in
+    O(log n) rounds regardless of diameter, each round two
+    groupBy-min + equi-join passes over the shrinking edge list —
+    the published MapReduce-scale shape.  Every round localCheckpoints
+    (truncates the doubling lineage) and the fixpoint test is one tiny
+    agg (count + order-insensitive hash) per round, not a full compare."""
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        sig = tuple(
+            e.agg(
+                F.count(F.lit(1)),
+                # exact order-insensitive fingerprint; decimal(38,0) so the
+                # sum of int64 hashes can't overflow under ANSI mode
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            ).first()
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    nodes = (
+        pairs.select(F.col(src).alias("id"))
+        .unionByName(pairs.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    return nodes.join(e, nodes["id"] == e["u"], "left").select(
+        "id", F.coalesce(F.col("v"), F.col("id")).alias("component")
+    )
+
+
+def dedup_survivors(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Survivor selection — the stage that turns candidate PAIRS into a
+    deduplicated corpus: near-dup pairs are unioned into clusters
+    (``graph_components``) and each cluster keeps its minimum id as
+    canonical.  Returns every doc with (canonical id, survives flag);
+    docs in no pair survive as their own canonical.  Filter on
+    ``survives`` for the deduplicated corpus.
+
+    Scale shape: CC over the pair list (already bucketed/capped upstream)
+    + one left join of the full corpus against the cluster map — the map
+    is |docs-in-pairs| rows, typically a small fraction of the corpus, so
+    AQE broadcasts it; no shuffle of the corpus table otherwise."""
+    comp = graph_components(pairs, src=f"{id_col}_a", dst=f"{id_col}_b")
+    comp = comp.select(
+        F.col("id").alias(id_col), F.col("component").alias("canonical_doc_id")
+    )
+    return (
+        docs.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("canonical_doc_id", F.col(id_col)).alias("canonical_doc_id"),
+        )
+        .withColumn("survives", F.col(id_col) == F.col("canonical_doc_id"))
+    )
+
+
 def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
     """16-bit SimHash over distinct words: bit b is the sign of
     sum(+1/-1 for bit b of md5(word)[0:4]).  Portable: hex->int via

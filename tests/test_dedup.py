@@ -66,3 +66,54 @@ def test_minhash_band_cap_drops_duplicate_cluster(spark):
     assert len(plain) == 3  # the 3 duplicate pairs
     capped = DD.minhash_band_candidates(_docs(spark, texts), max_band_freq=2).collect()
     assert capped == []
+
+
+def _uf_components(edges):
+    """Sequential union-find oracle: node -> min id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
+def test_graph_components_matches_union_find(spark):
+    """Alternating-star CC equals a sequential union-find on adversarial
+    topologies: a long chain (deep diameter — the case plain propagation
+    is slow on), a star, disjoint cliques, and a random graph."""
+    import random
+
+    rng = random.Random(7)
+    chain = [(i, i + 1) for i in range(40)]
+    star = [(100, 100 + i) for i in range(1, 15)]
+    cliques = [(200 + a, 200 + b) for a in range(5) for b in range(a + 1, 5)]
+    cliques += [(300 + a, 300 + b) for a in range(4) for b in range(a + 1, 4)]
+    rand = [(rng.randrange(400, 460), rng.randrange(400, 460)) for _ in range(80)]
+    edges = chain + star + cliques + [(u, v) for u, v in rand if u != v]
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_id_a": [u for u, _ in edges], "doc_id_b": [v for _, v in edges]})
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in DD.graph_components(pairs).collect()
+    }
+    assert got == _uf_components(edges)
+
+
+def test_dedup_survivors_singletons_survive(spark):
+    docs = _docs(spark, ["a b c d e f", "a b c d e f", "totally different text here x"])
+    pairs = DD.minhash_band_candidates(docs)
+    out = {r["doc_id"]: (r["canonical_doc_id"], r["survives"])
+           for r in DD.dedup_survivors(docs, pairs).collect()}
+    assert out["d0"] == ("d0", True)
+    assert out["d1"] == ("d0", False)
+    assert out["d2"] == ("d2", True)
