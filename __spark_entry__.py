@@ -148,6 +148,63 @@ FROM m LEFT JOIN p ON p.user_id=m.user_id AND p.ts=m.matched_ts
 """
 
 
+def q_pit_two_table(spark, sf_dir):
+    """Feature-store PIT lookup: each click aligned against TWO feature
+    groups with independent timelines/tolerances (purchases backward 7d,
+    errors backward 3d) — asof.asof_join_multi; both stages share the
+    user_id hash partitioning."""
+    from esa_pfa_spark.operators.asof import asof_join_multi
+
+    ev = _ld(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("query_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("error_value")
+    )
+    out = asof_join_multi(
+        probes,
+        [
+            ("purchase", purchases,
+             dict(obs_ts="ts", payload=["purchase_value"],
+                  direction="backward", tolerance=dt.timedelta(days=7))),
+            ("error", errors,
+             dict(obs_ts="ts", payload=["error_value"],
+                  direction="backward", tolerance=dt.timedelta(days=3))),
+        ],
+        on="user_id", probe_ts="query_ts",
+    )
+    return out.select(
+        "event_id", "user_id", "query_ts",
+        "purchase_matched_ts", _r6(F.col("purchase_value")).alias("purchase_value"),
+        "error_matched_ts", _r6(F.col("error_value")).alias("error_value"),
+    )
+
+
+SQL_PIT_TWO_TABLE = f"""
+WITH c AS (SELECT event_id, user_id, ts AS query_ts FROM events WHERE event_type='click'),
+     p AS (SELECT user_id, ts, value FROM events WHERE event_type='purchase'),
+     er AS (SELECT user_id, ts, value FROM events WHERE event_type='error'),
+     m AS (SELECT c.event_id, c.user_id, c.query_ts,
+                  (SELECT max(p.ts) FROM p
+                    WHERE p.user_id=c.user_id AND p.ts<=c.query_ts
+                      AND epoch(c.query_ts)-epoch(p.ts) <= {7*DAY}) AS purchase_matched_ts,
+                  (SELECT max(er.ts) FROM er
+                    WHERE er.user_id=c.user_id AND er.ts<=c.query_ts
+                      AND epoch(c.query_ts)-epoch(er.ts) <= {3*DAY}) AS error_matched_ts
+           FROM c)
+SELECT m.event_id, m.user_id, m.query_ts,
+       m.purchase_matched_ts, round(p.value, 6) AS purchase_value,
+       m.error_matched_ts, round(er.value, 6) AS error_value
+FROM m
+LEFT JOIN p ON p.user_id=m.user_id AND p.ts=m.purchase_matched_ts
+LEFT JOIN er ON er.user_id=m.user_id AND er.ts=m.error_matched_ts
+"""
+
+
 SQL_ASOF_FORWARD = f"""
 WITH c AS (SELECT event_id, user_id, ts AS query_ts FROM events WHERE event_type='click'),
      p AS (SELECT user_id, ts, value FROM events WHERE event_type='error'),
@@ -718,6 +775,47 @@ def q_fingerprint(spark, sf_dir):
 SQL_FINGERPRINT = r"""
 SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
 FROM documents
+"""
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """LM-scoring quality proxy: per-doc mean ln p(word) under the corpus
+    unigram distribution (textstats.unigram_logprob)."""
+    return TS.unigram_logprob(_ld(spark, sf_dir, "documents"))
+
+
+SQL_UNIGRAM_LOGPROB = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+freq AS (SELECT w, count(*) AS wc FROM w GROUP BY 1),
+tot AS (SELECT count(*) AS n_total FROM w)
+SELECT doc_id,
+       count(*) AS n_words,
+       round(CAST(sum(CAST(ln(wc * 1.0 / n_total) AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS avg_logprob
+FROM w JOIN freq USING (w) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+def q_source_kl(spark, sf_dir):
+    """Per-source KL divergence vs the corpus word distribution — the
+    ingest-batch drift monitor (textstats.source_kl)."""
+    return TS.source_kl(_ld(spark, sf_dir, "documents"))
+
+
+SQL_SOURCE_KL = """
+WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+sw AS (SELECT source, w, count(*) AS swc FROM w GROUP BY 1, 2),
+stot AS (SELECT source, sum(swc) AS sn FROM sw GROUP BY 1),
+cw AS (SELECT w, sum(swc) AS cwc FROM sw GROUP BY 1),
+ctot AS (SELECT sum(sn) AS cn FROM stot)
+SELECT source,
+       count(*) AS n_distinct_words,
+       round(CAST(sum(CAST(
+           (swc * 1.0 / sn) * ln((swc * 1.0 / sn) / (cwc * 1.0 / cn))
+           AS DECIMAL(18,6))) AS DOUBLE), 6) AS kl_vs_corpus
+FROM sw JOIN stot USING (source) JOIN cw USING (w) CROSS JOIN ctot
+GROUP BY source
 """
 
 
@@ -1986,6 +2084,26 @@ FROM c
 """
 
 
+def q_length_buckets(spark, sf_dir):
+    """Bucketed-batching padding analysis over the token table
+    (tokens.length_bucket_stats, width=64)."""
+    from esa_pfa_spark.operators.tokens import length_bucket_stats
+
+    return length_bucket_stats(_tokenized_docs(spark, sf_dir), width=64)
+
+
+SQL_LENGTH_BUCKETS = """
+WITH tok AS (SELECT len(string_split(text, ' ')) AS n_tok FROM documents),
+b AS (SELECT ((n_tok - 1) // 64 + 1) * 64 AS bucket_cap, n_tok
+      FROM tok WHERE n_tok > 0)
+SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
+       count(*) AS n_seqs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       round(sum(n_tok) * 1.0 / (count(*) * bucket_cap), 6) AS padding_efficiency
+FROM b GROUP BY bucket_cap
+"""
+
+
 def q_token_packing(spark, sf_dir):
     """Context-window sequence packing (capacity=128) in deterministic
     (source, doc_id) order.  The oracle's global-window cumsum is the
@@ -2363,6 +2481,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "asof_backward_7d": (q_asof_backward, SQL_ASOF_BACKWARD),
     "asof_forward_1d": (q_asof_forward, SQL_ASOF_FORWARD),
     "asof_nearest_12h": (q_asof_nearest, SQL_ASOF_NEAREST),
+    "pit_two_table_features": (q_pit_two_table, SQL_PIT_TWO_TABLE),
     "window_ffill": (q_ffill, SQL_FFILL),
     "window_lag_lead": (q_lag_lead, SQL_LAG_LEAD),
     "window_rolling_mean": (q_rolling_mean, SQL_ROLLING),
@@ -2386,6 +2505,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "semi_anti_join_counts": (q_semi_anti, SQL_SEMI_ANTI),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
+    "unigram_logprob_quality": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
+    "source_kl_divergence": (q_source_kl, SQL_SOURCE_KL),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "lang_guess": (q_lang_guess, SQL_LANG_GUESS),
@@ -2429,6 +2550,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "diversity_pick_farthest": (q_diversity_pick, _diversity_pick_sql()),
     "token_chunk_windows": (q_token_chunks, SQL_TOKEN_CHUNKS),
     "token_pack_capacity": (q_token_packing, SQL_TOKEN_PACKING),
+    "length_bucket_padding": (q_length_buckets, SQL_LENGTH_BUCKETS),
     "token_pack_manifest": (q_pack_manifest, SQL_PACK_MANIFEST),
     "token_vocab_topk": (q_token_vocab, SQL_TOKEN_VOCAB),
     "token_bigrams_topk": (q_token_bigrams, SQL_TOKEN_BIGRAMS),

@@ -310,3 +310,31 @@ def asof_join_pandas(
         return merge(left.drop(columns=["__chunk"]), right.drop(columns=["__chunk"]))
 
     return cg.applyInPandas(merge2, schema=out_schema)
+
+
+def asof_join_multi(
+    probes: DataFrame,
+    sources: Iterable[tuple[str, DataFrame, dict]],
+    on: str | list[str] = "entity_id",
+    probe_ts: str = "query_ts",
+) -> DataFrame:
+    """Point-in-time FEATURE-STORE join: align the probe table against
+    several observation tables in one pass — the multi-feature-group
+    lookup every PIT feature platform performs (each feature group has
+    its own timeline, tolerance, and direction; the probe row must see
+    each group's latest value as of its timestamp, never a later one).
+
+    ``sources`` is (name, observations, opts) — opts forwarded to
+    ``asof_join`` (obs_ts, payload, direction, tolerance).  Each group's
+    ``matched_ts`` is renamed ``<name>_matched_ts`` so groups compose.
+
+    Scale shape: the joins chain left-to-right; every one is the same
+    union+window single-Exchange plan hash-partitioned on the SAME key,
+    so successive stages reuse the partitioning (no re-shuffle of the
+    accumulating probe side beyond the first window's sort) and feature
+    groups can be appended without touching earlier ones."""
+    out = probes
+    for name, obs, opts in sources:
+        out = asof_join(out, obs, on=on, probe_ts=probe_ts, **opts)
+        out = out.withColumnRenamed(_MATCH, f"{name}_matched_ts")
+    return out

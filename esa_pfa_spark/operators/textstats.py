@@ -66,3 +66,69 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     text (the Lucene2Simple name-dictionary analog, Lucene2Simple.java:64-91)."""
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return df.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc mean log-probability of its words under the CORPUS unigram
+    distribution — the LM-scoring quality proxy (perplexity-lite; the
+    cheap stand-in for a KenLM gate in production curation).
+
+    Plan: explode words -> one corpus word-frequency agg -> equi-join
+    words⋈freq on word -> per-doc avg.  The frequency table is
+    vocab-sized (≪ corpus), so AQE broadcasts it; the corpus total rides
+    a 1-row crossJoin (broadcast nested loop) — no driver-side action.
+    Hot words are join PROBES against a broadcast build side: no skew.
+
+    Determinism contract: the per-word term ln(wc/total) is IEEE-stable;
+    the per-doc mean is an exact decimal(18,6) sum / count, so Spark's
+    partial-agg order can't wiggle the 6-decimal output vs the oracle."""
+    words = df.select("doc_id", F.explode(_words(text_col)).alias("w"))
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+    total = words.agg(F.count(F.lit(1)).alias("n_total"))
+    term = F.log(F.col("wc") * F.lit(1.0) / F.col("n_total"))
+    return (
+        words.join(freq, "w")
+        .crossJoin(total)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(
+                F.sum(term.cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def source_kl(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """KL(source ‖ corpus) over word distributions, per source — the
+    drift/contamination monitor a mixture pipeline runs per ingest batch
+    (is this crawl slice's vocabulary shifting from the corpus?).
+
+    KL = Σ_w p_src(w)·ln(p_src(w)/p_corpus(w)); p_corpus(w) > 0 wherever
+    p_src(w) > 0 by construction (the corpus includes the source), so the
+    sum is always finite.  Shape: two hash aggs (source×word, word) + a
+    join on word (frequency side broadcast-small) + per-source exact
+    decimal sum.  No window, no skew: per-source totals join on source
+    (tiny), corpus totals ride a 1-row crossJoin."""
+    words = df.select("source", F.explode(_words(text_col)).alias("w"))
+    sw = words.groupBy("source", "w").agg(F.count(F.lit(1)).alias("swc"))
+    stot = sw.groupBy("source").agg(F.sum("swc").alias("sn"))
+    cw = sw.groupBy("w").agg(F.sum("swc").alias("cwc"))
+    ctot = stot.agg(F.sum("sn").alias("cn"))
+    p_s = F.col("swc") * F.lit(1.0) / F.col("sn")
+    p_c = F.col("cwc") * F.lit(1.0) / F.col("cn")
+    term = p_s * F.log(p_s / p_c)
+    return (
+        sw.join(stot, "source")
+        .join(cw, "w")
+        .crossJoin(ctot)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.round(
+                F.sum(term.cast("decimal(18,6)")).cast("double"), 6
+            ).alias("kl_vs_corpus"),
+        )
+    )

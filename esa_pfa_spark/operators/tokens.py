@@ -535,3 +535,34 @@ def repetition_stats(
         F.round(F.max("c") / n, 6).alias("top_token_share"),
         F.round(F.log(n) - clogc / n, 6).alias("entropy"),
     )
+
+
+def length_bucket_stats(df: DataFrame, width: int = 64) -> DataFrame:
+    """Length-bucketed batching analysis: how efficiently would fixed-size
+    batches pack if sequences were bucketed by token length — the metric
+    behind bucketed batching in every LM data loader (pad-to-bucket-cap
+    instead of pad-to-global-max).  Each sequence lands in the smallest
+    ``width``-multiple cap >= n_tok; per bucket: sequence count, total
+    real tokens, and padding efficiency = real / (count * cap).
+
+    Buckets are fixed-width (not power-of-two) deliberately: the cap is
+    pure int arithmetic ``((n-1) div w + 1) * w`` — exactly portable to
+    the SQL oracle, where a float ``ceil(log2(n))`` could disagree at
+    exact powers of two.  Plan: map-side bucket id -> one hash agg; no
+    joins, no windows, no skew (bucket count is tiny and bounded)."""
+    n = F.col("n_tok").cast("bigint")
+    cap = ((n - 1) / width).cast("bigint") * width + width
+    return (
+        df.filter(n > 0)
+        .select(cap.alias("bucket_cap"), n.alias("__n"))
+        .groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("__n").alias("total_tokens"),
+            F.round(
+                F.sum("__n") * F.lit(1.0)
+                / (F.count(F.lit(1)) * F.col("bucket_cap")),
+                6,
+            ).alias("padding_efficiency"),
+        )
+    )

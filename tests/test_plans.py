@@ -291,3 +291,29 @@ def test_dup_ngram_no_single_partition(spark):
     plan = plan_of(entry_mod.queries()["token_dup_ngram_spans"](spark, SF_DIR))
     assert "SinglePartition" not in plan
     assert re.search(r"partial_count|HashAggregate.*partial", plan, re.I | re.S)
+
+
+def test_pit_multi_join_exchange_bound(spark):
+    """Two chained PIT feature groups: each union+window stage costs one
+    Exchange of the obs side + the accumulating probe side; the plan must
+    stay at <= 2 non-broadcast Exchanges (one per stage — no extra
+    re-shuffle of the probe side between stages beyond its union) and no
+    single-partition Exchange."""
+    df = entry_mod.q_pit_two_table(spark, SF_DIR)
+    plan = plan_of(df)
+    assert n_exchanges(plan) <= 2, (
+        f"PIT multi-join should cost one Exchange per feature group:\n{plan}"
+    )
+    assert "SinglePartition" not in plan
+
+
+def test_length_buckets_partial_agg_no_join(spark):
+    """Bucketed padding stats: map-side bucket id -> partial agg; exactly
+    one Exchange (the final hash agg), no joins, no windows."""
+    from esa_pfa_spark.operators.tokens import length_bucket_stats, tokenize
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(length_bucket_stats(tokenize(docs)))
+    assert n_exchanges(plan) == 1, plan
+    assert "Join" not in plan and "Window" not in plan
+    assert "partial" in plan.lower()
