@@ -1422,6 +1422,29 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_tumbling_rate(spark, sf_dir):
+    """Tumbling-window ingest-rate monitor (streaming/rates.py — batch
+    form of the watermarked streaming aggregation; stream/batch parity
+    tested in tests/test_streaming_rates.py)."""
+    from esa_pfa_spark.streaming.rates import tumbling_rate
+
+    return tumbling_rate(
+        _ld(spark, sf_dir, "events"),
+        ts="ts", key="event_type", width=dt.timedelta(minutes=5), value="value",
+    )
+
+
+SQL_TUMBLING_RATE = """
+SELECT event_type,
+       CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) AS w_start,
+       CAST(to_timestamp(floor(epoch(ts) / 300) * 300 + 300) AS TIMESTAMP) AS w_end,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 def q_salted_agg(spark, sf_dir):
     """Skew remedy with an oracle: two-phase salted aggregation must equal
     the plain GROUP BY (salting is physical, not semantic).  Sums ride
@@ -2534,6 +2557,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "rolling_time_range_1h": (q_rolling_time_range, SQL_ROLLING_TIME),
     "session_window_native": (q_session_window_native, SQL_SESSION_WINDOW_NATIVE),
     "salted_agg_by_user": (q_salted_agg, SQL_SALTED_AGG),
+    "tumbling_rate_5m": (q_tumbling_rate, SQL_TUMBLING_RATE),
     "ann_lsh_topk": (q_ann_lsh_topk, _ann_lsh_sql()),
     "ann_lsh_topk_batch": (q_ann_lsh_batch, _ann_lsh_batch_sql()),
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, _neardup_lsh_sql()),
