@@ -2448,6 +2448,52 @@ SELECT source, split, count(*) AS n FROM s GROUP BY 1, 2
 """
 
 
+def q_split_leakage(spark, sf_dir):
+    """Eval-contamination audit: MinHash candidate pairs that straddle the
+    90/5/5 split — each is a train⋈eval near-dup leak
+    (dataset.split_leakage)."""
+    from esa_pfa_spark.operators.dataset import hash_split, split_leakage
+
+    docs = _ld(spark, sf_dir, "documents")
+    pairs = DD.minhash_band_candidates(docs)
+    splits = hash_split(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}, seed=7
+    ).select("doc_id", "split")
+    return split_leakage(pairs, splits)
+
+
+SQL_SPLIT_LEAKAGE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(
+         list_transform(generate_series(1, len(ws)-2),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+       FROM w WHERE len(ws) >= 3),
+sig AS (SELECT doc_id,
+        min(md5('s0:' || shingle)) AS mh0, min(md5('s1:' || shingle)) AS mh1,
+        min(md5('s2:' || shingle)) AS mh2, min(md5('s3:' || shingle)) AS mh3,
+        min(md5('s4:' || shingle)) AS mh4, min(md5('s5:' || shingle)) AS mh5
+        FROM sh GROUP BY doc_id),
+cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         FROM sig a JOIN sig b
+           ON a.doc_id < b.doc_id
+          AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.mh2 = b.mh2)
+            OR (a.mh3 = b.mh3 AND a.mh4 = b.mh4 AND a.mh5 = b.mh5))),
+sp AS (SELECT doc_id,
+              CASE WHEN bk < 9000 THEN 'train'
+                   WHEN bk < 9500 THEN 'val'
+                   ELSE 'test' END AS split
+       FROM (SELECT doc_id,
+                    CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS INTEGER)
+                        % 10000 AS bk
+             FROM documents))
+SELECT c.doc_id_a, c.doc_id_b, sa.split AS split_a, sb.split AS split_b
+FROM cand c
+JOIN sp sa ON sa.doc_id = c.doc_id_a
+JOIN sp sb ON sb.doc_id = c.doc_id_b
+WHERE sa.split <> sb.split
+"""
+
+
 def q_mixture_sample(spark, sf_dir):
     """Per-source mixture weighting: src0 30%, src1 100%, everything else
     5% — the sampled doc_ids themselves (deterministic membership)."""
@@ -2583,6 +2629,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "token_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "token_tfidf_topk": (q_tfidf_topk, SQL_TFIDF),
     "dataset_split_counts": (q_dataset_split, SQL_DATASET_SPLIT),
+    "split_leakage_pairs": (q_split_leakage, SQL_SPLIT_LEAKAGE),
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "shuffle_order": (q_shuffle_order, SQL_SHUFFLE_ORDER),
     "largest_component_grid": (q_largest_component, SQL_LARGEST_COMPONENT),

@@ -139,3 +139,33 @@ def deterministic_shuffle(
         return pdf[cols + [out_col]]
 
     return keyed.groupBy("__b").applyInPandas(number, schema=out_schema)
+
+
+def split_leakage(
+    pairs: DataFrame,
+    split_df: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Cross-split near-duplicate leaks: candidate pairs whose endpoints
+    landed in DIFFERENT splits.  Each row is an eval-contamination leak —
+    a test/val document with a near-duplicate in train defeats the
+    held-out measurement (the pairwise form of the benchmark
+    decontamination gate; the standard remedy is splitting by CLUSTER
+    canonical id instead of raw doc id).
+
+    Shape: two equi-joins of the pair list against the map-only split
+    assignment — the pair side is tiny relative to the corpus, so both
+    joins broadcast it; no corpus shuffle."""
+    a = split_df.select(
+        F.col(id_col).alias(f"{id_col}_a"), F.col(split_col).alias("split_a")
+    )
+    b = split_df.select(
+        F.col(id_col).alias(f"{id_col}_b"), F.col(split_col).alias("split_b")
+    )
+    return (
+        pairs.join(a, f"{id_col}_a")
+        .join(b, f"{id_col}_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(f"{id_col}_a", f"{id_col}_b", "split_a", "split_b")
+    )
