@@ -964,6 +964,36 @@ FROM s QUALIFY rank <= 20
 """
 
 
+def q_quantized_topk(spark, sf_dir):
+    """int8-quantized cosine top-k (similarity.quantized_cosine_topk):
+    the 4×-bandwidth-reduction serving path, value-level oracle (integer
+    products are bit-exact across engines)."""
+    emb = _ld(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return SIM.quantized_cosine_topk(emb.filter(F.col("vec_id") != 0), probe, k=20)
+
+
+SQL_QUANTIZED_TOPK = """
+WITH qz AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> floor(x * 127.0 /
+                greatest(list_max(list_transform(embedding::DOUBLE[], y -> abs(y))), 1e-30)
+                + 0.5)) AS q8
+  FROM embeddings),
+p AS (SELECT q8 AS pq8 FROM qz WHERE vec_id = 0),
+s AS (SELECT qz.vec_id,
+             list_dot_product(qz.q8, p.pq8)
+             / (sqrt(list_dot_product(qz.q8, qz.q8))
+                * sqrt(list_dot_product(p.pq8, p.pq8))) AS cos
+      FROM qz, p WHERE qz.vec_id != 0)
+SELECT vec_id,
+       CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank,
+       round(cos, 6) AS qcos
+FROM s QUALIFY rank <= 20
+"""
+
+
 def q_embedding_neardup(spark, sf_dir):
     return SIM.neardup_pairs(_ld(spark, sf_dir, "embeddings"), threshold=0.3)
 
@@ -2588,6 +2618,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "minhash_band_candidates": (q_minhash_candidates, SQL_MINHASH_CAND),
     "simhash16": (q_simhash, _simhash_sql()),
     "embedding_cosine_topk": (q_embedding_topk, SQL_EMB_TOPK),
+    "embedding_quantized_topk": (q_quantized_topk, SQL_QUANTIZED_TOPK),
     "embedding_neardup_pairs": (q_embedding_neardup, SQL_EMB_NEARDUP),
     "multimodal_decode_meta": (q_multimodal_meta, SQL_MULTIMODAL),
     "multimodal_frame_sample": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),

@@ -234,3 +234,57 @@ def ivf_assign(
         return pd.Series((d.argmax(axis=1) + 1).astype(np.int32))
 
     return df.withColumn("ivf_cluster", assign(F.col(vec_col)))
+
+
+def quantize_int8(df: DataFrame, vec_col: str = "embedding", out_col: str = "q8") -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``q_i = floor(x_i·127/m +
+    0.5)`` with ``m = max|x_i|`` — the 4×-smaller storage/bandwidth form
+    production ANN serves from (scale cancels in cosine, so ranking needs
+    no dequantization).  ``floor(x+0.5)`` instead of round(): floor is
+    IEEE-exact and identical across engines, where HALF_UP/HALF_EVEN
+    round() conventions differ.  Zero vectors quantize to zeros (the
+    1e-30 guard), not NaN.  Map-only column math."""
+    absmax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+    m = F.greatest(absmax, F.lit(1e-30))
+    q8 = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * 127.0 / m + 0.5).cast("int"),
+    )
+    return df.withColumn(out_col, q8)
+
+
+def quantized_cosine_topk(
+    embeddings: DataFrame,
+    probe: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``cosine_topk`` over int8-quantized vectors: scores are computed on
+    the quantized representation (per-vector scales cancel), so this IS
+    the accuracy/throughput trade production makes — and because the
+    quantized components are small integers, the cosine is bit-exact
+    reproducible across engines (integer products sum exactly in
+    doubles), giving the quantization path a value-level oracle, not
+    just a rank-level one.  Same TakeOrderedAndProject shape as
+    cosine_topk (no global window)."""
+    qe = quantize_int8(embeddings, vec_col, "q8")
+    qp = quantize_int8(probe.select(F.col("q").alias("embedding")), "embedding", "pq8")
+    joined = qe.crossJoin(F.broadcast(qp.select("pq8")))
+    qa, qb = F.col("q8"), F.col("pq8")
+    dot = F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    scored = joined.select(
+        F.col(id_col), (dot / (nrm(qa) * nrm(qb))).alias("cos")
+    )
+    top = scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "rank", F.round("cos", 6).alias("qcos")
+    )

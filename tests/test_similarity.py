@@ -161,3 +161,28 @@ def test_diversity_pick_random_vectors_property(spark):
             .select("vec_id", "decision", "embedding").toPandas()
         )
         assert list(got["vec_id"]) == _sequential_farthest_point(cand, 6), f"trial {trial}"
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """int8 quantization accuracy contract: the quantized top-20 must
+    recover >= 18/20 of the exact top-20 on the sf0.01 embeddings (in
+    practice it recovers all 20; the slack allows boundary churn)."""
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r.vec_id for r in entry_mod.q_embedding_topk(spark, sf).collect()}
+    quant = {r.vec_id for r in entry_mod.q_quantized_topk(spark, sf).collect()}
+    assert len(exact & quant) >= 18
+
+
+def test_quantize_int8_bounds_and_zero_vector(spark):
+    import pandas as pd
+    from esa_pfa_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1, 2], "embedding": [[-1.0, 0.5, 1.0], [0.0, 0.0, 0.0]]}),
+        schema="vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r.q8 for r in quantize_int8(df).collect()}
+    assert out[1] == [-127, 64, 127]   # floor(63.5+0.5)=64
+    assert out[2] == [0, 0, 0]         # zero vector -> zeros, not NaN
