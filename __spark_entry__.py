@@ -1452,6 +1452,39 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_scd2_intervals(spark, sf_dir):
+    """SCD2 compaction of the purchase log: change-row filter (level =
+    floor(value) — repeated identical levels collapse) + [valid_from,
+    valid_to) validity intervals (windows.scd2_intervals).  The
+    interval⋈probe form of the PIT lookup is proven equal to asof_join
+    in tests/test_windows.py."""
+    from esa_pfa_spark.operators.windows import scd2_intervals
+
+    p = (
+        _ld(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", F.floor("value").alias("level"))
+    )
+    out = scd2_intervals(
+        p, key="user_id", ts="ts", dedupe_unchanged=["level"], tiebreak=["event_id"]
+    )
+    return out.select("user_id", "level", F.col("ts").alias("valid_from"), "valid_to")
+
+
+SQL_SCD2_INTERVALS = """
+WITH p AS (SELECT user_id, ts, event_id, CAST(floor(value) AS BIGINT) AS level
+           FROM events WHERE event_type='purchase'),
+d AS (SELECT user_id, ts, event_id, level,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR lag(level) OVER w IS DISTINCT FROM level THEN 1 ELSE 0 END AS chg
+      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id, ts, event_id, level FROM d WHERE chg = 1)
+SELECT user_id, level, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+FROM s
+"""
+
+
 def q_tumbling_rate(spark, sf_dir):
     """Tumbling-window ingest-rate monitor (streaming/rates.py — batch
     form of the watermarked streaming aggregation; stream/batch parity
@@ -2635,6 +2668,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "session_window_native": (q_session_window_native, SQL_SESSION_WINDOW_NATIVE),
     "salted_agg_by_user": (q_salted_agg, SQL_SALTED_AGG),
     "tumbling_rate_5m": (q_tumbling_rate, SQL_TUMBLING_RATE),
+    "scd2_feature_intervals": (q_scd2_intervals, SQL_SCD2_INTERVALS),
     "ann_lsh_topk": (q_ann_lsh_topk, _ann_lsh_sql()),
     "ann_lsh_topk_batch": (q_ann_lsh_batch, _ann_lsh_batch_sql()),
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, _neardup_lsh_sql()),

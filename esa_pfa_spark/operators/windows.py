@@ -157,3 +157,44 @@ def run_length(df: DataFrame, key: str, ts: str, flag_col: str) -> DataFrame:
         F.min(ts).alias("run_start"),
         F.count(F.lit(1)).cast("int").alias("run_len"),
     ).drop("__grp")
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    dedupe_unchanged: list[str] | None = None,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Observation log -> SCD2 validity intervals: each row becomes
+    [valid_from, valid_to) with valid_to = the key's NEXT observation
+    (null = still current) — the compacted "latest-known features" table a
+    lakehouse feature store maintains, turning the as-of lookup into a
+    plain interval predicate ``valid_from <= t AND (t < valid_to OR
+    valid_to IS NULL)``, with exactly one matching version per probe.
+
+    ``dedupe_unchanged``: drop rows whose listed payload columns equal the
+    key's previous observation BEFORE building intervals (change-data
+    compaction — repeated identical readings collapse into one longer
+    interval).
+
+    ``tiebreak``: extra order columns after ``ts`` — REQUIRED whenever a
+    key can log two observations at one timestamp, or lag/lead over the
+    tie is nondeterministic.
+
+    Plan: one hash partition by key + in-partition sort; lead() and the
+    change filter share the same window spec (one Exchange)."""
+    order = [F.col(ts)] + [F.col(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(key).orderBy(*order)
+    out = df
+    if dedupe_unchanged:
+        # the key's first row is always kept via the lag(ts) probe — a
+        # payload-column test alone would drop a first row whose payload
+        # is NULL (eqNullSafe(NULL, NULL) is true)
+        changed = F.lag(ts).over(w).isNull()
+        for c in dedupe_unchanged:
+            changed = changed | ~(F.lag(c).over(w).eqNullSafe(F.col(c)))
+        out = out.withColumn("__chg", changed).filter(F.col("__chg")).drop("__chg")
+    return out.withColumn("valid_from", F.col(ts)).withColumn(
+        "valid_to", F.lead(ts).over(w)
+    )

@@ -83,3 +83,73 @@ def test_rolling_median_golden(spark):
     )
     # frames: [5] [5,1] [5,1,4] [1,4,2] [4,2,3]
     assert list(out["rolling_median_v"]) == [5.0, 3.0, 4.0, 2.0, 3.0]
+
+
+def test_scd2_interval_lookup_equals_asof(spark):
+    """The SCD2 interval predicate must select exactly the asof_join
+    backward match for every probe (the feature-store equivalence that
+    makes the compacted table a valid PIT serving layer)."""
+    import datetime as dt
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from esa_pfa_spark.operators.asof import asof_join
+    from esa_pfa_spark.operators.windows import scd2_intervals
+
+    T0 = dt.datetime(2024, 1, 1)
+    obs = spark.createDataFrame(
+        pd.DataFrame({
+            "k": ["a"] * 4 + ["b"] * 2,
+            "ts": [T0 + dt.timedelta(hours=h) for h in (0, 1, 2, 5)] +
+                  [T0 + dt.timedelta(hours=h) for h in (1, 3)],
+            "v": [1.0, 1.0, 2.0, 2.0, 9.0, 8.0],  # repeats compact away
+        }),
+        schema="k string, ts timestamp, v double",
+    )
+    probes = spark.createDataFrame(
+        pd.DataFrame({
+            "k": ["a", "a", "a", "b", "b", "c"],
+            "query_ts": [T0 + dt.timedelta(hours=h, minutes=30) for h in (0, 2, 9)] +
+                        [T0 + dt.timedelta(hours=h, minutes=30) for h in (0, 3)] +
+                        [T0],
+        }),
+        schema="k string, query_ts timestamp",
+    )
+    scd2 = scd2_intervals(obs, key="k", ts="ts", dedupe_unchanged=["v"])
+    via_interval = (
+        probes.join(
+            scd2,
+            (probes.k == scd2.k)
+            & (scd2.valid_from <= probes.query_ts)
+            & ((probes.query_ts < scd2.valid_to) | scd2.valid_to.isNull()),
+            "left",
+        )
+        .select(probes.k, "query_ts", F.col("v").alias("got_v"))
+    )
+    via_asof = asof_join(
+        probes, obs, on="k", probe_ts="query_ts", obs_ts="ts", payload=["v"]
+    ).select("k", "query_ts", F.col("v").alias("got_v"))
+    a = sorted(map(tuple, via_interval.collect()))
+    b = sorted(map(tuple, via_asof.collect()))
+    assert a == b and len(a) == 6
+
+
+def test_scd2_compaction_and_null_payload_first_row(spark):
+    import datetime as dt
+    import pandas as pd
+    from esa_pfa_spark.operators.windows import scd2_intervals
+
+    T0 = dt.datetime(2024, 1, 1)
+    obs = spark.createDataFrame(
+        pd.DataFrame({
+            "k": ["a"] * 4,
+            "ts": [T0 + dt.timedelta(hours=h) for h in range(4)],
+            "v": [None, None, 3.0, 3.0],
+        }),
+        schema="k string, ts timestamp, v double",
+    )
+    out = scd2_intervals(obs, key="k", ts="ts", dedupe_unchanged=["v"]).collect()
+    # first row kept despite NULL payload; NULL->NULL and 3->3 compact
+    assert [(r.v, r.valid_from.hour, None if r.valid_to is None else r.valid_to.hour)
+            for r in sorted(out, key=lambda r: r.valid_from)] == [
+        (None, 0, 2), (3.0, 2, None)
+    ]
