@@ -472,6 +472,25 @@ FROM events ORDER BY value DESC, event_id LIMIT 20
 """
 
 
+def q_topk_per_group(spark, sf_dir):
+    """Per-group top-k (partitioned window — the scale-safe per-key rank,
+    vs global top-k's TakeOrderedAndProject): 3 longest docs per source."""
+    from esa_pfa_spark.plans.query import top_k_per_group
+
+    return top_k_per_group(
+        _ld(spark, sf_dir, "documents").select("source", "doc_id", "n_chars"),
+        group="source", col="n_chars", k=3, tiebreak="doc_id",
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT source, doc_id, n_chars,
+       CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+            AS INT) AS rank
+FROM documents QUALIFY rank <= 3
+"""
+
+
 def q_sample(spark, sf_dir):
     """O4 deterministic sampling: integer-hash gate, no rand()."""
     ev = _ld(spark, sf_dir, "events")
@@ -2625,6 +2644,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "interval_pairs_1h_24h": (q_interval_pairs, SQL_INTERVAL_PAIRS),
     "grid_bucket_counts": (q_grid_bucket, SQL_GRID_BUCKET),
     "topk_by_value": (q_topk, SQL_TOPK),
+    "topk_per_source": (q_topk_per_group, SQL_TOPK_PER_GROUP),
     "deterministic_sample": (q_sample, SQL_SAMPLE),
     "json_extract_agg": (q_json_extract, SQL_JSON),
     "normalize_value": (q_normalize, SQL_NORMALIZE),

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -132,3 +132,28 @@ def valid_vectors(df: DataFrame, vec_col: str) -> DataFrame:
     scan runs inside codegen, no Python."""
     has_nan = F.exists(F.col(vec_col), lambda x: F.isnan(x.cast("double")))
     return df.filter(~has_nan)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group: str,
+    col: str,
+    k: int,
+    descending: bool = True,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Top-k WITHIN each group — the partitioned-window form (adds
+    ``rank`` 1..k per group).  Unlike global top-k (which must avoid the
+    partition-less window and compile to TakeOrderedAndProject — see
+    ``top_k``), a window partitioned by the group key IS the scale-safe
+    plan: ranking parallelizes across groups, one Exchange on the group
+    hash.  Per-group cardinality is the only skew axis; a hot group
+    sorts in one task — the same bound as any per-key window here."""
+    cols = [F.col(col).desc() if descending else F.col(col).asc()]
+    if tiebreak:
+        cols.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(group).orderBy(*cols)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
