@@ -838,6 +838,49 @@ GROUP BY source
 """
 
 
+def q_zipf_slope(spark, sf_dir):
+    """Per-source Zipf rank-frequency slope (textstats.zipf_slope) —
+    closed-form OLS entirely in column math."""
+    return TS.zipf_slope(_ld(spark, sf_dir, "documents"))
+
+
+SQL_ZIPF_SLOPE = """
+WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+f AS (SELECT source, w, count(*) AS c FROM w GROUP BY 1, 2),
+r AS (SELECT source, c,
+             row_number() OVER (PARTITION BY source ORDER BY c DESC, w ASC) AS r
+      FROM f),
+t AS (SELECT source, ln(r * 1.0) AS x, ln(c * 1.0) AS y FROM r),
+a AS (SELECT source, count(*) AS n_vocab,
+             CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * y AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x * x AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+      FROM t GROUP BY 1)
+SELECT source, n_vocab,
+       round((n_vocab * sxy - sx * sy) / (n_vocab * sxx - sx * sx), 6) AS zipf_slope
+FROM a
+"""
+
+
+def q_oov_rate(spark, sf_dir):
+    """Per-doc OOV ratio vs the corpus top-1000 vocabulary
+    (textstats.oov_rate; vocabulary broadcast, corpus never shuffles)."""
+    return TS.oov_rate(_ld(spark, sf_dir, "documents"), vocab_size=1000)
+
+
+SQL_OOV_RATE = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+v AS (SELECT w, 1 AS iv FROM (SELECT w, count(*) AS c FROM w GROUP BY 1)
+      ORDER BY c DESC, w ASC LIMIT 1000)
+SELECT doc_id, count(*) AS n_words,
+       round(sum(CASE WHEN v.iv IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+           AS oov_ratio
+FROM w LEFT JOIN v USING (w)
+GROUP BY doc_id
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Stop-shingle cap ON (dedup.MAX_SHINGLE_FREQ=1000, mirrored in the
     oracle): shingles with doc-frequency > 1000 are excluded from both
@@ -2659,6 +2702,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "minhash_dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
     "unigram_logprob_quality": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
     "source_kl_divergence": (q_source_kl, SQL_SOURCE_KL),
+    "zipf_slope_by_source": (q_zipf_slope, SQL_ZIPF_SLOPE),
+    "oov_rate_top1000": (q_oov_rate, SQL_OOV_RATE),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "lang_guess": (q_lang_guess, SQL_LANG_GUESS),

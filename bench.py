@@ -55,6 +55,10 @@ HEADLINE = [
     "token_tfidf_topk",
     "token_decontaminate",
     "asof_nearest_12h",
+    "pit_two_table_features",
+    "minhash_dedup_survivors",
+    "unigram_logprob_quality",
+    "scd2_feature_intervals",
 ]
 
 # flagship synthetic scale (distributed generation, written once to parquet)

@@ -132,3 +132,69 @@ def source_kl(df: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("kl_vs_corpus"),
         )
     )
+
+
+def zipf_slope(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source Zipf fit: least-squares slope of ln(freq) over ln(rank)
+    on the source's word rank-frequency spectrum — the corpus-health
+    diagnostic (natural text tracks slope ≈ -1; boilerplate/spam and
+    template farms bend it).  Closed-form OLS in pure column math:
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²).
+
+    Ranking runs in a window PARTITIONED by source — per-partition work
+    is vocab-sized (bounded by language, not corpus), so the plan holds
+    at 100 TB; ties rank deterministically (freq desc, word asc).  The
+    four OLS sums are exact decimal(18,6) sums for engine parity."""
+    from pyspark.sql import Window as W
+
+    freq = (
+        df.select("source", F.explode(_words(text_col)).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = W.partitionBy("source").orderBy(F.col("c").desc(), F.col("w").asc())
+    ranked = freq.withColumn("r", F.row_number().over(w))
+    x, y = F.log(F.col("r") * 1.0), F.log(F.col("c") * 1.0)
+
+    def dsum(col):
+        return F.sum(col.cast("decimal(18,6)")).cast("double")
+
+    agg = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        dsum(x).alias("sx"), dsum(y).alias("sy"),
+        dsum(x * y).alias("sxy"), dsum(x * x).alias("sxx"),
+    )
+    n = F.col("n_vocab") * 1.0
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        "source", "n_vocab", F.round(slope, 6).alias("zipf_slope")
+    )
+
+
+def oov_rate(df: DataFrame, text_col: str = "text", vocab_size: int = 1000) -> DataFrame:
+    """Per-doc out-of-vocabulary ratio against the corpus top-``vocab_size``
+    words — the tokenizer-coverage / gibberish gate (docs whose words a
+    fixed vocabulary mostly can't cover are noise or the wrong language).
+
+    The vocabulary is corpus-derived (freq desc, word asc ties) — a
+    global top-V, computed as orderBy().limit(V) (TakeOrderedAndProject,
+    no partition-less window) and BROADCAST to the membership join; the
+    corpus side never shuffles."""
+    words = df.select("doc_id", F.explode(_words(text_col)).alias("w"))
+    vocab = (
+        words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(vocab_size)
+        .select("w", F.lit(1).alias("__iv"))
+    )
+    joined = words.join(F.broadcast(vocab), "w", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.round(
+            F.sum(F.when(F.col("__iv").isNull(), 1).otherwise(0))
+            * 1.0 / F.count(F.lit(1)),
+            6,
+        ).alias("oov_ratio"),
+    )
