@@ -317,3 +317,20 @@ def test_length_buckets_partial_agg_no_join(spark):
     assert n_exchanges(plan) == 1, plan
     assert "Join" not in plan and "Window" not in plan
     assert "partial" in plan.lower()
+
+
+def test_oov_vocab_take_ordered_and_broadcast(spark):
+    """OOV rate: the top-V vocabulary must be TakeOrderedAndProject (not a
+    global window) and must reach the membership join as a broadcast —
+    the corpus side never shuffles for the join."""
+    plan = plan_of(entry_mod.q_oov_rate(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_zipf_ranking_window_is_partitioned(spark):
+    """Zipf slope: ranking must run in a source-partitioned window — no
+    partition-less (SinglePartition) stage anywhere."""
+    plan = plan_of(entry_mod.q_zipf_slope(spark, SF_DIR))
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan
