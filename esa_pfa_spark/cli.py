@@ -105,6 +105,40 @@ def cmd_dataset(args) -> None:
     print(f"wrote {args.out} (partitioned by split; order column shuffle_pos)")
 
 
+def cmd_curate(args) -> None:
+    """Corpus curation: quality gate -> exact dedup -> near-dup removal
+    (-> decontamination vs --eval) over a documents table; writes the
+    surviving (doc_id, source) list plus a per-source survival report."""
+    from esa_pfa_spark.plans.curation import curate_documents
+    from esa_pfa_spark.session import get_spark
+
+    spark = get_spark(app_name="esa_pfa_curate")
+    docs = spark.read.parquet(args.input)
+    eval_docs = spark.read.parquet(args.eval) if args.eval else None
+    surv = curate_documents(
+        docs,
+        min_words=args.min_words,
+        jaccard_threshold=args.jaccard,
+        eval_docs=eval_docs,
+    )
+    surv.write.mode("overwrite").parquet(args.out)
+    from pyspark.sql import functions as F
+
+    report = (
+        docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_in"))
+        .join(
+            spark.read.parquet(args.out)
+            .groupBy("source").agg(F.count(F.lit(1)).alias("n_out")),
+            "source", "left",
+        )
+        .select("source", "n_in", F.coalesce("n_out", F.lit(0)).alias("n_out"))
+        .orderBy("source")
+    )
+    for r in report.collect():
+        print(f"{r.source}: {r.n_out}/{r.n_in} survived")
+    print(f"wrote {args.out}")
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(prog="esa_pfa_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -129,6 +163,14 @@ def main(argv=None) -> None:
     p.add_argument("--resume", action="store_true", help="manifest-checkpointed run")
     p.add_argument("--partitions", type=int, default=64)
     p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("curate", help="quality/dedup/decontamination curation over a documents table")
+    p.add_argument("--input", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--eval", default=None, help="held-out eval corpus parquet for decontamination")
+    p.add_argument("--min-words", type=int, default=5)
+    p.add_argument("--jaccard", type=float, default=0.2)
+    p.set_defaults(fn=cmd_curate)
 
     p = sub.add_parser("dataset", help="split + shuffle a documents/tokens table for training export")
     p.add_argument("--input", required=True)

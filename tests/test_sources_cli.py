@@ -134,3 +134,30 @@ def test_html_sink_golden(spark, tmp_path):
     sinks.write(spark.createDataFrame(pdf), "html", str(tmp_path / "h"))
     lines = _read_text_sorted(spark, str(tmp_path / "h"))
     assert lines == ["<tr><td>x&gt;y</td><td>3</td></tr>"]
+
+
+def test_cli_curate_end_to_end(spark, tmp_path, capsys):
+    """curate subcommand: survivors parquet + per-source report; a pure
+    duplicate must be collapsed and a too-short doc gated out."""
+    import pandas as pd
+    from esa_pfa_spark import cli
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog again and again",
+        1: "the quick brown fox jumps over the lazy dog again and again",  # exact dup
+        2: "tiny",                                                         # quality-gated
+        3: "a completely different document with plenty of distinct words inside",
+    }
+    src = tmp_path / "docs"
+    spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": list(texts), "text": list(texts.values()),
+            "source": ["s0"] * 4,
+        }),
+        schema="doc_id long, text string, source string",
+    ).write.parquet(str(src))
+    out = tmp_path / "curated"
+    cli.main(["curate", "--input", str(src), "--out", str(out)])
+    kept = {r.doc_id for r in spark.read.parquet(str(out)).collect()}
+    assert kept == {0, 3}
+    assert "s0: 2/4 survived" in capsys.readouterr().out
