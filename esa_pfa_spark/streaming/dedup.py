@@ -94,3 +94,162 @@ def stream_exact_dedup(
         .dropDuplicatesWithinWatermark(["__digest"])
         .drop("__digest")
     )
+
+
+def minhash_signature_cols(text_col: str = "text", n_hashes: int = 6, k: int = 3):
+    """MAP-SIDE MinHash signature expressions: ``mh_j = array_min(md5('sj:'
+    || shingle))`` over the doc's distinct k-shingles — same values as the
+    batch ``operators.dedup.minhash_signatures`` (parity tested) but with
+    NO aggregation, so they compose with streams (no watermark, no state).
+    Docs with fewer than ``k`` words have no shingles -> NULL signature
+    (callers filter).  Returns the list of column expressions."""
+    ws = F.split(F.col(text_col), " ")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - k),
+            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, k)),
+        )
+    )
+    def hasher(prefix):
+        # one-arg lambda only: pyspark treats a second lambda parameter as
+        # the ARRAY INDEX argument (element, index), which would shadow a
+        # `j=j` default and hash garbage prefixes
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    cols = []
+    for j in range(n_hashes):
+        mh = F.array_min(F.transform(sh, hasher(f"s{j}:")))
+        cols.append(
+            F.when(F.size(ws) >= k, mh).otherwise(F.lit(None)).alias(f"mh{j}")
+        )
+    return cols
+
+
+def make_bucket_pairs_fn(tolerance=None, max_per_bucket: int = 100):
+    """(key, batches, state) -> batches for ``applyInPandasWithState``:
+    per LSH bucket, remember the member doc ids; each NEW member emits a
+    candidate pair against every existing member.  Module-level +
+    closure-light so it pickles cleanly to executors."""
+    import datetime as _dt
+
+    tol_us = None
+    if tolerance is not None:
+        s = tolerance.total_seconds() if isinstance(tolerance, _dt.timedelta) else float(tolerance)
+        tol_us = int(s * 1e6)
+
+    def bucket_pairs(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            ids, last_ts = state.get
+            ids = list(ids)
+        else:
+            ids, last_ts = [], None
+        out_a, out_b = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "doc_id"], kind="mergesort")
+            for did, ts in zip(pdf["doc_id"], pdf["ts"]):
+                ts_us = int(pd.Timestamp(ts).value // 1000)
+                last_ts = ts_us if last_ts is None else max(last_ts, ts_us)
+                did = int(did)
+                if did in ids:
+                    continue
+                if len(ids) >= max_per_bucket:
+                    # hot-bucket cap (documented, mirrors the batch
+                    # max_band_freq): a saturated bucket stops emitting —
+                    # route exact-duplicate floods to stream_exact_dedup
+                    # upstream, the same pipeline order as batch
+                    continue
+                for e in ids:
+                    a, b = (e, did) if e < did else (did, e)
+                    out_a.append(a)
+                    out_b.append(b)
+                ids.append(did)
+        if out_a:
+            yield pd.DataFrame({"doc_id_a": out_a, "doc_id_b": out_b})
+        state.update((ids, last_ts))
+        if tol_us is not None and last_ts is not None:
+            state.setTimeoutTimestamp(
+                max((last_ts + tol_us) // 1000, state.getCurrentWatermarkMs() + 1)
+            )
+
+    return bucket_pairs
+
+
+def stream_neardup_candidates(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts: str = "ts",
+    watermark: str = "1 hour",
+    tolerance=None,
+    max_per_bucket: int = 100,
+) -> DataFrame:
+    """Ingest-time NEAR-duplicate candidate detection — the streaming form
+    of ``operators.dedup.minhash_band_candidates``: map-side MinHash
+    signature -> two LSH band keys per doc -> a custom stateful operator
+    (``applyInPandasWithState``) keyed by band bucket whose state is the
+    bucket's member ids; every new member emits candidate pairs against
+    the existing members, ACROSS micro-batches.
+
+    Emits (doc_id_a, doc_id_b) with a < b; a pair whose docs agree on
+    BOTH bands is emitted once per band — downstream consumers needing
+    set semantics dedupe (the batch operator's DISTINCT), e.g. with
+    ``dropDuplicatesWithinWatermark`` or in the sink.
+
+    State: O(member ids per live bucket), bounded by ``max_per_bucket``
+    (saturated buckets stop emitting — the batch ``max_band_freq``
+    analog) and, with ``tolerance`` set, evicted by EventTimeTimeout once
+    the watermark passes the bucket's last activity + tolerance (idle
+    buckets hold no state; pairs then form only within the tolerance
+    horizon — the same windowed-semantics division of labor as
+    ``stream_exact_dedup``)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    sig = stream_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(ts).alias("ts"),
+        *minhash_signature_cols(text_col),
+    ).filter(F.col("mh0").isNotNull())
+    bands = sig.select(
+        "doc_id",
+        "ts",
+        F.explode(
+            F.array(
+                F.concat_ws("|", F.lit("b0"), "mh0", "mh1", "mh2"),
+                F.concat_ws("|", F.lit("b1"), "mh3", "mh4", "mh5"),
+            )
+        ).alias("bk"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id_a", T.LongType(), False),
+            T.StructField("doc_id_b", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ids", T.ArrayType(T.LongType()), True),
+            T.StructField("last_ts", T.LongType(), True),
+        ]
+    )
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if tolerance is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        bands.withWatermark("ts", watermark)
+        .groupBy("bk")
+        .applyInPandasWithState(
+            make_bucket_pairs_fn(tolerance, max_per_bucket),
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    )
