@@ -125,14 +125,59 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_signature_cols(
+    text_col: str = "text", n_hashes: int = N_MINHASH, k: int = SHINGLE_K
+):
+    """MAP-SIDE MinHash signature expressions: ``mh_j = array_min(md5('sj:'
+    || shingle))`` over the row's distinct k-shingles.  Pure column math —
+    no explode, no aggregation — so they cost ZERO shuffles in batch and
+    compose directly with streams (streaming/dedup.py).  Docs with fewer
+    than ``k`` words have no shingles -> NULL signature (callers filter).
+    Returns the column list."""
+    ws = F.split(F.col(text_col), " ")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - k),
+            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, k)),
+        )
+    )
+
+    def hasher(prefix):
+        # one-arg lambda only: pyspark treats a second lambda parameter as
+        # the ARRAY INDEX argument (element, index), which would shadow a
+        # `j=j` default and hash garbage prefixes
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    cols = []
+    for j in range(n_hashes):
+        mh = F.array_min(F.transform(sh, hasher(f"s{j}:")))
+        cols.append(
+            F.when(F.size(ws) >= k, mh).otherwise(F.lit(None)).alias(f"mh{j}")
+        )
+    return cols
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text", n_hashes: int = N_MINHASH) -> DataFrame:
-    """MinHash signature per doc: the k-th hash function is
-    ``min(md5('s<k>:' || shingle))`` — min over hex digests is a valid
-    permutation-min and is engine-portable (md5 is bit-identical)."""
+    """MinHash signature per doc: the j-th hash function is
+    ``min(md5('s<j>:' || shingle))`` — min over hex digests is a valid
+    permutation-min and is engine-portable (md5 is bit-identical).
+
+    Two equivalent forms exist (value-parity tested):
+      * THIS explode+groupBy form — the batch default.  Measured 1.3s vs
+        3.4s for the map-side-array form at sf0.1: exploded scalar md5 is
+        whole-stage-codegen'd, while ``transform()`` lambdas are
+        interpreted per element; and the shuffle is NOT shingle-sized —
+        map-side partial aggregation collapses each doc's mins to one row
+        before the exchange (a doc's shingles are row-local by
+        construction), so shuffle volume is |docs| regardless of scale.
+      * ``minhash_signature_cols`` — map-side column math with no
+        aggregation at all; required where aggregation can't precede the
+        consumer (the streaming LSH-bucket operator), and the right form
+        when the engine ever codegens higher-order lambdas."""
     sh = shingles(df, text_col)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"s{k}:"), F.col("shingle")))).alias(f"mh{k}")
-        for k in range(n_hashes)
+        F.min(F.md5(F.concat(F.lit(f"s{j}:"), F.col("shingle")))).alias(f"mh{j}")
+        for j in range(n_hashes)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 

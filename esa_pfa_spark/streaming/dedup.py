@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from esa_pfa_spark.operators.dedup import minhash_signature_cols  # noqa: F401  (re-export; shared map-side form)
+
 
 def stream_decontaminate(
     stream_df: DataFrame,
@@ -94,35 +96,6 @@ def stream_exact_dedup(
         .dropDuplicatesWithinWatermark(["__digest"])
         .drop("__digest")
     )
-
-
-def minhash_signature_cols(text_col: str = "text", n_hashes: int = 6, k: int = 3):
-    """MAP-SIDE MinHash signature expressions: ``mh_j = array_min(md5('sj:'
-    || shingle))`` over the doc's distinct k-shingles — same values as the
-    batch ``operators.dedup.minhash_signatures`` (parity tested) but with
-    NO aggregation, so they compose with streams (no watermark, no state).
-    Docs with fewer than ``k`` words have no shingles -> NULL signature
-    (callers filter).  Returns the list of column expressions."""
-    ws = F.split(F.col(text_col), " ")
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(ws) - k),
-            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, k)),
-        )
-    )
-    def hasher(prefix):
-        # one-arg lambda only: pyspark treats a second lambda parameter as
-        # the ARRAY INDEX argument (element, index), which would shadow a
-        # `j=j` default and hash garbage prefixes
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
-
-    cols = []
-    for j in range(n_hashes):
-        mh = F.array_min(F.transform(sh, hasher(f"s{j}:")))
-        cols.append(
-            F.when(F.size(ws) >= k, mh).otherwise(F.lit(None)).alias(f"mh{j}")
-        )
-    return cols
 
 
 def make_bucket_pairs_fn(tolerance=None, max_per_bucket: int = 100):

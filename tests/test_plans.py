@@ -334,3 +334,20 @@ def test_zipf_ranking_window_is_partitioned(spark):
     plan = plan_of(entry_mod.q_zipf_slope(spark, SF_DIR))
     assert "SinglePartition" not in plan, plan
     assert "Window" in plan
+
+
+def test_minhash_signatures_partial_agg_and_parity(spark):
+    """The grouped signature form must partial-aggregate map-side (shuffle
+    volume |docs|, not |shingles|) and must equal the map-side column form
+    value-for-value (the streaming path's signatures)."""
+    from esa_pfa_spark.operators.dedup import minhash_signature_cols, minhash_signatures
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(minhash_signatures(docs))
+    assert "partial" in plan.lower(), plan
+    a = sorted(map(tuple, minhash_signatures(docs).collect()))
+    b = sorted(map(tuple,
+        docs.select("doc_id", *minhash_signature_cols())
+        .filter(F.col("mh0").isNotNull()).collect()))
+    assert a == b
