@@ -950,6 +950,45 @@ FROM sig a JOIN sig b
 """
 
 
+def q_minhash_estimates(spark, sf_dir):
+    """MinHash Jaccard estimates over the banded candidates — the cheap
+    re-rank stage between candidate generation and exact verification
+    (dedup.minhash_jaccard_estimates).  Deterministic, so exactly
+    oracled despite being an estimator; accuracy vs exact Jaccard is
+    contract-tested in tests/test_dedup.py."""
+    return DD.minhash_jaccard_estimates(_ld(spark, sf_dir, "documents"))
+
+
+SQL_MINHASH_ESTIMATES = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(
+         list_transform(generate_series(1, len(ws)-2),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+       FROM w WHERE len(ws) >= 3),
+sig AS (SELECT doc_id,
+        min(md5('s0:' || shingle)) AS mh0, min(md5('s1:' || shingle)) AS mh1,
+        min(md5('s2:' || shingle)) AS mh2, min(md5('s3:' || shingle)) AS mh3,
+        min(md5('s4:' || shingle)) AS mh4, min(md5('s5:' || shingle)) AS mh5
+        FROM sh GROUP BY doc_id),
+cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         FROM sig a JOIN sig b
+           ON a.doc_id < b.doc_id
+          AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.mh2 = b.mh2)
+            OR (a.mh3 = b.mh3 AND a.mh4 = b.mh4 AND a.mh5 = b.mh5)))
+SELECT c.doc_id_a, c.doc_id_b,
+       round(((CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END)
+            + (CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END)
+            + (CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END)
+            + (CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END)
+            + (CASE WHEN sa.mh4 = sb.mh4 THEN 1 ELSE 0 END)
+            + (CASE WHEN sa.mh5 = sb.mh5 THEN 1 ELSE 0 END)) * 1.0 / 6, 6)
+           AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_id_a
+JOIN sig sb ON sb.doc_id = c.doc_id_b
+"""
+
+
 def q_dedup_survivors(spark, sf_dir):
     """Survivor selection over the MinHash-LSH candidate pairs: clusters
     by alternating large-star/small-star connected components (O(log n)
@@ -2700,6 +2739,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "semi_anti_join_counts": (q_semi_anti, SQL_SEMI_ANTI),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
+    "minhash_jaccard_estimates": (q_minhash_estimates, SQL_MINHASH_ESTIMATES),
     "unigram_logprob_quality": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
     "source_kl_divergence": (q_source_kl, SQL_SOURCE_KL),
     "zipf_slope_by_source": (q_zipf_slope, SQL_ZIPF_SLOPE),

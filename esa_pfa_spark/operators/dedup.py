@@ -355,3 +355,43 @@ def simhash16(df: DataFrame, text_col: str = "text") -> DataFrame:
         term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return sums.select("doc_id", sim.cast("int").alias("simhash"))
+
+
+def minhash_jaccard_estimates(
+    df: DataFrame, text_col: str = "text", n_hashes: int = N_MINHASH
+) -> DataFrame:
+    """Jaccard ESTIMATE for every LSH candidate pair: the fraction of the
+    ``n_hashes`` signature positions that agree — the unbiased MinHash
+    estimator (E[match fraction] = J), computed over only the banded
+    candidates so no all-pairs work happens.  This is the cheap re-rank
+    between candidate generation and an (expensive) exact verification:
+    at web scale the exact shingle-set Jaccard of every candidate is a
+    second heavy join, while the estimate is a column comparison on two
+    already-joined signature rows.
+
+    Deterministic (the signatures are), so it carries an EXACT value
+    oracle despite being an approximation of the true Jaccard; its
+    accuracy band vs the exact Jaccard is contract-tested separately."""
+    sig = minhash_signatures(df, text_col, n_hashes)
+    cand = minhash_band_candidates(df, text_col)
+    a = sig.select(
+        F.col("doc_id").alias("doc_id_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(n_hashes)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_id_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(n_hashes)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(n_hashes)
+    )
+    return (
+        cand.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(matches * 1.0 / n_hashes, 6).alias("est_jaccard"),
+        )
+    )

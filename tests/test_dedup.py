@@ -117,3 +117,26 @@ def test_dedup_survivors_singletons_survive(spark):
     assert out["d0"] == ("d0", True)
     assert out["d1"] == ("d0", False)
     assert out["d2"] == ("d2", True)
+
+
+def test_minhash_estimate_within_band_of_exact(spark):
+    """Sketch-accuracy contract: on the sf0.01 candidates, the 6-hash
+    MinHash estimate must sit within 0.45 of the exact (uncapped)
+    shingle Jaccard for every pair, and the mean absolute error must be
+    under 0.25 (6 hashes -> binomial σ = sqrt(J(1-J)/6) <= 0.21)."""
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    est = {
+        (r.doc_id_a, r.doc_id_b): r.est_jaccard
+        for r in DD.minhash_jaccard_estimates(docs).collect()
+    }
+    exact = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in DD.ngram_jaccard_pairs(
+            docs, threshold=0.0, max_shingle_freq=None
+        ).collect()
+    }
+    assert est, "no candidate pairs at sf0.01?"
+    errs = [abs(v - exact.get(k, 0.0)) for k, v in est.items()]
+    assert max(errs) <= 0.45, sorted(errs)[-3:]
+    assert sum(errs) / len(errs) <= 0.25

@@ -121,3 +121,59 @@ def test_asof_forward_leakage_invariant(spark, obs_rows, probe_rows, tol):
     deltas = (m.matched_ts - m.query_ts).dt.total_seconds()
     assert (deltas >= 0).all(), "forward match earlier than probe (leakage)"
     assert (deltas <= tol).all(), "match outside tolerance"
+
+
+# --- SCD2 intervals vs a sequential pandas oracle --------------------------
+
+scd2_timeline = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),    # key
+        st.integers(min_value=0, max_value=60),   # ts seconds (ties likely)
+        st.integers(min_value=0, max_value=2),    # level (repeats likely)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(rows=scd2_timeline)
+def test_scd2_intervals_match_sequential_oracle(spark, rows):
+    """scd2_intervals (change-compaction + lead) equals a sequential
+    per-key sweep for arbitrary logs with ties and repeated levels.
+    A unique event_id breaks ts ties identically in both."""
+    from esa_pfa_spark.operators.windows import scd2_intervals
+
+    pdf = pd.DataFrame(
+        {
+            "k": [r[0] for r in rows],
+            "ts": [BASE + dt.timedelta(seconds=r[1]) for r in rows],
+            "eid": range(len(rows)),
+            "level": [r[2] for r in rows],
+        }
+    )
+    def _key(t):  # open intervals (valid_to=None) sort last
+        return (t[0], t[1], t[2] is None, t[2] or dt.datetime.min, t[3])
+
+    got = sorted(
+        (
+            (r.k, r.valid_from, r.valid_to, r.level)
+            for r in scd2_intervals(
+            spark.createDataFrame(pdf, schema="k long, ts timestamp, eid long, level long"),
+                key="k", ts="ts", dedupe_unchanged=["level"], tiebreak=["eid"],
+            ).collect()
+        ),
+        key=_key,
+    )
+    want = []
+    for k, g in pdf.sort_values(["k", "ts", "eid"]).groupby("k"):
+        kept = []
+        prev = object()
+        for _, row in g.iterrows():
+            if row["level"] != prev:
+                kept.append(row)
+            prev = row["level"]
+        for i, row in enumerate(kept):
+            nxt = kept[i + 1]["ts"].to_pydatetime() if i + 1 < len(kept) else None
+            want.append((k, row["ts"].to_pydatetime(), nxt, row["level"]))
+    assert got == sorted(want, key=_key)
