@@ -2706,6 +2706,74 @@ FROM documents
 """
 
 
+def q_kmeans_centroids(spark, sf_dir):
+    """Distributed k-means (Lloyd) IVF-centroid training — 4 clusters, 2
+    iterations, deterministic lowest-id init (operators/clustering.py).
+    Scaled-integer arithmetic makes the training bit-reproducible, so the
+    iterative algorithm carries an EXACT chained-CTE oracle (one CTE block
+    per Lloyd iteration), not just a rows-only check."""
+    from esa_pfa_spark.operators.clustering import kmeans_centroids_df
+
+    return kmeans_centroids_df(_ld(spark, sf_dir, "embeddings"), k=4, n_iter=2)
+
+
+def q_kmeans_sizes(spark, sf_dir):
+    """Final IVF cell histogram under the trained centroids — the skew
+    signal a probe planner reads (hot cell -> candidate fan-out)."""
+    from esa_pfa_spark.operators.clustering import kmeans_cluster_sizes
+
+    return kmeans_cluster_sizes(_ld(spark, sf_dir, "embeddings"), k=4, n_iter=2)
+
+
+def _kmeans_cte(k: int = 4, n_iter: int = 2) -> str:
+    """Chained-CTE Lloyd: exploded scaled-int table `e`, init from the k
+    smallest vec_ids, then per iteration assignment (argmin int64 squared
+    distance, ties -> lowest cluster) and update (floor(sum/count + 0.5),
+    one exact-int IEEE double division — identical to the engine's).
+    Ends with centroid CTE ``c{n_iter}``."""
+    parts = [f"""
+e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xs
+      FROM embeddings),
+init AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cl
+         FROM (SELECT DISTINCT vec_id FROM e ORDER BY vec_id LIMIT {k})),
+c0 AS (SELECT i.cl, e.dim, e.xs AS cs FROM init i JOIN e ON e.vec_id = i.vec_id)"""]
+    for it in range(1, n_iter + 1):
+        p, c = f"c{it - 1}", f"c{it}"
+        parts.append(f"""
+d{it} AS (SELECT e.vec_id, c.cl, sum((e.xs - c.cs) * (e.xs - c.cs)) AS d
+      FROM e JOIN {p} c ON e.dim = c.dim GROUP BY e.vec_id, c.cl),
+a{it} AS (SELECT vec_id, cl FROM (
+        SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+        FROM d{it}) WHERE rn = 1),
+s{it} AS (SELECT a.cl, e.dim,
+             CAST(floor(CAST(sum(e.xs) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS cs
+      FROM a{it} a JOIN e ON e.vec_id = a.vec_id GROUP BY a.cl, e.dim),
+{c} AS (SELECT p.cl, p.dim, coalesce(s.cs, p.cs) AS cs
+      FROM {p} p LEFT JOIN s{it} s ON s.cl = p.cl AND s.dim = p.dim)""")
+    return "WITH " + ",".join(parts)
+
+
+SQL_KMEANS_CENTROIDS = (
+    _kmeans_cte()
+    + """
+SELECT cl AS cluster, dim, cs AS c_scaled FROM c2
+"""
+)
+
+SQL_KMEANS_SIZES = (
+    _kmeans_cte()
+    + """,
+d3 AS (SELECT e.vec_id, c.cl, sum((e.xs - c.cs) * (e.xs - c.cs)) AS d
+       FROM e JOIN c2 c ON e.dim = c.dim GROUP BY e.vec_id, c.cl),
+a3 AS (SELECT vec_id, cl FROM (
+         SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+         FROM d3) WHERE rn = 1)
+SELECT cl AS cluster, count(*) AS n_vectors FROM a3 GROUP BY cl
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2781,6 +2849,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "most_ambiguous_pick": (q_most_ambiguous, _most_ambiguous_sql()),
     "asof_backward_multikey_3d": (q_asof_multikey, SQL_ASOF_MULTIKEY),
     "ann_ivf_topk": (q_ann_ivf_topk, _ivf_sql()),
+    "kmeans_train_centroids": (q_kmeans_centroids, SQL_KMEANS_CENTROIDS),
+    "kmeans_cluster_sizes": (q_kmeans_sizes, SQL_KMEANS_SIZES),
     "flag_predicate_counts": (q_flag_predicate, SQL_FLAG_PREDICATE),
     "grid_transect_runs": (q_transect_runs, SQL_TRANSECT_RUNS),
     "grid_contagion_clumpiness": (q_contagion_clumpiness, SQL_CONTAGION_CLUMPINESS),

@@ -1,0 +1,156 @@
+"""Distributed k-means (Lloyd's) for IVF centroid training.
+
+The missing half of the ANN story: ``similarity.ivf_assign`` prunes a
+search to one coarse cell, but round 1 fed it FIXED seeded centroids.
+This module trains them on the corpus with the classic scalable Lloyd
+decomposition (the same shape Spark MLlib / FAISS-on-Spark use):
+
+  per iteration:
+    assignment — map-only: k distance folds per row against the current
+      centroids (plan literals, no join), argmin via first-match
+      ``array_position`` (ties -> lowest cluster index);
+    update — ``posexplode`` + ONE hash aggregation over (cluster, dim)
+      keys (k x dim groups, map-side partial agg, so the shuffle is k x
+      dim rows regardless of corpus size);
+    driver step — k x dim sums/counts collected (tiny, scalar-class
+      ``collect``), new centroids folded in and shipped back as literals.
+
+At 100 TB each iteration is one scan of the cached scaled table + a
+k x dim-row shuffle — linear, no per-key state, no quadratic term.
+
+Cross-engine exactness (the oracle contract): float sums are
+order-dependent, so everything runs in SCALED INTEGERS —
+``xs = floor(x * 10^6 + 0.5)`` (the quantize_int8 trick: floor is
+IEEE-exact and convention-free where round() is not).  Distances are
+int64 sums of squared int diffs (exact, order-free); the centroid
+update is ``floor(sum / count + 0.5)`` where ``sum / count`` is one
+IEEE double division of exact integers — bit-identical in Spark,
+DuckDB, and Python, so a chained-CTE SQL oracle reproduces the training
+bit-for-bit.  int64/double headroom: |xs| <= ~4e6 (unit-ish vectors),
+squared-diff sums <= 64 * (8e6)^2 ~ 4e15 < 2^63; per-(cluster,dim) sums
+stay exact in doubles below 2^53 ~ 9e15, i.e. up to ~10^9 rows per
+cluster at this scale — beyond that, production would switch the update
+to decimal sums (same plan shape).
+
+Init is deterministic: the k rows with the smallest ids (cluster j =
+rank of id).  Statistically k-means++ seeds better; init choice is
+orthogonal to the distributed mechanics and the reference's clusterer
+also starts from a fixed pick (KernelKmeansClusterer.java:67-106).
+Empty clusters keep their previous centroid (both engines).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**6
+
+
+def _scaled(df: DataFrame, vec_col: str) -> F.Column:
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * SCALE + F.lit(0.5)).cast("long"),
+    )
+
+
+def _dist2(xs_col, cent: list[int]) -> F.Column:
+    """Exact int64 squared L2 distance between a scaled vector column and
+    a scaled centroid literal."""
+    lit = F.array(*[F.lit(int(c)).cast("long") for c in cent])
+    return F.aggregate(
+        F.zip_with(xs_col, lit, lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+
+
+def assign_clusters(
+    df: DataFrame, centroids: list[list[int]], xs_col: str = "__xs"
+) -> DataFrame:
+    """Append ``cluster`` (1-based) = argmin squared distance to the scaled
+    centroids; ties -> lowest cluster index (first-match array_position).
+    Map-only: centroids ride as plan literals, no join, no shuffle."""
+    darr = F.array(*[_dist2(F.col(xs_col), c) for c in centroids])
+    return df.withColumn(
+        "cluster", F.array_position(darr, F.array_min(darr)).cast("int")
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 4,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[int]]:
+    """Train k centroids with ``n_iter`` Lloyd iterations; returns the
+    SCALED integer centroids (divide by 10^6 for floats).  See module
+    docstring for the distributed shape and the exactness contract."""
+    scaled = df.select(
+        F.col(id_col).alias("__id"), _scaled(df, vec_col).alias("__xs")
+    )
+    scaled = scaled.persist()
+    try:
+        init = scaled.orderBy("__id").limit(k).collect()
+        if len(init) < k:
+            raise ValueError(f"k={k} but only {len(init)} rows")
+        cents = [list(r["__xs"]) for r in init]
+        for _ in range(n_iter):
+            assigned = assign_clusters(scaled, cents)
+            sums = (
+                assigned.select("cluster", F.posexplode("__xs").alias("dim", "x"))
+                .groupBy("cluster", "dim")
+                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            nxt = [list(c) for c in cents]  # empty clusters keep old centroid
+            for r in sums:
+                # one IEEE double division of exact ints: identical in
+                # Python, Spark SQL, and DuckDB (the oracle contract)
+                nxt[r.cluster - 1][r.dim] = int(math.floor(r.s / r.n + 0.5))
+            cents = nxt
+        return cents
+    finally:
+        scaled.unpersist()
+
+
+def kmeans_centroids_df(
+    df: DataFrame,
+    k: int = 4,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Trained centroids as an exploded frame (cluster, dim, c_scaled) —
+    integer-exact output for value-level oracle comparison."""
+    cents = kmeans_fit(df, k, n_iter, vec_col, id_col)
+    spark = df.sparkSession
+    rows = [
+        (j + 1, d, int(cents[j][d]))
+        for j in range(k)
+        for d in range(len(cents[j]))
+    ]
+    return spark.createDataFrame(rows, "cluster int, dim int, c_scaled long")
+
+
+def kmeans_cluster_sizes(
+    df: DataFrame,
+    k: int = 4,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Final assignment counts under the trained centroids — the IVF cell
+    histogram a capacity planner reads (skewed cells -> probe fan-out)."""
+    cents = kmeans_fit(df, k, n_iter, vec_col, id_col)
+    scaled = df.select(
+        F.col(id_col).alias("__id"), _scaled(df, vec_col).alias("__xs")
+    )
+    return (
+        assign_clusters(scaled, cents)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
