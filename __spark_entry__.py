@@ -2706,6 +2706,58 @@ FROM documents
 """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction gate (textstats.redact_pii): synthetic docs carry no
+    PII, so the query deterministically injects an email / IPv4 / phone
+    into doc_id%4 slices first, then scrubs — exercising both presence
+    and absence.  Map-only JVM regex; exact oracle (md5 of the scrubbed
+    text + per-type counts)."""
+    from esa_pfa_spark.operators.textstats import redact_pii
+
+    docs = _ld(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    tail = (
+        F.when(d % 4 == 0, F.concat(F.lit(" reach user"), d.cast("string"),
+                                    F.lit("@mail.example.com")))
+        .when(d % 4 == 1, F.concat(F.lit(" from 10.1.2."), (d % 256).cast("string")))
+        .when(d % 4 == 2, F.concat(F.lit(" call +1-555-"),
+                                   F.lpad((d % 10000).cast("string"), 4, "0")))
+        .otherwise(F.lit(""))
+    )
+    seeded = docs.select("doc_id", F.concat("text", tail).alias("text"))
+    out = redact_pii(seeded)
+    return out.select(
+        "doc_id", F.md5("clean_text").alias("clean_md5"),
+        "n_email", "n_ipv4", "n_phone",
+    )
+
+
+SQL_PII_SCRUB = r"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 4 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+           WHEN doc_id % 4 = 1 THEN ' from 10.1.2.' || CAST(doc_id % 256 AS VARCHAR)
+           WHEN doc_id % 4 = 2 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           ELSE '' END AS t
+  FROM documents),
+s1 AS (SELECT doc_id, t,
+              len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+              regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+       FROM seeded),
+s2 AS (SELECT doc_id, n_email,
+              len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+              regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS t2
+       FROM s1),
+s3 AS (SELECT doc_id, n_email, n_ipv4,
+              len(regexp_extract_all(t2, '\+\d{1,3}[- ]\d{3}[- ]\d{4}')) AS n_phone,
+              regexp_replace(t2, '\+\d{1,3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g') AS t3
+       FROM s2)
+SELECT doc_id, md5(t3) AS clean_md5, n_email, n_ipv4, n_phone
+FROM s3
+"""
+
+
 def q_kmeans_centroids(spark, sf_dir):
     """Distributed k-means (Lloyd) IVF-centroid training — 4 clusters, 2
     iterations, deterministic lowest-id init (operators/clustering.py).
@@ -2723,6 +2775,33 @@ def q_kmeans_sizes(spark, sf_dir):
     from esa_pfa_spark.operators.clustering import kmeans_cluster_sizes
 
     return kmeans_cluster_sizes(_ld(spark, sf_dir, "embeddings"), k=4, n_iter=2)
+
+
+def q_ann_ivf_trained(spark, sf_dir):
+    """End-to-end trained-IVF ANN: k-means-trained coarse cells (not the
+    round-1 fixed seeded centroids), probe searches only its own cell,
+    exact cosine re-rank via TakeOrderedAndProject.  Training, assignment,
+    and re-rank all carry one exact oracle (kmeans CTE + int64 L2
+    assignment + double cosine)."""
+    from esa_pfa_spark.operators.clustering import (
+        SCALE, assign_clusters, kmeans_fit, _scaled,
+    )
+    from esa_pfa_spark.operators.similarity import cosine, _rank_topk
+
+    emb = _ld(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=4, n_iter=2)
+    scaled = emb.select("vec_id", "embedding", _scaled(emb, "embedding").alias("__xs"))
+    assigned = assign_clusters(scaled, cents).drop("__xs")
+    probe = assigned.filter(F.col("vec_id") == 0).select(
+        F.col("cluster").alias("__pc"), F.col("embedding").alias("q")
+    )
+    cand = (
+        assigned.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .filter(F.col("cluster") == F.col("__pc"))
+    )
+    scored = cand.select("vec_id", cosine(F.col("embedding"), F.col("q")).alias("cos"))
+    return _rank_topk(scored, 10, "vec_id")
 
 
 def _kmeans_cte(k: int = 4, n_iter: int = 2) -> str:
@@ -2761,15 +2840,37 @@ SELECT cl AS cluster, dim, cs AS c_scaled FROM c2
 """
 )
 
-SQL_KMEANS_SIZES = (
-    _kmeans_cte()
-    + """,
+_KMEANS_FINAL_ASSIGN = """,
 d3 AS (SELECT e.vec_id, c.cl, sum((e.xs - c.cs) * (e.xs - c.cs)) AS d
        FROM e JOIN c2 c ON e.dim = c.dim GROUP BY e.vec_id, c.cl),
 a3 AS (SELECT vec_id, cl FROM (
          SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
-         FROM d3) WHERE rn = 1)
+         FROM d3) WHERE rn = 1)"""
+
+SQL_KMEANS_SIZES = (
+    _kmeans_cte()
+    + _KMEANS_FINAL_ASSIGN
+    + """
 SELECT cl AS cluster, count(*) AS n_vectors FROM a3 GROUP BY cl
+"""
+)
+
+SQL_ANN_IVF_TRAINED = (
+    _kmeans_cte()
+    + _KMEANS_FINAL_ASSIGN
+    + """,
+pq AS (SELECT em.embedding AS qv, a3.cl
+       FROM a3 JOIN embeddings em ON em.vec_id = a3.vec_id
+       WHERE a3.vec_id = 0),
+s AS (SELECT a3.vec_id,
+             list_dot_product(em.embedding::DOUBLE[], pq.qv::DOUBLE[])
+             / (sqrt(list_dot_product(em.embedding::DOUBLE[], em.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(pq.qv::DOUBLE[], pq.qv::DOUBLE[]))) AS cos
+      FROM a3 JOIN pq ON a3.cl = pq.cl
+      JOIN embeddings em ON em.vec_id = a3.vec_id
+      WHERE a3.vec_id != 0)
+SELECT vec_id, CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank
+FROM s QUALIFY rank <= 10
 """
 )
 
@@ -2851,6 +2952,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ann_ivf_topk": (q_ann_ivf_topk, _ivf_sql()),
     "kmeans_train_centroids": (q_kmeans_centroids, SQL_KMEANS_CENTROIDS),
     "kmeans_cluster_sizes": (q_kmeans_sizes, SQL_KMEANS_SIZES),
+    "ann_ivf_trained_topk": (q_ann_ivf_trained, SQL_ANN_IVF_TRAINED),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "flag_predicate_counts": (q_flag_predicate, SQL_FLAG_PREDICATE),
     "grid_transect_runs": (q_transect_runs, SQL_TRANSECT_RUNS),
     "grid_contagion_clumpiness": (q_contagion_clumpiness, SQL_CONTAGION_CLUMPINESS),

@@ -198,3 +198,30 @@ def oov_rate(df: DataFrame, text_col: str = "text", vocab_size: int = 1000) -> D
             6,
         ).alias("oov_ratio"),
     )
+
+
+# PII patterns: the portable subset of Java regex / RE2 (no lookaround,
+# no backreferences) so Spark and the DuckDB oracle match byte-for-byte.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{1,3}[- ]\d{3}[- ]\d{4}",
+}
+PII_ORDER = ("email", "ipv4", "phone")  # email first: it may contain dots
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrub for training corpora: replace emails / IPv4 addresses /
+    international phone numbers with typed placeholders and count each
+    per document.  Pure JVM codegen (regexp_replace + regexp_count) —
+    map-only, no shuffle, scales linearly; patterns applied in a FIXED
+    order (email before ipv4: an address inside an email must count as
+    email, not as dotted digits).  Returns doc_id, clean_text, n_<type>
+    columns."""
+    out = df
+    clean = F.col(text_col)
+    for name in PII_ORDER:
+        pat = PII_PATTERNS[name]
+        out = out.withColumn(f"n_{name}", F.regexp_count(clean, F.lit(pat)))
+        clean = F.regexp_replace(clean, pat, f"<{name.upper()}>")
+    return out.withColumn("clean_text", clean)
