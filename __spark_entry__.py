@@ -205,6 +205,55 @@ LEFT JOIN er ON er.user_id=m.user_id AND er.ts=m.error_matched_ts
 """
 
 
+def q_pit_window_agg(spark, sf_dir):
+    """Windowed PIT aggregation features (operators/pit.py): for each
+    click, count / exact sum / mean / deterministic last of the user's
+    purchases in the half-open window (query_ts - 7d, query_ts] —
+    difference-of-cumulatives over ONE fused fill (no pair blowup)."""
+    from esa_pfa_spark.operators.pit import pit_window_agg
+
+    ev = _ld(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("query_ts")
+    )
+    obs = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", F.col("event_id").alias("obs_id")
+    )
+    out = pit_window_agg(
+        probes, obs, on="user_id", probe_ts="query_ts", obs_ts="ts",
+        value="value", tiebreak="obs_id", window=dt.timedelta(days=7),
+    )
+    return out.select(
+        "event_id", "user_id", "query_ts", "n_win",
+        _r6(F.col("sum_win")).alias("sum_win"),
+        _r6(F.col("mean_win")).alias("mean_win"),
+        _r6(F.col("last_val")).alias("last_val"),
+        "last_ts",
+    )
+
+
+SQL_PIT_WINDOW_AGG = f"""
+WITH c AS (SELECT event_id, user_id, ts AS query_ts FROM events WHERE event_type='click'),
+     p AS (SELECT user_id, ts, value, event_id AS obs_id FROM events WHERE event_type='purchase')
+SELECT c.event_id, c.user_id, c.query_ts,
+  (SELECT count(*) FROM p WHERE p.user_id=c.user_id
+    AND p.ts<=c.query_ts AND p.ts > c.query_ts - INTERVAL 7 DAY) AS n_win,
+  round((SELECT CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) FROM p
+    WHERE p.user_id=c.user_id AND p.ts<=c.query_ts
+    AND p.ts > c.query_ts - INTERVAL 7 DAY), 6) AS sum_win,
+  round((SELECT CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) FROM p
+    WHERE p.user_id=c.user_id AND p.ts<=c.query_ts
+    AND p.ts > c.query_ts - INTERVAL 7 DAY HAVING count(*) > 0), 6) AS mean_win,
+  round((SELECT p.value FROM p WHERE p.user_id=c.user_id
+    AND p.ts<=c.query_ts AND p.ts > c.query_ts - INTERVAL 7 DAY
+    ORDER BY p.ts DESC, p.obs_id DESC LIMIT 1), 6) AS last_val,
+  (SELECT p.ts FROM p WHERE p.user_id=c.user_id
+    AND p.ts<=c.query_ts AND p.ts > c.query_ts - INTERVAL 7 DAY
+    ORDER BY p.ts DESC, p.obs_id DESC LIMIT 1) AS last_ts
+FROM c
+"""
+
+
 SQL_ASOF_FORWARD = f"""
 WITH c AS (SELECT event_id, user_id, ts AS query_ts FROM events WHERE event_type='click'),
      p AS (SELECT user_id, ts, value FROM events WHERE event_type='error'),
@@ -2884,6 +2933,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "asof_forward_1d": (q_asof_forward, SQL_ASOF_FORWARD),
     "asof_nearest_12h": (q_asof_nearest, SQL_ASOF_NEAREST),
     "pit_two_table_features": (q_pit_two_table, SQL_PIT_TWO_TABLE),
+    "pit_window_agg_7d": (q_pit_window_agg, SQL_PIT_WINDOW_AGG),
     "window_ffill": (q_ffill, SQL_FFILL),
     "window_lag_lead": (q_lag_lead, SQL_LAG_LEAD),
     "window_rolling_mean": (q_rolling_mean, SQL_ROLLING),

@@ -1,0 +1,179 @@
+"""Point-in-time windowed aggregation features ("aggregation features" in
+feature-store terms): for each probe (key, query_ts), aggregate the
+observations in the half-open window ``(query_ts - window, query_ts]`` —
+count / exact sum / mean / last value — with zero temporal leakage.
+
+This extends the engine's as-of core (operators/asof.py, the reference's
+tolerance-bounded pairing FindPatchPairs.java:57-76) from "latest single
+observation" to "window aggregate at probe time".
+
+Physical plan — difference of cumulatives over ONE fused fill:
+
+  A naive interval join materializes O(|probes| x obs-per-window) pairs
+  before aggregating; at 10^12 observations with dense windows that is the
+  dominant cost.  Instead each probe is split into two boundary rows
+  (kind=0 at ``query_ts - window``, kind=1 at ``query_ts``), unioned with
+  the observation stream, and a single cumulative window per key
+  (``order by ts, tag, tiebreak rows unbounded preceding``) computes the
+  running (count, decimal-exact sum) that each boundary row reads off.
+  ``agg_at(end) - agg_at(start)`` is the window aggregate.  Cost: ONE
+  Exchange total (plan-asserted) — the fill hash-partitions by the key,
+  and the closing per-probe hash aggregation's group keys include that
+  key, so its ClusteredDistribution is satisfied without a re-shuffle.
+  Independent of window density: the same shape at any scale.
+
+  Sums accumulate as decimal(18,6) (order-independent exact addition) so
+  the difference-of-cumulatives is bit-equal to a direct sum over the
+  window set — double cumsums would make the result depend on out-of-window
+  history.
+
+  "last value in window" rides the same fill: the as-of struct carry
+  (asof.py's atomic-payload pattern) evaluated at the end row, validated
+  against the start boundary (strictly-greater: an observation exactly at
+  ``query_ts - window`` is excluded, matching the half-open window).
+
+Boundary/tie semantics (mirrored by the oracle SQL):
+  * window is ``(query_ts - window, query_ts]`` — inclusive end, exclusive
+    start; an observation at exactly ``query_ts`` counts.
+  * observations tie-break by ``tiebreak`` (required for a deterministic
+    "last" when timestamps collide); boundary rows sort AFTER equal-ts
+    observations (tag order), giving the inclusive-end / exclusive-start
+    arithmetic above.
+
+Min/max are NOT subtractable aggregates — they cannot ride this plan; use
+``pairing.interval_pairs_bucketed`` + groupBy for those (documented trade:
+O(pairs) work, bucket-bounded tasks).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _seconds(v) -> float:
+    return v.total_seconds() if isinstance(v, _dt.timedelta) else float(v)
+
+
+def pit_window_agg(
+    probes: DataFrame,
+    observations: DataFrame,
+    on: str = "entity_id",
+    probe_ts: str = "query_ts",
+    obs_ts: str = "ts",
+    value: str = "value",
+    tiebreak: str | None = None,
+    window=_dt.timedelta(days=7),
+    probe_id: str | None = None,
+) -> DataFrame:
+    """Windowed PIT aggregates per probe row.
+
+    Returns one row per probe: ``(on, probe-cols, probe_ts, n_win, sum_win,
+    mean_win, last_val)`` where the aggregates cover observations with
+    ``probe_ts - window < obs_ts <= probe_ts``.  ``tiebreak`` (an
+    observation column, e.g. its event id) makes ``last_val`` deterministic
+    under timestamp collisions; without it, equal-ts observations are
+    ordered by value (still deterministic, but not arrival order).
+    """
+    w_s = _seconds(window)
+    if w_s <= 0:
+        raise ValueError("window must be positive")
+    keys = [on] if isinstance(on, str) else list(on)
+    probe_cols = [c for c in probes.columns if c not in keys + [probe_ts]]
+    if probe_id is None:
+        if not probe_cols:
+            raise ValueError("probes need an id column (or pass probe_id)")
+        probe_id = probe_cols[0]
+
+    _TS, _TAG, _TIE = "__pit_ts", "__pit_tag", "__pit_tie"
+    _N, _S, _PAY, _K, _Q = "__pit_n", "__pit_s", "__pit_pay", "__pit_kind", "__pit_qts"
+
+    tie_col = (
+        F.col(tiebreak).cast("double") if tiebreak else F.col(value).cast("double")
+    )
+    obs_side = observations.select(
+        *keys,
+        F.col(obs_ts).alias(_TS),
+        F.lit(0).alias(_TAG),
+        tie_col.alias(_TIE),
+        F.lit(1).cast("long").alias(_N),
+        F.col(value).cast("decimal(18,6)").alias(_S),
+        F.struct(
+            F.col(obs_ts).alias("mts"), F.col(value).cast("double").alias("mval")
+        ).alias(_PAY),
+        F.lit(None).cast("int").alias(_K),
+        *[F.lit(None).cast(probes.schema[c].dataType).alias(f"__p_{c}") for c in probe_cols],
+        F.lit(None).cast(probes.schema[probe_ts].dataType).alias(_Q),
+    )
+    pay_type = obs_side.schema[_PAY].dataType
+
+    def boundary(kind: int, ts_expr):
+        return probes.select(
+            *keys,
+            ts_expr.alias(_TS),
+            F.lit(1).alias(_TAG),
+            F.lit(0.0).alias(_TIE),
+            F.lit(0).cast("long").alias(_N),
+            F.lit("0").cast("decimal(18,6)").alias(_S),
+            F.lit(None).cast(pay_type).alias(_PAY),
+            F.lit(kind).alias(_K),
+            *[F.col(c).alias(f"__p_{c}") for c in probe_cols],
+            F.col(probe_ts).alias(_Q),
+        )
+
+    start = boundary(0, F.col(probe_ts) - F.expr(f"INTERVAL {int(w_s * 1e6)} MICROSECOND"))
+    end = boundary(1, F.col(probe_ts))
+    unioned = obs_side.unionByName(start).unionByName(end)
+
+    # one cumulative pass: equal-ts observations sort before boundary rows
+    # (tag), so the end boundary reads an INCLUSIVE cum and the start
+    # boundary's cum still contains an obs at exactly (query_ts - window),
+    # which the difference then removes — the half-open window.
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(_TS).asc(), F.col(_TAG).asc(), F.col(_TIE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        unioned.select(
+            *keys,
+            F.col(_K),
+            F.col(_Q),
+            F.sum(_N).over(w_cum).alias("__cn"),
+            F.sum(_S).over(w_cum).alias("__cs"),
+            F.last(_PAY, ignorenulls=True).over(w_cum).alias("__last"),
+            *[F.col(f"__p_{c}") for c in probe_cols],
+        )
+        .filter(F.col(_K).isNotNull())
+    )
+
+    picked = filled.groupBy(*keys, F.col(_Q).alias(probe_ts), *[
+        F.col(f"__p_{c}").alias(c) for c in probe_cols
+    ]).agg(
+        (F.max(F.when(F.col(_K) == 1, F.col("__cn"))) -
+         F.max(F.when(F.col(_K) == 0, F.col("__cn")))).alias("n_win"),
+        (F.max(F.when(F.col(_K) == 1, F.col("__cs"))) -
+         F.max(F.when(F.col(_K) == 0, F.col("__cs")))).alias("__sum_dec"),
+        F.first(F.when(F.col(_K) == 1, F.col("__last")), ignorenulls=True).alias("__last"),
+    )
+    sum_win = F.when(F.col("n_win") > 0, F.col("__sum_dec").cast("double"))
+    in_win = (
+        F.col("__last").isNotNull()
+        # strictly inside the half-open window: last obs at-or-before end
+        # must postdate the start boundary.  Count arithmetic (not ts
+        # comparison) so collided timestamps at the boundary stay exact:
+        # n_win > 0 iff at least one obs fell strictly inside.
+        & (F.col("n_win") > 0)
+    )
+    return picked.select(
+        *keys,
+        *probe_cols,
+        probe_ts,
+        F.col("n_win"),
+        sum_win.alias("sum_win"),
+        F.when(F.col("n_win") > 0, F.col("__sum_dec").cast("double") / F.col("n_win")).alias("mean_win"),
+        F.when(in_win, F.col("__last")["mval"]).alias("last_val"),
+        F.when(in_win, F.col("__last")["mts"]).alias("last_ts"),
+    )
