@@ -2807,6 +2807,96 @@ FROM s3
 """
 
 
+def q_c4_line_clean(spark, sf_dir):
+    """C4-style line cleaning (textstats.c4_line_filter): synthetic docs
+    are one unpunctuated line, so the query first seeds line structure —
+    every 6 words become a '.'-terminated line, the ragged tail stays
+    unpunctuated — then cleans: the tail fails the terminal-punct gate,
+    lines containing 'slow' fail the ban-list gate.  Map-only
+    higher-order array functions, no explode."""
+    from esa_pfa_spark.operators.textstats import c4_line_filter
+
+    docs = _ld(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.col("text"), r"((?:\S+ ){5}\S+) ", "$1.\n"
+        ).alias("text"),
+    )
+    out = c4_line_filter(
+        seeded, min_words=3, require_terminal_punct=True, ban_words=("slow",)
+    )
+    return out.select(
+        "doc_id", "n_lines", "n_kept", F.md5("clean_text").alias("clean_md5")
+    )
+
+
+SQL_C4_LINE_CLEAN = r"""
+WITH seeded AS (
+  SELECT doc_id,
+         regexp_replace(text, '((?:\S+ ){5}\S+) ', '\1.' || chr(10), 'g') AS t
+  FROM documents),
+f AS (
+  SELECT doc_id,
+         str_split(t, chr(10)) AS ls,
+         list_filter(str_split(t, chr(10)), x ->
+           len(str_split(trim(x), ' ')) >= 3
+           AND regexp_matches(x, '[.!?"]\s*$')
+           AND NOT contains(lower(x), 'slow')) AS ks
+  FROM seeded)
+SELECT doc_id,
+       CAST(len(ls) AS INT) AS n_lines,
+       CAST(len(ks) AS INT) AS n_kept,
+       md5(array_to_string(ks, chr(10))) AS clean_md5
+FROM f
+"""
+
+
+def q_encoding_garbage(spark, sf_dir):
+    """Mojibake gate (textstats.encoding_garbage): synthetic docs are pure
+    ASCII, so the query seeds deterministic damage first — U+FFFD
+    replacement chars into doc_id%5==0, a BEL control char into %5==1,
+    accented non-ASCII into %5==2 — then counts each damage class and the
+    non-ASCII ratio.  Pure JVM regexp, map-only."""
+    from esa_pfa_spark.operators.textstats import encoding_garbage
+
+    docs = _ld(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    tail = (
+        F.when(d % 5 == 0, F.lit(" ��"))
+        .when(d % 5 == 1, F.lit(" \x07bel"))
+        .when(d % 5 == 2, F.lit(" héllo wörld"))
+        .otherwise(F.lit(""))
+    )
+    seeded = docs.select("doc_id", F.concat("text", tail).alias("text"))
+    out = encoding_garbage(seeded)
+    return out.select("doc_id", "n_replacement", "n_control", "nonascii_ratio")
+
+
+SQL_ENCODING_GARBAGE = r"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 5 = 0 THEN ' ' || chr(65533) || chr(65533)
+           WHEN doc_id % 5 = 1 THEN ' ' || chr(7) || 'bel'
+           WHEN doc_id % 5 = 2 THEN ' h' || chr(233) || 'llo w' || chr(246) || 'rld'
+           ELSE '' END AS t
+  FROM documents),
+counted AS (
+  SELECT doc_id, t,
+         len(regexp_extract_all(t, chr(65533))) AS n_replacement,
+         len(regexp_extract_all(t, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]')) AS n_control,
+         len(t) - len(regexp_extract_all(t, '[\x20-\x7E\t\n\r]')) AS n_nonascii
+  FROM seeded)
+SELECT doc_id,
+       CAST(n_replacement AS INT) AS n_replacement,
+       CAST(n_control AS INT) AS n_control,
+       round(CASE WHEN len(t) > 0
+             THEN CAST(n_nonascii AS DOUBLE) / len(t) ELSE 0.0 END, 6) AS nonascii_ratio
+FROM counted
+"""
+
+
 def q_kmeans_centroids(spark, sf_dir):
     """Distributed k-means (Lloyd) IVF-centroid training — 4 clusters, 2
     iterations, deterministic lowest-id init (operators/clustering.py).
@@ -3004,6 +3094,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "kmeans_cluster_sizes": (q_kmeans_sizes, SQL_KMEANS_SIZES),
     "ann_ivf_trained_topk": (q_ann_ivf_trained, SQL_ANN_IVF_TRAINED),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "c4_line_clean": (q_c4_line_clean, SQL_C4_LINE_CLEAN),
+    "encoding_garbage": (q_encoding_garbage, SQL_ENCODING_GARBAGE),
     "flag_predicate_counts": (q_flag_predicate, SQL_FLAG_PREDICATE),
     "grid_transect_runs": (q_transect_runs, SQL_TRANSECT_RUNS),
     "grid_contagion_clumpiness": (q_contagion_clumpiness, SQL_CONTAGION_CLUMPINESS),

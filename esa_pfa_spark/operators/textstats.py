@@ -225,3 +225,56 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         out = out.withColumn(f"n_{name}", F.regexp_count(clean, F.lit(pat)))
         clean = F.regexp_replace(clean, pat, f"<{name.upper()}>")
     return out.withColumn("clean_text", clean)
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    ban_words: tuple[str, ...] = ("lorem ipsum", "javascript", "{"),
+) -> DataFrame:
+    """C4-style line-level corpus cleaning (Raffel et al. 2020 §2.2): keep
+    only lines with >= ``min_words`` words, ending in terminal punctuation,
+    and containing none of ``ban_words`` (case-insensitive).  Emits per-doc
+    ``n_lines`` / ``n_kept`` and the newline-rejoined ``clean_text`` — the
+    dropped ratio is the cleaning audit a curation report needs.
+
+    Map-only higher-order array functions (split -> filter -> array_join),
+    pure JVM codegen: no explode shuffle, no Python — at corpus scale this
+    is a single scan.
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def keep(line):
+        cond = F.size(F.split(F.trim(line), " +")) >= min_words
+        if require_terminal_punct:
+            cond = cond & line.rlike('[.!?"]\\s*$')
+        low = F.lower(line)
+        for b in ban_words:
+            cond = cond & ~low.contains(b)
+        return cond
+
+    kept = F.filter(lines, keep)
+    return df.withColumn("n_lines", F.size(lines)).withColumn(
+        "n_kept", F.size(kept)
+    ).withColumn("clean_text", F.array_join(kept, "\n"))
+
+
+def encoding_garbage(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mojibake / encoding-damage gate: per-doc counts of Unicode
+    replacement chars (U+FFFD — the scar a bad decode leaves), C0/C1
+    control chars (excluding \\t \\n \\r), and the non-ASCII ratio.  A
+    corpus ingested through mixed encodings shows up here before it
+    poisons tokenization.  Pure JVM regexp counts — map-only."""
+    t = F.col(text_col)
+    n = F.length(t)
+    n_ascii = F.regexp_count(t, F.lit(r"[\x20-\x7E\t\n\r]"))
+    return df.withColumn(
+        "n_replacement", F.regexp_count(t, F.lit("�"))
+    ).withColumn(
+        "n_control", F.regexp_count(t, F.lit(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"))
+    ).withColumn(
+        "nonascii_ratio",
+        F.when(n > 0, F.round((n - n_ascii).cast("double") / n, 6)).otherwise(F.lit(0.0)),
+    )
