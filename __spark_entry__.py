@@ -2897,6 +2897,85 @@ FROM counted
 """
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Exactly-50-per-source deterministic sample (dataset.
+    stratified_fixed_k): balanced eval panels with reproducible
+    membership — seeded md5 rank within each source."""
+    from esa_pfa_spark.operators.dataset import stratified_fixed_k
+
+    docs = _ld(spark, sf_dir, "documents")
+    out = stratified_fixed_k(docs, group_col="source", id_col="doc_id", k=50)
+    return out.select("doc_id", "source", "samp_rank")
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, source, CAST(rn AS INT) AS samp_rank
+FROM (SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+WHERE rn <= 50
+"""
+
+
+def q_rollup_source_lang(spark, sf_dir):
+    """Multi-granularity corpus report in ONE pass: ROLLUP(source, lang)
+    emits per-(source,lang), per-source, and grand-total aggregates from a
+    single shuffle — the composition-report shape a curation pipeline
+    publishes per ingest.  gid disambiguates real nulls from rollup rows."""
+    docs = _ld(spark, sf_dir, "documents")
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .select("source", "lang", "n_docs", "sum_chars", "gid")
+    )
+
+
+SQL_ROLLUP_SOURCE_LANG = """
+SELECT source, lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(grouping(source, lang) AS INT) AS gid
+FROM documents
+GROUP BY ROLLUP(source, lang)
+"""
+
+
+def q_pivot_event_counts(spark, sf_dir):
+    """Wide behavioral feature matrix: user-cohort x event-type counts via
+    groupBy().pivot() with an EXPLICIT value list (no distinct-scan
+    inference job — the two-pass trap at scale); absent cells coalesce
+    to 0 so the matrix is dense."""
+    ev = _ld(spark, sf_dir, "events")
+    types = ["click", "purchase", "error", "signup", "view"]
+    wide = (
+        ev.withColumn("cohort", F.col("user_id") % 10)
+        .groupBy("cohort")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "cohort", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types]
+    )
+
+
+SQL_PIVOT_EVENT_COUNTS = """
+SELECT user_id % 10 AS cohort,
+       CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events
+GROUP BY user_id % 10
+"""
+
+
 def q_kmeans_centroids(spark, sf_dir):
     """Distributed k-means (Lloyd) IVF-centroid training — 4 clusters, 2
     iterations, deterministic lowest-id init (operators/clustering.py).
@@ -3096,6 +3175,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "c4_line_clean": (q_c4_line_clean, SQL_C4_LINE_CLEAN),
     "encoding_garbage": (q_encoding_garbage, SQL_ENCODING_GARBAGE),
+    "stratified_sample_50": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "rollup_source_lang": (q_rollup_source_lang, SQL_ROLLUP_SOURCE_LANG),
+    "pivot_event_counts": (q_pivot_event_counts, SQL_PIVOT_EVENT_COUNTS),
     "flag_predicate_counts": (q_flag_predicate, SQL_FLAG_PREDICATE),
     "grid_transect_runs": (q_transect_runs, SQL_TRANSECT_RUNS),
     "grid_contagion_clumpiness": (q_contagion_clumpiness, SQL_CONTAGION_CLUMPINESS),

@@ -20,7 +20,7 @@ never a partition-less window (see deterministic_shuffle docstring).
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -168,4 +168,31 @@ def split_leakage(
         .join(b, f"{id_col}_b")
         .filter(F.col("split_a") != F.col("split_b"))
         .select(f"{id_col}_a", f"{id_col}_b", "split_a", "split_b")
+    )
+
+
+def stratified_fixed_k(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    k: int = 100,
+    seed: int = 0,
+    rank_col: str = "samp_rank",
+) -> DataFrame:
+    """EXACTLY-k-per-group deterministic sample (balanced eval sets,
+    per-source audit panels): rank each group's rows by the seeded md5
+    hash of the id (a reproducible pseudo-random order — same portability
+    contract as ``hash_split``) and keep ranks 1..k.  Groups smaller than
+    k keep everything.
+
+    Unlike rate-based ``mixture_sample`` (binomial counts: ~rate*n per
+    group, never exact), the rank gives exact counts at the cost of one
+    Exchange on the group key.  Scale bound: a group sorts in one task —
+    the per-key window bound shared with ``top_k_per_group``; group
+    cardinality here is source/domain-sized (thousands), not row-scaled."""
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
     )

@@ -92,3 +92,26 @@ def test_deterministic_shuffle_partition_invariant(docs):
         ).collect()
     }
     assert a == b
+
+
+def test_stratified_fixed_k_exact_counts(docs):
+    out = DS.stratified_fixed_k(docs, group_col="source", id_col="doc_id", k=7)
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    sizes = {r["source"]: r["n"] for r in docs.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    for src, n in counts.items():
+        assert n == min(7, sizes[src])      # exactly k, or the whole group
+    assert set(counts) == set(sizes)        # no group dropped
+
+
+def test_stratified_fixed_k_deterministic_and_partition_invariant(docs):
+    a = sorted(r["doc_id"] for r in DS.stratified_fixed_k(docs, k=11).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in DS.stratified_fixed_k(docs.repartition(13), k=11).collect()
+    )
+    assert a == b
+    # different seed -> different panel
+    c = sorted(r["doc_id"] for r in DS.stratified_fixed_k(docs, k=11, seed=5).collect())
+    assert a != c
