@@ -2897,6 +2897,52 @@ FROM counted
 """
 
 
+def q_psi_drift(spark, sf_dir):
+    """Feature-drift gate (features.psi_drift): PSI of the purchase-value
+    distribution, first half of the month vs second half, 10 fixed-width
+    buckets, add-one smoothed.  One tiny shuffle (n_buckets rows) past the
+    scan."""
+    from esa_pfa_spark.operators.features import psi_drift
+
+    ev = _ld(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    labeled = ev.withColumn(
+        "period",
+        F.when(F.col("ts") < F.lit(dt.datetime(2024, 1, 16)), "base").otherwise("cur"),
+    )
+    return psi_drift(labeled, value_col="value", bucket_width=25.0, n_buckets=10)
+
+
+SQL_PSI_DRIFT = """
+WITH ev AS (SELECT value,
+                   CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'base' ELSE 'cur' END AS period
+            FROM events WHERE event_type='purchase'),
+c AS (SELECT CAST(least(greatest(floor(value / 25.0), 0), 9) AS INT) AS bucket,
+             sum(CASE WHEN period='base' THEN 1 ELSE 0 END) AS nb,
+             sum(CASE WHEN period='cur' THEN 1 ELSE 0 END) AS nc
+      FROM ev GROUP BY 1),
+t AS (SELECT sum(nb) AS tb, sum(nc) AS tc FROM c)
+SELECT round(sum(((nb + 1.0) / (tb + 10) - (nc + 1.0) / (tc + 10))
+             * ln(((nb + 1.0) / (tb + 10)) / ((nc + 1.0) / (tc + 10)))), 6) AS psi,
+       CAST(sum(nb) AS BIGINT) AS n_base,
+       CAST(sum(nc) AS BIGINT) AS n_cur
+FROM c, t
+"""
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (similarity.semantic_dedup): k-means-blocked embedding
+    near-dup removal — within-cluster cosine pairs >= 0.3, components,
+    cluster-min canonical."""
+    from esa_pfa_spark.operators.similarity import semantic_dedup
+
+    out = semantic_dedup(_ld(spark, sf_dir, "embeddings"), threshold=0.3, k=4, n_iter=2)
+    return out.select(
+        "vec_id",
+        F.col("canonical_doc_id").alias("canonical_vec_id"),
+        "survives",
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Exactly-50-per-source deterministic sample (dataset.
     stratified_fixed_k): balanced eval panels with reproducible
@@ -3093,6 +3139,32 @@ FROM s QUALIFY rank <= 10
 )
 
 
+SQL_SEMANTIC_DEDUP = (
+    _kmeans_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    + _KMEANS_FINAL_ASSIGN
+    + """,
+pr AS (SELECT x.vec_id AS u, y.vec_id AS v
+       FROM a3 x JOIN a3 y ON x.cl = y.cl AND x.vec_id < y.vec_id
+       JOIN embeddings ex ON ex.vec_id = x.vec_id
+       JOIN embeddings ey ON ey.vec_id = y.vec_id
+       WHERE list_dot_product(ex.embedding::DOUBLE[], ey.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(ex.embedding::DOUBLE[], ex.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(ey.embedding::DOUBLE[], ey.embedding::DOUBLE[]))) >= 0.3),
+ed AS (SELECT u, v FROM pr UNION SELECT v, u FROM pr),
+nds AS (SELECT DISTINCT u AS id FROM ed),
+reach(id, lbl) AS (
+  SELECT id, id FROM nds
+  UNION
+  SELECT ed.v, r.lbl FROM reach r JOIN ed ON ed.u = r.id WHERE r.lbl < ed.v),
+comp AS (SELECT id, min(lbl) AS canonical FROM reach GROUP BY 1)
+SELECT em.vec_id,
+       coalesce(c.canonical, em.vec_id) AS canonical_vec_id,
+       coalesce(c.canonical, em.vec_id) = em.vec_id AS survives
+FROM embeddings em LEFT JOIN comp c ON c.id = em.vec_id
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -3176,6 +3248,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "c4_line_clean": (q_c4_line_clean, SQL_C4_LINE_CLEAN),
     "encoding_garbage": (q_encoding_garbage, SQL_ENCODING_GARBAGE),
     "stratified_sample_50": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "psi_value_drift": (q_psi_drift, SQL_PSI_DRIFT),
+    "semantic_dedup_survivors": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "rollup_source_lang": (q_rollup_source_lang, SQL_ROLLUP_SOURCE_LANG),
     "pivot_event_counts": (q_pivot_event_counts, SQL_PIVOT_EVENT_COUNTS),
     "flag_predicate_counts": (q_flag_predicate, SQL_FLAG_PREDICATE),

@@ -288,3 +288,53 @@ def quantized_cosine_topk(
     return top.withColumn("rank", F.row_number().over(w)).select(
         id_col, "rank", F.round("cos", 6).alias("qcos")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    k: int = 4,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    near-duplicate removal — k-means the embeddings, compare pairs ONLY
+    within each cluster (cosine >= threshold), union matched pairs into
+    components (dedup.graph_components) and keep each component's minimum
+    id as canonical.  Returns (id, canonical id, survives) for every row.
+
+    Scale shape: the all-pairs search is confined to clusters, so the
+    quadratic term is (corpus/k)^2 per cluster — k grows with the corpus
+    (the paper runs ~110k clusters at web scale) keeping cluster sizes
+    bounded; training is Lloyd over exact scaled ints
+    (clustering.kmeans_fit — integer-exact, oracle-parity), assignment is
+    map-only plan literals, and the pair join is an equi-join on the
+    cluster id (hash-partitioned, no broadcast of the corpus)."""
+    from esa_pfa_spark.operators.clustering import (
+        _scaled,
+        assign_clusters,
+        kmeans_fit,
+    )
+    from esa_pfa_spark.operators.dedup import dedup_survivors
+
+    cents = kmeans_fit(emb, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col)
+    scaled = emb.select(id_col, vec_col, _scaled(emb, vec_col).alias("__xs"))
+    assigned = assign_clusters(scaled, cents).drop("__xs")
+    a = assigned.select(
+        F.col(id_col).alias(f"{id_col}_a"), "cluster", F.col(vec_col).alias("__va")
+    )
+    b = assigned.select(
+        F.col(id_col).alias(f"{id_col}_b"), "cluster", F.col(vec_col).alias("__vb")
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        .select(
+            f"{id_col}_a",
+            f"{id_col}_b",
+            cosine(F.col("__va"), F.col("__vb")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    return dedup_survivors(emb.select(id_col), pairs, id_col=id_col)

@@ -1,0 +1,83 @@
+"""psi_drift (hand-computed golden + direction) and semantic_dedup
+(crafted clusters with known duplicates)."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from esa_pfa_spark.operators.features import psi_drift
+from esa_pfa_spark.operators.similarity import semantic_dedup
+
+
+def _psi_hand(nb, nc, n_buckets):
+    tb, tc = sum(nb), sum(nc)
+    s = 0.0
+    for b, c in zip(nb, nc):
+        p = (b + 1) / (tb + n_buckets)
+        q = (c + 1) / (tc + n_buckets)
+        s += (p - q) * math.log(p / q)
+    return round(s, 6)
+
+
+def test_psi_matches_hand_computation(spark):
+    # buckets (width 10, 3 buckets): base = [4, 2, 0], cur = [1, 3, 2]
+    rows = (
+        [("base", 5.0)] * 4 + [("base", 15.0)] * 2
+        + [("cur", 5.0)] * 1 + [("cur", 15.0)] * 3 + [("cur", 25.0)] * 2
+    )
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["period", "value"]))
+    out = psi_drift(df, bucket_width=10.0, n_buckets=3).collect()[0]
+    assert out["n_base"] == 6 and out["n_cur"] == 6
+    assert out["psi"] == pytest.approx(_psi_hand([4, 2, 0], [1, 3, 2], 3), abs=2e-6)
+
+
+def test_psi_zero_for_identical_distributions(spark):
+    rows = [("base", float(v)) for v in range(50)] + [
+        ("cur", float(v)) for v in range(50)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["period", "value"]))
+    assert psi_drift(df, bucket_width=10.0, n_buckets=5).collect()[0]["psi"] == 0.0
+
+
+def test_psi_orders_drift_severity(spark):
+    base = [("base", float(v % 30)) for v in range(300)]
+    mild = base + [("cur", float((v % 30) + 3)) for v in range(300)]
+    severe = base + [("cur", float((v % 30) + 60)) for v in range(300)]
+    mk = lambda rows: spark.createDataFrame(
+        pd.DataFrame(rows, columns=["period", "value"])
+    )
+    p_mild = psi_drift(mk(mild), bucket_width=10.0).collect()[0]["psi"]
+    p_sev = psi_drift(mk(severe), bucket_width=10.0).collect()[0]["psi"]
+    assert 0 < p_mild < p_sev
+
+
+def test_semantic_dedup_known_clusters(spark):
+    # two tight duplicate families along different axes + one singleton;
+    # within-family cosine = 1.0, cross-family = 0.0
+    def vec(axis, scale):
+        v = [0.0] * 8
+        v[axis] = scale
+        return v
+
+    # kmeans_fit seeds from the k LOWEST ids, so ids 0/1/2 are placed one
+    # per family — the deliberate-init analog of SemDeDup's assumption
+    # that clustering separates the families (cross-cluster dups are the
+    # method's documented blind spot, not a bug here)
+    rows = [
+        (0, vec(0, 1.0)), (3, vec(0, 2.0)), (4, vec(0, 0.5)),   # family A
+        (1, vec(3, 1.0)), (5, vec(3, 3.0)),                      # family B
+        (2, vec(6, 1.0)),                                        # singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(df, threshold=0.9, k=3, n_iter=2).collect()
+    }
+    assert [out[i]["canonical_doc_id"] for i in (0, 3, 4)] == [0, 0, 0]
+    assert [out[i]["canonical_doc_id"] for i in (1, 5)] == [1, 1]
+    assert out[2]["canonical_doc_id"] == 2 and out[2]["survives"]
+    assert sum(1 for r in out.values() if r["survives"]) == 3
