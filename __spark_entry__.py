@@ -2897,6 +2897,32 @@ FROM counted
 """
 
 
+def q_salted_join(spark, sf_dir):
+    """Skew-remedy salted equi-join (skew.salted_join): orders x customer
+    on custkey via (key, salt) with the right side explode-replicated —
+    row-identical to the plain join (the oracle IS the plain join)."""
+    from esa_pfa_spark.skew import salted_join
+
+    orders = _ld(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = _ld(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    out = salted_join(orders, cust, on="o_custkey", n_salt=8, how="inner")
+    return out.select(
+        "o_orderkey", "o_custkey", "c_nationkey",
+        _r6(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+
+
+SQL_SALTED_JOIN = """
+SELECT o.o_orderkey, o.o_custkey, c.c_nationkey,
+       round(o.o_totalprice, 6) AS o_totalprice
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
 def q_psi_drift(spark, sf_dir):
     """Feature-drift gate (features.psi_drift): PSI of the purchase-value
     distribution, first half of the month vs second half, 10 fixed-width
@@ -3249,6 +3275,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "encoding_garbage": (q_encoding_garbage, SQL_ENCODING_GARBAGE),
     "stratified_sample_50": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "psi_value_drift": (q_psi_drift, SQL_PSI_DRIFT),
+    "salted_join_custorders": (q_salted_join, SQL_SALTED_JOIN),
     "semantic_dedup_survivors": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "rollup_source_lang": (q_rollup_source_lang, SQL_ROLLUP_SOURCE_LANG),
     "pivot_event_counts": (q_pivot_event_counts, SQL_PIVOT_EVENT_COUNTS),

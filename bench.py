@@ -56,6 +56,7 @@ HEADLINE = [
     "token_decontaminate",
     "asof_nearest_12h",
     "pit_two_table_features",
+    "pit_window_agg_7d",
     "minhash_dedup_survivors",
     "unigram_logprob_quality",
     "scd2_feature_intervals",

@@ -87,3 +87,34 @@ def explain_skew(df: DataFrame, key: str, top: int = 10) -> DataFrame:
         .orderBy(F.col("n").desc())
         .limit(top)
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-remedy equi-join: salt the (big, skewed) left side with a
+    deterministic content hash and EXPLODE-replicate every right row
+    across all ``n_salt`` salts, joining on (key, salt) — a hot key's
+    left rows spread over ``n_salt`` tasks instead of one straggler.
+    Output is row-identical to the plain join (property-tested).
+
+    When to use: the right side is too large (or itself hot) to
+    broadcast, and AQE skew-split can't help — e.g. a single key holding
+    >2 GB where even a split task pairs the full right group.  Cost is
+    deliberate: right side shuffles n_salt copies; pick n_salt ~= the
+    straggler factor, not larger.  ``how`` supports inner/left — the
+    replicated-right construction preserves unmatched LEFT rows (each
+    left row still meets exactly one replica set), but NOT right/full
+    outer (an unmatched right row would surface n_salt times)."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how in {inner, left}")
+    keys = [on] if isinstance(on, str) else list(on)
+    l = with_salt(left, n_salt, from_cols=list(left.columns))
+    r = right.withColumn(
+        SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return l.join(r, keys + [SALT_COL], how).drop(SALT_COL)

@@ -152,3 +152,29 @@ def test_stream_session_counts_runs(spark, tmp_path):
     # sessions: a:(0,5),(90,95); b:(0),(200) -> 4 closed sessions
     assert len(res) == 4
     assert sorted(res["session_len"]) == [1, 1, 2, 2]
+
+
+def test_salted_join_matches_plain_inner_and_left(spark):
+    left = spark.createDataFrame(pd.DataFrame({
+        "k": ["hot"] * 400 + ["a"] * 30 + ["orphan"] * 5,
+        "lv": [float(i) for i in range(435)],
+    }))
+    right = spark.createDataFrame(pd.DataFrame({
+        "k": ["hot", "hot", "a", "unused"],
+        "rv": [1.0, 2.0, 3.0, 9.0],
+    }))
+    for how in ("inner", "left"):
+        got = (
+            skew.salted_join(left, right, on="k", n_salt=8, how=how)
+            .orderBy("k", "lv", "rv").toPandas()
+        )
+        want = left.join(right, "k", how).orderBy("k", "lv", "rv").toPandas()
+        pd.testing.assert_frame_equal(
+            got[want.columns], want, check_dtype=False, atol=0
+        )
+
+
+def test_salted_join_rejects_right_outer(spark):
+    df = spark.createDataFrame(pd.DataFrame({"k": ["x"], "v": [1.0]}))
+    with pytest.raises(ValueError):
+        skew.salted_join(df, df, on="k", how="full")
