@@ -178,11 +178,38 @@ def feature_table_fused(
     )
     gap = ts_diff_us("__ts", "__prev_obs_ts")
     brk = F.when(is_obs & gap.isNotNull() & (gap > gap_us), 1).otherwise(0)
-    u = u.withColumn("session_id", F.when(is_obs, F.sum(brk).over(w_cum).cast("long")))
-    w_sess = Window.partitionBy("entity_id", "session_id")
+    u = u.withColumn("__brk", brk)
+    u = u.withColumn(
+        "session_id", F.when(is_obs, F.sum("__brk").over(w_cum).cast("long"))
+    )
+    # session_len WITHOUT a second sort: the natural form is a window
+    # partitioned by (entity_id, session_id), but that plans a fresh full-
+    # width Sort (Spark can't know session_id is monotone in ts).  Instead
+    # number the observations (cumulative obs index over the SAME
+    # (ts, tag) sort) and bracket each session arithmetically:
+    #   start = obs index at my session's first obs (carried forward),
+    #   end   = index before the NEXT session's first obs (looked up
+    #           forward), or the entity's total obs count for the last
+    #           session.  All frames reuse the one existing sort.
+    w_all = Window.partitionBy("entity_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum_obs = F.sum(is_obs.cast("int")).over(w_cum)
+    u = u.withColumn("__oidx", F.when(is_obs, cum_obs))
+    sess_start = F.last(
+        F.when(is_obs & ((F.col("__brk") == 1) | (F.col("__oidx") == 1)), F.col("__oidx")),
+        ignorenulls=True,
+    ).over(w_cum)
+    next_brk = F.first(
+        F.when(is_obs & (F.col("__brk") == 1), F.col("__oidx")), ignorenulls=True
+    ).over(w_next)
+    total_obs = F.max("__oidx").over(w_all)
     u = u.withColumn(
         "session_len",
-        F.when(is_obs, F.count(F.when(is_obs, 1)).over(w_sess).cast("int")),
+        F.when(
+            is_obs,
+            (F.coalesce(next_brk - 1, total_obs) - sess_start + 1).cast("int"),
+        ),
     )
 
     payload_fields = [F.col("__ts").alias("matched_ts")] + [
