@@ -2897,6 +2897,19 @@ FROM counted
 """
 
 
+def q_bpe_merge_table(spark, sf_dir):
+    """Distributed BPE merge training (tokens.bpe_train): 6 rounds of
+    corpus-wide pair counts -> deterministic argmax -> map-only vectorized
+    merge.  Iterative (driver holds only the O(n_merges) merge table), so
+    no SQL oracle — exactness vs a sequential single-process oracle is
+    property-tested in tests/test_bpe.py."""
+    from esa_pfa_spark.operators.tokens import bpe_train
+
+    toks = _tokenized_docs(spark, sf_dir).select("doc_id", "tokens")
+    _, _, table = bpe_train(toks, n_merges=6)
+    return table
+
+
 def q_salted_join(spark, sf_dir):
     """Skew-remedy salted equi-join (skew.salted_join): orders x customer
     on custkey via (key, salt) with the right side explode-replicated —
@@ -3276,6 +3289,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "stratified_sample_50": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "psi_value_drift": (q_psi_drift, SQL_PSI_DRIFT),
     "salted_join_custorders": (q_salted_join, SQL_SALTED_JOIN),
+    "bpe_merge_table": (q_bpe_merge_table, None),
     "semantic_dedup_survivors": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "rollup_source_lang": (q_rollup_source_lang, SQL_ROLLUP_SOURCE_LANG),
     "pivot_event_counts": (q_pivot_event_counts, SQL_PIVOT_EVENT_COUNTS),

@@ -566,3 +566,111 @@ def length_bucket_stats(df: DataFrame, width: int = 64) -> DataFrame:
             ).alias("padding_efficiency"),
         )
     )
+
+
+def _merge_pair_batch(arrs, a: int, b: int, new_id: int):
+    """Greedy left-to-right merge of adjacent (a, b) -> new_id over a list
+    of int arrays.  Vectorized match-finding on the flattened corpus
+    (candidate positions via one boolean AND over shifted views, row
+    boundaries masked); only the (rare) overlap resolution iterates, and
+    only over match positions."""
+    lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=len(arrs))
+    if lens.sum() == 0:
+        return arrs
+    flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in arrs])
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    cand = np.flatnonzero((flat[:-1] == a) & (flat[1:] == b))
+    if cand.size:
+        # drop matches straddling a row boundary: position p matches row r
+        # only if p+1 is still inside r
+        row = np.searchsorted(ends, cand, side="right")
+        cand = cand[cand + 1 < ends[row]]
+    if cand.size == 0:
+        return arrs
+    keep = []
+    last = -2
+    for p in cand:                       # overlap resolution ([a,a,a] with
+        if p > last + 1:                 # (a,a): greedy keeps 0, skips 1)
+            keep.append(p)
+            last = p
+    keep = np.asarray(keep, dtype=np.int64)
+    flat[keep] = new_id
+    dead = np.zeros(len(flat), dtype=bool)
+    dead[keep + 1] = True
+    kept_mask = ~dead
+    new_flat = flat[kept_mask]
+    # new per-row lengths: subtract merges that happened in each row
+    row_of_keep = np.searchsorted(ends, keep, side="right")
+    merges_per_row = np.bincount(row_of_keep, minlength=len(arrs))
+    new_lens = lens - merges_per_row
+    new_ends = np.cumsum(new_lens)
+    return [
+        new_flat[e - l : e].astype(np.int32)
+        for e, l in zip(new_ends, new_lens)
+    ]
+
+
+def bpe_train(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    n_merges: int = 8,
+    new_id_start: int = 1_000_000,
+) -> tuple[list[dict], DataFrame]:
+    """Distributed BPE merge training over pre-tokenized sequences (the
+    vocabulary-induction step of an LLM data pipeline, Sennrich et al.
+    2016 run corpus-parallel): ``n_merges`` rounds of
+
+      1. corpus-wide adjacent-pair counts (``bigram_counts`` shape:
+         explode -> map-side partial agg; shuffle is one row per DISTINCT
+         pair),
+      2. deterministic argmax (count desc, pair asc) via
+         TakeOrderedAndProject — k=1 to the driver,
+      3. a map-only vectorized merge pass rewriting every sequence
+         (``mapInPandas``; flat-corpus match finding, loop only over
+         match positions).
+
+    Each round materializes via ``localCheckpoint`` so round r's counts
+    scan r merge passes, not a 2^r lineage.  Returns (merge list, merged
+    corpus DataFrame, merge-table DataFrame); merge rows are
+    ``{rank, t1, t2, new_id, pair_count}``; ties and therefore the whole
+    table are deterministic (stops early when the best pair count < 2).
+    One merge rule applies once per round, greedily left-to-right on the
+    round's input (standard BPE — a freshly-merged id does not re-match
+    within the same round).  Null token arrays are not supported; filter
+    upstream.  Driver state is O(n_merges) — everything row-scaled stays
+    distributed."""
+    out_schema = df.schema
+    merges: list[dict] = []
+    cur = df
+    for r in range(n_merges):
+        top = (
+            bigram_counts(cur, tokens_col, k=None)
+            .orderBy(F.col("cnt").desc(), F.col("t1").asc(), F.col("t2").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < 2:
+            break
+        a, b, cnt = int(top[0]["t1"]), int(top[0]["t2"]), int(top[0]["cnt"])
+        nid = new_id_start + r
+        merges.append(
+            {"rank": r + 1, "t1": a, "t2": b, "new_id": nid, "pair_count": cnt}
+        )
+
+        def apply_merge(batches, a=a, b=b, nid=nid):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf[tokens_col] = _merge_pair_batch(
+                    list(pdf[tokens_col]), a, b, nid
+                )
+                yield pdf
+
+        cur = cur.mapInPandas(apply_merge, schema=out_schema).localCheckpoint()
+    spark = df.sparkSession
+    table = spark.createDataFrame(
+        [(m["rank"], m["t1"], m["t2"], m["new_id"], m["pair_count"]) for m in merges]
+        or [],
+        "rank int, t1 long, t2 long, new_id long, pair_count long",
+    )
+    return merges, cur, table
