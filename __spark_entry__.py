@@ -2897,6 +2897,34 @@ FROM counted
 """
 
 
+def q_mg_heavy_hitters(spark, sf_dir):
+    """Misra-Gries heavy hitters (tokens.mg_heavy_hitters): 32 logical
+    md5-bucket summaries of k=32 counters each, merged by token, top-20 —
+    the mergeable-summaries algebra in relational form (exactly oracled
+    because the bucket split is content-defined, not physical)."""
+    from esa_pfa_spark.operators.tokens import mg_heavy_hitters
+
+    toks = _tokenized_docs(spark, sf_dir).select("doc_id", "tokens")
+    return mg_heavy_hitters(toks, k=32, m=20, n_summaries=32)
+
+
+SQL_MG_HEAVY_HITTERS = f"""
+WITH tok AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+x AS (SELECT CAST(('0x' || substr(md5('hh:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS INTEGER) % 32 AS pid,
+             unnest(toks) AS token
+      FROM tok),
+c AS (SELECT pid, CAST(token AS BIGINT) AS token, count(*) AS cnt FROM x GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY pid ORDER BY cnt DESC, token ASC) AS rn FROM c),
+th AS (SELECT pid, coalesce(max(CASE WHEN rn = 33 THEN cnt END), 0) AS thresh FROM r GROUP BY pid),
+s AS (SELECT r.token, r.cnt - th.thresh AS est FROM r JOIN th USING (pid)
+      WHERE r.cnt - th.thresh > 0),
+b AS (SELECT CAST(sum(thresh) AS BIGINT) AS err_bound FROM th),
+m AS (SELECT token, CAST(sum(est) AS BIGINT) AS est_count FROM s GROUP BY token)
+SELECT token, est_count, err_bound FROM m, b
+ORDER BY est_count DESC, token ASC LIMIT 20
+"""
+
+
 def q_bpe_merge_table(spark, sf_dir):
     """Distributed BPE merge training (tokens.bpe_train): 6 rounds of
     corpus-wide pair counts -> deterministic argmax -> map-only vectorized
@@ -3290,6 +3318,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "psi_value_drift": (q_psi_drift, SQL_PSI_DRIFT),
     "salted_join_custorders": (q_salted_join, SQL_SALTED_JOIN),
     "bpe_merge_table": (q_bpe_merge_table, None),
+    "mg_heavy_hitters_top20": (q_mg_heavy_hitters, SQL_MG_HEAVY_HITTERS),
     "semantic_dedup_survivors": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "rollup_source_lang": (q_rollup_source_lang, SQL_ROLLUP_SOURCE_LANG),
     "pivot_event_counts": (q_pivot_event_counts, SQL_PIVOT_EVENT_COUNTS),

@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import numpy as np
 from pyspark import TaskContext
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -674,3 +674,72 @@ def bpe_train(
         "rank int, t1 long, t2 long, new_id long, pair_count long",
     )
     return merges, cur, table
+
+
+def mg_heavy_hitters(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    k: int = 32,
+    m: int = 20,
+    n_summaries: int = 32,
+) -> DataFrame:
+    """Misra-Gries heavy hitters as mergeable-summary ALGEBRA (Agarwal et
+    al., "Mergeable Summaries", PODS 2012) in relational form: the corpus
+    is split into ``n_summaries`` logical partitions by a portable md5
+    bucket of the doc id (so the result is partition-layout-invariant and
+    exactly oracle-able); each bucket's exact token histogram is truncated
+    offline-MG style — subtract the (k+1)-th largest count, keep positive
+    (<= k survivors, per-token undercount <= n_bucket/(k+1)); summaries
+    merge by summing per token; top-m by merged estimate.
+
+    Guarantees (contract-tested): est_count <= true count, and
+    true - est_count <= err_bound = sum of bucket thresholds
+    (<= N/(k+1)); every token with true frequency > err_bound survives.
+
+    Scale shape: one explode -> (bucket, token) hash agg with map-side
+    combine (shuffle carries distinct pairs, not occurrences), two window
+    passes over bucket-sized groups, a final token agg and
+    TakeOrderedAndProject — no UDFs, no driver-side state.  The sketch
+    never holds more than n_summaries * k rows after truncation."""
+    pid = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("hh:"), F.col(id_col).cast("string"))), 1, 6),
+            16, 10,
+        ).cast("int") % n_summaries
+    ).alias("__pid")
+    counts = (
+        df.select(pid, F.explode(F.col(tokens_col)).alias("token"))
+        .select("__pid", F.col("token").cast("long").alias("token"))
+        .groupBy("__pid", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_rank = Window.partitionBy("__pid").orderBy(
+        F.col("cnt").desc(), F.col("token").asc()
+    )
+    w_pid = Window.partitionBy("__pid")
+    ranked = counts.withColumn("__rn", F.row_number().over(w_rank))
+    ranked = ranked.withColumn(
+        "__thresh",
+        F.coalesce(
+            F.max(F.when(F.col("__rn") == k + 1, F.col("cnt"))).over(w_pid),
+            F.lit(0),
+        ),
+    )
+    summar = ranked.select(
+        "token",
+        (F.col("cnt") - F.col("__thresh")).alias("est"),
+        "__thresh",
+        F.col("__rn"),
+    ).filter(F.col("est") > 0)
+    bound = (
+        ranked.select("__pid", "__thresh").distinct()
+        .agg(F.sum("__thresh").alias("err_bound"))
+    )
+    merged = summar.groupBy("token").agg(F.sum("est").alias("est_count"))
+    return (
+        merged.crossJoin(F.broadcast(bound))
+        .orderBy(F.col("est_count").desc(), F.col("token").asc())
+        .limit(m)
+        .select("token", "est_count", "err_bound")
+    )
