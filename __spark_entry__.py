@@ -2897,6 +2897,99 @@ FROM counted
 """
 
 
+def q_zscore_by_user(spark, sf_dir):
+    """Per-group standardization (encode.zscore_by_group): event value
+    z-scored within each user; null for constant/singleton groups."""
+    from esa_pfa_spark.operators.encode import zscore_by_group
+
+    ev = _ld(spark, sf_dir, "events")
+    out = zscore_by_group(ev, value="value", group="user_id")
+    return out.select("event_id", "user_id", _r6(F.col("z")).alias("z"))
+
+
+SQL_ZSCORE_BY_USER = """
+SELECT event_id, user_id,
+       round(CASE WHEN stddev_samp(value) OVER (PARTITION BY user_id) > 0
+             THEN (value - avg(value) OVER (PARTITION BY user_id))
+                  / stddev_samp(value) OVER (PARTITION BY user_id) END, 6) AS z
+FROM events
+"""
+
+
+def q_winsorize_by_type(spark, sf_dir):
+    """Per-group winsorization (encode.winsorize_by_group): clamp value to
+    each event type's [p05, p95] interpolated percentiles."""
+    from esa_pfa_spark.operators.encode import winsorize_by_group
+
+    ev = _ld(spark, sf_dir, "events")
+    out = winsorize_by_group(ev, value="value", group="event_type", lo=0.05, hi=0.95)
+    return out.select(
+        "event_id", "event_type", _r6(F.col("value_w")).alias("value_w")
+    )
+
+
+SQL_WINSORIZE_BY_TYPE = """
+SELECT event_id, event_type,
+       round(least(greatest(value,
+                            quantile_cont(value, 0.05) OVER (PARTITION BY event_type)),
+                   quantile_cont(value, 0.95) OVER (PARTITION BY event_type)), 6) AS value_w
+FROM events
+"""
+
+
+def q_target_encode(spark, sf_dir):
+    """Leakage-free expanding target encoding (encode.
+    target_encode_expanding): each event's te_mean is the mean value of
+    the SAME user's strictly-earlier events — the PIT-correct form of
+    the classic (leaky) category-mean encoding."""
+    from esa_pfa_spark.operators.encode import target_encode_expanding
+
+    ev = _ld(spark, sf_dir, "events")
+    out = target_encode_expanding(
+        ev, category="user_id", target="value", ts="ts", tiebreak="event_id"
+    )
+    return out.select(
+        "event_id", "user_id", "te_n", _r6(F.col("te_mean")).alias("te_mean")
+    )
+
+
+SQL_TARGET_ENCODE = """
+SELECT event_id, user_id,
+       CAST(count(value) OVER w AS BIGINT) AS te_n,
+       round(CASE WHEN count(value) OVER w > 0
+             THEN CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                  / count(value) OVER w END, 6) AS te_mean
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+
+def q_cyclical_time(spark, sf_dir):
+    """Cyclical calendar encodings (encode.cyclical_time_features):
+    hour/dow ordinals + wrap-preserving (sin, cos) pairs.  Map-only."""
+    from esa_pfa_spark.operators.encode import cyclical_time_features
+
+    ev = _ld(spark, sf_dir, "events")
+    out = cyclical_time_features(ev)
+    return out.select(
+        "event_id", "hour", "dow",
+        "hour_sin", "hour_cos", "dow_sin", "dow_cos",
+    )
+
+
+SQL_CYCLICAL_TIME = """
+SELECT event_id,
+       CAST(hour(ts) AS INT) AS hour,
+       CAST(dayofweek(ts) AS INT) AS dow,
+       round(sin(hour(ts) * (2 * pi() / 24)), 6) AS hour_sin,
+       round(cos(hour(ts) * (2 * pi() / 24)), 6) AS hour_cos,
+       round(sin(dayofweek(ts) * (2 * pi() / 7)), 6) AS dow_sin,
+       round(cos(dayofweek(ts) * (2 * pi() / 7)), 6) AS dow_cos
+FROM events
+"""
+
+
 def q_mg_heavy_hitters(spark, sf_dir):
     """Misra-Gries heavy hitters (tokens.mg_heavy_hitters): 32 logical
     md5-bucket summaries of k=32 counters each, merged by token, top-20 —
@@ -3319,6 +3412,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "salted_join_custorders": (q_salted_join, SQL_SALTED_JOIN),
     "bpe_merge_table": (q_bpe_merge_table, None),
     "mg_heavy_hitters_top20": (q_mg_heavy_hitters, SQL_MG_HEAVY_HITTERS),
+    "zscore_by_user": (q_zscore_by_user, SQL_ZSCORE_BY_USER),
+    "winsorize_by_type": (q_winsorize_by_type, SQL_WINSORIZE_BY_TYPE),
+    "target_encode_expanding": (q_target_encode, SQL_TARGET_ENCODE),
+    "cyclical_time_features": (q_cyclical_time, SQL_CYCLICAL_TIME),
     "semantic_dedup_survivors": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "rollup_source_lang": (q_rollup_source_lang, SQL_ROLLUP_SOURCE_LANG),
     "pivot_event_counts": (q_pivot_event_counts, SQL_PIVOT_EVENT_COUNTS),

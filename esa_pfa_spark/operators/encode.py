@@ -1,0 +1,125 @@
+"""Feature-transform operators: per-group normalization, outlier
+winsorization, leakage-free target encoding, and cyclical time encodings
+— the standard transforms between raw PIT features and a training matrix.
+
+Reference analog: the per-feature min/max rescale of the reference's
+feature normalization (SURVEY §2.4 A8, Normalizer usage in
+ActiveLearning.java) generalized to the transforms a tabular/LLM feature
+pipeline actually ships.  All pure JVM window/column math with exact
+DuckDB oracles; the only leakage-sensitive transform (target encoding)
+is EXPANDING — strictly-past rows only — by construction.
+
+Scale notes: every per-group transform here is one Exchange on the group
+key (window specs share it); cyclical encodings are map-only.  Group
+cardinality bounds the window task size — same bound as every per-key
+window in the engine (hot groups: see skew.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TWO_PI = 2.0 * math.pi
+
+
+def zscore_by_group(
+    df: DataFrame,
+    value: str = "value",
+    group: str = "entity_id",
+    out_col: str = "z",
+) -> DataFrame:
+    """Per-group standardization: (v - mean_g) / stddev_g (sample stddev;
+    null when the group is constant or a singleton).  One window over the
+    full group frame — a single Exchange on the group key."""
+    w = Window.partitionBy(group)
+    mean = F.mean(value).over(w)
+    std = F.stddev_samp(value).over(w)
+    return df.withColumn(
+        out_col, F.when(std > 0, (F.col(value) - mean) / std)
+    )
+
+
+def winsorize_by_group(
+    df: DataFrame,
+    value: str = "value",
+    group: str = "entity_id",
+    lo: float = 0.01,
+    hi: float = 0.99,
+    out_col: str = "value_w",
+) -> DataFrame:
+    """Per-group winsorization: clamp to the group's [lo, hi] interpolated
+    percentiles (Spark ``percentile`` == DuckDB ``quantile_cont``, the
+    repo's exact-parity pair).  Robust-feature staple — keeps fat tails
+    from dominating normalization."""
+    w = Window.partitionBy(group)
+    p_lo = F.percentile(F.col(value), F.lit(lo)).over(w)
+    p_hi = F.percentile(F.col(value), F.lit(hi)).over(w)
+    return df.withColumn(
+        out_col, F.least(F.greatest(F.col(value), p_lo), p_hi)
+    )
+
+
+def target_encode_expanding(
+    df: DataFrame,
+    category: str = "cat",
+    target: str = "y",
+    ts: str = "ts",
+    tiebreak: str | None = None,
+    out_prefix: str = "te",
+) -> DataFrame:
+    """Leakage-free target encoding: for each row, the mean target of the
+    SAME category over STRICTLY EARLIER rows (expanding window ending at
+    -1).  The first row of a category gets null — there is no past.  The
+    classic leaky form (whole-dataset category mean) trains on the
+    label; this expanding form is the PIT-correct one, same contract as
+    the engine's as-of core (zero temporal leakage).
+
+    Sums accumulate as decimal(18,6) (exact, order-independent) so the
+    encoding is bit-stable under any partitioning and matches the SQL
+    oracle.  ``tiebreak`` orders simultaneous rows (required for a
+    deterministic encoding under ts collisions)."""
+    order = [F.col(ts).asc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    w = (
+        Window.partitionBy(category)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cnt = F.count(target).over(w)
+    s = F.sum(F.col(target).cast("decimal(18,6)")).over(w)
+    return df.withColumn(f"{out_prefix}_n", cnt.cast("long")).withColumn(
+        f"{out_prefix}_mean",
+        F.when(cnt > 0, s.cast("double") / cnt),
+    )
+
+
+def cyclical_time_features(
+    df: DataFrame, ts: str = "ts", round_to: int = 6
+) -> DataFrame:
+    """Cyclical calendar encodings: hour-of-day and day-of-week as
+    (sin, cos) pairs — distance-preserving across the wrap (23h is close
+    to 0h), plus the raw ordinals.  ``dow`` is 0=Sunday..6=Saturday
+    (DuckDB's convention; Spark's dayofweek is 1-based, shifted here).
+    Map-only column math."""
+    hour = F.hour(ts)
+    dow = F.dayofweek(ts) - 1
+    def enc(val, period):
+        ang = val.cast("double") * (TWO_PI / period)
+        return (
+            F.round(F.sin(ang), round_to),
+            F.round(F.cos(ang), round_to),
+        )
+    h_sin, h_cos = enc(hour, 24.0)
+    d_sin, d_cos = enc(dow, 7.0)
+    return (
+        df.withColumn("hour", hour)
+        .withColumn("dow", dow)
+        .withColumn("hour_sin", h_sin)
+        .withColumn("hour_cos", h_cos)
+        .withColumn("dow_sin", d_sin)
+        .withColumn("dow_cos", d_cos)
+    )

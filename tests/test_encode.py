@@ -1,0 +1,87 @@
+"""encode.py transforms: leakage and edge semantics on hand-built rows
+(the oracle mirror covers sf0.01 parity)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from esa_pfa_spark.operators.encode import (
+    cyclical_time_features,
+    target_encode_expanding,
+    winsorize_by_group,
+    zscore_by_group,
+)
+
+T0 = dt.datetime(2024, 3, 10, 0, 0, 0)  # a Sunday
+
+
+def test_target_encoding_never_sees_self_or_future(spark):
+    rows = [
+        ("u", T0, 10.0, 1),
+        ("u", T0 + dt.timedelta(hours=1), 20.0, 2),
+        ("u", T0 + dt.timedelta(hours=2), 99.0, 3),
+        ("v", T0, 7.0, 4),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["cat", "ts", "y", "rid"])
+    )
+    out = {
+        r["rid"]: r
+        for r in target_encode_expanding(
+            df, category="cat", target="y", ts="ts", tiebreak="rid"
+        ).collect()
+    }
+    assert out[1]["te_mean"] is None and out[1]["te_n"] == 0   # no past
+    assert out[2]["te_mean"] == pytest.approx(10.0)            # only row 1
+    assert out[3]["te_mean"] == pytest.approx(15.0)            # rows 1+2
+    assert out[4]["te_mean"] is None                           # other cat
+
+
+def test_target_encoding_ts_collision_deterministic(spark):
+    rows = [("u", T0, 1.0, 2), ("u", T0, 5.0, 1)]  # same ts, rid orders them
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["cat", "ts", "y", "rid"])
+    )
+    out = {
+        r["rid"]: r
+        for r in target_encode_expanding(
+            df, category="cat", target="y", ts="ts", tiebreak="rid"
+        ).collect()
+    }
+    assert out[1]["te_mean"] is None            # rid 1 is first
+    assert out[2]["te_mean"] == pytest.approx(5.0)
+
+
+def test_zscore_constant_group_is_null(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"entity_id": ["a"] * 3 + ["b"], "value": [5.0, 5.0, 5.0, 1.0]})
+    )
+    out = zscore_by_group(df).collect()
+    assert all(r["z"] is None for r in out)
+
+
+def test_winsorize_clamps_extremes_only(spark):
+    vals = [float(v) for v in range(1, 101)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"entity_id": ["g"] * 100, "value": vals})
+    )
+    out = {r["value"]: r["value_w"] for r in winsorize_by_group(
+        df, lo=0.05, hi=0.95).collect()}
+    # p05 of 1..100 (interpolated) = 5.95, p95 = 95.05
+    assert out[1.0] == pytest.approx(5.95)
+    assert out[100.0] == pytest.approx(95.05)
+    assert out[50.0] == 50.0
+
+
+def test_cyclical_wraps(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"ts": [T0, T0 + dt.timedelta(hours=23)]})
+    )
+    rows = sorted(cyclical_time_features(df).collect(), key=lambda r: r["hour"])
+    assert rows[0]["dow"] == 0                       # Sunday
+    assert rows[0]["hour_sin"] == 0.0 and rows[0]["hour_cos"] == 1.0
+    # 23h is geometrically close to 0h: cos near 1, sin slightly negative
+    assert rows[1]["hour_cos"] > 0.95 and rows[1]["hour_sin"] < 0
