@@ -2481,6 +2481,53 @@ FROM sp GROUP BY doc_id
 """
 
 
+def q_token_loss_mask(spark, sf_dir):
+    """Per-token loss mask zeroing corpus-duplicated 8-gram spans
+    (tokens.token_loss_mask): the loader artifact of exact-substring
+    dedup when the doc is kept but the repeated span leaves the loss."""
+    from esa_pfa_spark.operators.tokens import token_loss_mask
+
+    out = token_loss_mask(_tokenized_docs(spark, sf_dir), n=8, min_count=2)
+    return out.select("doc_id", "n_tok", "n_masked", "mask_fp")
+
+
+SQL_TOKEN_LOSS_MASK = f"""
+WITH tok AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+w AS (SELECT doc_id, len(toks) AS n_tok,
+             unnest(generate_series(0, len(toks) - 8)) AS s, toks
+      FROM tok WHERE len(toks) >= 8),
+f AS (SELECT doc_id, n_tok, s,
+             md5(array_to_string(list_slice(toks, s + 1, s + 8), ',')) AS fp
+      FROM w),
+d AS (SELECT fp FROM f GROUP BY fp HAVING count(*) >= 2),
+dw AS (SELECT doc_id, n_tok, s FROM f JOIN d USING (fp)),
+b AS (SELECT doc_id, s,
+             CASE WHEN s - lag(s) OVER (PARTITION BY doc_id ORDER BY s) <= 8
+                  THEN 0 ELSE 1 END AS brk
+      FROM dw),
+g AS (SELECT doc_id, s,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS grp
+      FROM b),
+sp AS (SELECT doc_id, grp, min(s) AS s0, max(s) + 8 - min(s) AS l
+       FROM g GROUP BY 1, 2),
+spl AS (SELECT doc_id, list(struct_pack(s := s0, l := l)) AS spans
+        FROM sp GROUP BY doc_id),
+base AS (SELECT doc_id, len(toks) AS n_tok FROM tok WHERE len(toks) > 0),
+mm AS (SELECT base.doc_id, base.n_tok,
+              list_transform(generate_series(0, base.n_tok - 1), p ->
+                CASE WHEN spl.spans IS NULL THEN 1
+                     WHEN len(list_filter(spl.spans,
+                              x -> p >= x.s AND p < x.s + x.l)) > 0 THEN 0
+                     ELSE 1 END) AS mask
+       FROM base LEFT JOIN spl ON spl.doc_id = base.doc_id)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(n_tok - list_sum(mask) AS BIGINT) AS n_masked,
+       md5(array_to_string(mask, '')) AS mask_fp
+FROM mm
+"""
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Top-3 TF-IDF terms per document: per-(doc,token) hash agg -> vocab-
     bounded df table broadcast back (scored rows never shuffle) -> per-DOC
@@ -2894,6 +2941,32 @@ SELECT doc_id,
        round(CASE WHEN len(t) > 0
              THEN CAST(n_nonascii AS DOUBLE) / len(t) ELSE 0.0 END, 6) AS nonascii_ratio
 FROM counted
+"""
+
+
+def q_negative_samples(spark, sf_dir):
+    """Deterministic contrastive negative sampling (dataset.
+    negative_samples): 2 corpus-wide negatives per doc via dense-rank
+    index + seeded md5 offset; never self, reproducible across runs."""
+    from esa_pfa_spark.operators.dataset import negative_samples
+
+    docs = _ld(spark, sf_dir, "documents")
+    return negative_samples(docs, id_col="doc_id", n_neg=2, seed=0)
+
+
+SQL_NEGATIVE_SAMPLES = """
+WITH ids AS (SELECT doc_id, dense_rank() OVER (ORDER BY doc_id) - 1 AS idx
+             FROM (SELECT DISTINCT doc_id FROM documents)),
+n AS (SELECT count(*) AS total FROM ids),
+e AS (SELECT d.doc_id, d.idx, g.i,
+             1 + CAST(('0x' || substr(md5('0:' || CAST(g.i AS VARCHAR) || ':'
+                       || CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+                 % (n.total - 1) AS off
+      FROM ids d CROSS JOIN n CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS i) g)
+SELECT e.doc_id, CAST(e.i AS INT) AS neg_rank, t.doc_id AS neg_id
+FROM e
+JOIN n ON TRUE
+JOIN ids t ON t.idx = (e.idx + e.off) % n.total
 """
 
 
@@ -3416,6 +3489,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "winsorize_by_type": (q_winsorize_by_type, SQL_WINSORIZE_BY_TYPE),
     "target_encode_expanding": (q_target_encode, SQL_TARGET_ENCODE),
     "cyclical_time_features": (q_cyclical_time, SQL_CYCLICAL_TIME),
+    "negative_samples_2": (q_negative_samples, SQL_NEGATIVE_SAMPLES),
     "semantic_dedup_survivors": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "rollup_source_lang": (q_rollup_source_lang, SQL_ROLLUP_SOURCE_LANG),
     "pivot_event_counts": (q_pivot_event_counts, SQL_PIVOT_EVENT_COUNTS),
@@ -3434,6 +3508,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "token_bigrams_topk": (q_token_bigrams, SQL_TOKEN_BIGRAMS),
     "token_repetition_stats": (q_token_repetition, SQL_TOKEN_REPETITION),
     "token_dup_ngram_spans": (q_dup_ngram_spans, SQL_DUP_NGRAM),
+    "token_loss_mask": (q_token_loss_mask, SQL_TOKEN_LOSS_MASK),
     "token_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "token_tfidf_topk": (q_tfidf_topk, SQL_TFIDF),
     "dataset_split_counts": (q_dataset_split, SQL_DATASET_SPLIT),

@@ -252,7 +252,8 @@ def run_scaling() -> None:
     )
     results = {}
     draws: dict[int, list[float]] = {N_CORES: [], N4_CORES: []}
-    for rnd in range(3):
+    n_rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "5"))
+    for rnd in range(n_rounds):
         for cpus in (N_CORES, N4_CORES):
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), **scale_env)
             proc = subprocess.run(
@@ -272,12 +273,26 @@ def run_scaling() -> None:
 
     t8 = results[N_CORES]["sequences_per_sec"]
     t32 = results[N4_CORES]["sequences_per_sec"]
-    eff = t32 / (4 * t8)
+    # Headline estimator: MEDIAN of per-round PAIRED ratios.  Each round
+    # runs N and 4N back-to-back under near-identical host conditions, so
+    # the per-round ratio cancels common-mode noise (transient neighbor
+    # load shifts both draws together); the cross-round ratio-of-bests
+    # mixes draws from different noise regimes — its denominator takes
+    # the luckiest N draw ever seen and divides a 4N draw from another
+    # regime (observed to understate by ~0.1 on this host).  Both are
+    # reported; the median (not max) of pairs avoids cherry-picking.
+    import statistics
+    pair_effs = [
+        b / (4 * a) for a, b in zip(draws[N_CORES], draws[N4_CORES])
+    ]
+    eff = statistics.median(pair_effs)
+    eff_best = t32 / (4 * t8)
     sha = subprocess.run(
         ["git", "rev-parse", "--short", "HEAD"], capture_output=True, text=True, cwd=str(REPO)
     ).stdout.strip()
     draws_n = ", ".join(f"{d:,.0f}" for d in draws[N_CORES])
     draws_4n = ", ".join(f"{d:,.0f}" for d in draws[N4_CORES])
+    pairs_str = ", ".join(f"{e:.3f}" for e in pair_effs)
 
     md = f"""# BENCH/BASELINE — measured scaling baseline
 
@@ -311,8 +326,12 @@ vs local[{N4_CORES}] (hardware ceiling ~0.91).
 | local[{N_CORES}]  (N)  | {results[N_CORES]['queries']['flagship_asof_features']} | {t8:,.1f} | {draws_n} |
 | local[{N4_CORES}] (4N) | {results[N4_CORES]['queries']['flagship_asof_features']} | {t32:,.1f} | {draws_4n} |
 
-**Scaling efficiency** = {t32:,.1f} / (4 x {t8:,.1f}) = **{eff:.3f}**
-(pass threshold: >= 0.8)
+**Scaling efficiency** (median of per-round paired ratios — each round
+runs N and 4N back-to-back, so the pair cancels common-mode host noise;
+per-round ratios: {pairs_str}) = **{eff:.3f}** (pass threshold: >= 0.8).
+The cross-round ratio-of-bests, {t32:,.1f} / (4 x {t8:,.1f}) =
+{eff_best:.3f}, is listed for comparison; it divides draws from
+different noise regimes and is the noisier estimator.
 
 A measured efficiency can land slightly ABOVE the pure-CPU calibration
 ceiling: the ceiling models compute-saturated cores, while the real job's
@@ -336,6 +355,8 @@ Measured at git SHA `{sha}`.
     out_path.write_text(md)
     print(json.dumps({
         "metric": "scaling_efficiency", "value": round(eff, 3), "unit": "ratio",
+        "estimator": "median_paired", "pair_ratios": [round(e, 3) for e in pair_effs],
+        "ratio_of_bests": round(eff_best, 3),
         "seq_per_sec_local8": t8, "seq_per_sec_local32": t32,
     }))
 

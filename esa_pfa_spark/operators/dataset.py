@@ -196,3 +196,50 @@ def stratified_fixed_k(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_neg: int = 3,
+    seed: int = 0,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic corpus-wide negative sampling for contrastive
+    training: each row gets ``n_neg`` negatives drawn pseudo-randomly
+    (seeded md5) from the WHOLE corpus, never itself.  Emits
+    ``(id, neg_rank 1..n_neg, neg_id)``.
+
+    Construction: dense-rank the ids 0..N-1 (``dictionary.dense_ids`` —
+    no global window), then negative i = the id at index
+    ``(idx + 1 + h(seed, i, id) % (N-1)) % N``.  The +1 and mod-(N-1)
+    offset guarantees neg != self; collisions BETWEEN a row's negatives
+    are possible (sampling with replacement) and deterministic.  Two
+    shuffles: the dense-id build and the index equi-join back to ids —
+    both O(corpus), no broadcast of row-scaled data.  Membership is a
+    pure function of (seed, id, corpus), so re-runs/backfills regenerate
+    identical pairs — the reproducibility contract of ``hash_split``."""
+    from esa_pfa_spark.operators.dictionary import dense_ids
+
+    ids = dense_ids(df.select(id_col), id_col, out_col="__idx",
+                    n_partitions=n_partitions)
+    n_total = ids.count()
+    if n_total < 2:
+        raise ValueError("negative sampling needs >= 2 distinct ids")
+    i_col = F.explode(F.sequence(F.lit(1), F.lit(n_neg))).alias("neg_rank")
+    key = F.concat(
+        F.lit(f"{seed}:"), F.col("neg_rank").cast("string"),
+        F.lit(":"), F.col(id_col).cast("string"),
+    )
+    off = 1 + F.conv(F.substring(F.md5(key), 1, 6), 16, 10).cast("long") % (n_total - 1)
+    exploded = (
+        ids.select(id_col, "__idx", i_col)
+        .withColumn("__nidx", (F.col("__idx") + off) % n_total)
+    )
+    tgt = ids.select(
+        F.col("__idx").alias("__nidx"), F.col(id_col).alias("neg_id")
+    )
+    return (
+        exploded.join(tgt, "__nidx")
+        .select(id_col, F.col("neg_rank").cast("int").alias("neg_rank"), "neg_id")
+    )

@@ -743,3 +743,96 @@ def mg_heavy_hitters(
         .limit(m)
         .select("token", "est_count", "err_bound")
     )
+
+
+def dup_ngram_span_list(
+    df: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document maximal duplicated-n-gram spans as ROWS — the span
+    detail behind ``dup_ngram_summary``'s per-doc totals.  Output:
+    ``(id, n_tok, span_start, span_len)``, one row per maximal span of
+    corpus-duplicated windows (same fingerprint filter + gaps-and-islands
+    merge; skew-safe groupBy+join form)."""
+    from pyspark.sql import Window as W
+
+    wins = ngram_fps(df, n=n, tokens_col=tokens_col, id_col=id_col)
+    dup_fp = (
+        wins.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= min_count)
+        .select("fp")
+    )
+    dw = wins.join(dup_fp, "fp").select(id_col, "__n_tok", "s")
+    byd = W.partitionBy(id_col).orderBy("s")
+    return (
+        dw.withColumn("__prev", F.lag("s").over(byd))
+        .withColumn(
+            "__brk",
+            F.when(F.col("__prev").isNull() | (F.col("s") - F.col("__prev") > n), 1).otherwise(0),
+        )
+        .withColumn("__grp", F.sum("__brk").over(byd))
+        .groupBy(id_col, "__n_tok", "__grp")
+        .agg(
+            F.min("s").cast("long").alias("span_start"),
+            (F.max("s") + n - F.min("s")).cast("long").alias("span_len"),
+        )
+        .select(id_col, F.col("__n_tok").cast("long").alias("n_tok"),
+                "span_start", "span_len")
+    )
+
+
+def token_loss_mask(
+    df: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-token LOSS MASK zeroing corpus-duplicated spans: 1 = train on
+    this position, 0 = position inside a duplicated n-gram span (don't
+    learn boilerplate twice — the loader-side artifact of exact-substring
+    dedup when you keep the document but drop the repeated span from the
+    loss).  Output: ``(id, n_tok, n_masked, mask, mask_fp)`` where mask is
+    the int array and mask_fp its md5 fingerprint (the oracle witness).
+
+    Plan: span rows -> collect_list per doc (span counts per doc are
+    tiny), LEFT join onto the corpus, then a map-only higher-order
+    transform builds the mask (nested lambda: position p is masked iff
+    any span covers it).  Docs with no duplicated span keep an all-ones
+    mask via the null-spans branch."""
+    spans = dup_ngram_span_list(df, n=n, min_count=min_count,
+                                tokens_col=tokens_col, id_col=id_col)
+    spl = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"), F.col("span_len").alias("l"))
+        ).alias("__spans")
+    )
+    base = df.filter(F.size(F.col(tokens_col)) > 0).select(
+        id_col, F.size(F.col(tokens_col)).alias("n_tok")
+    )
+    j = base.join(spl, id_col, "left")
+
+    def bit(p):
+        covered = F.exists(
+            F.col("__spans"), lambda sp: (p >= sp["s"]) & (p < sp["s"] + sp["l"])
+        )
+        return (
+            F.when(F.col("__spans").isNull(), F.lit(1))
+            .when(covered, F.lit(0))
+            .otherwise(F.lit(1))
+        )
+
+    mask = F.transform(F.sequence(F.lit(0), F.col("n_tok") - 1), bit)
+    out = j.withColumn("mask", mask)
+    n_kept = F.aggregate("mask", F.lit(0), lambda acc, x: acc + x)
+    return out.select(
+        id_col,
+        F.col("n_tok").cast("long").alias("n_tok"),
+        (F.col("n_tok") - n_kept).cast("long").alias("n_masked"),
+        "mask",
+        F.md5(F.array_join(F.transform("mask", lambda x: x.cast("string")), "")).alias("mask_fp"),
+    )
