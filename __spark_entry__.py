@@ -2944,6 +2944,127 @@ FROM counted
 """
 
 
+def q_profile_events(spark, sf_dir):
+    """Per-column ingest audit (profile.profile_table): exact distinct /
+    null counts, decimal-exact numeric means, string min/max — one
+    distributed pass, one output row per column."""
+    from esa_pfa_spark.operators.profile import profile_table
+
+    ev = _ld(spark, sf_dir, "events")
+    return profile_table(ev, columns=["user_id", "value", "event_type", "props", "ts"])
+
+
+SQL_PROFILE_EVENTS = """
+SELECT 'user_id' AS column, count(*) AS n,
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       count(DISTINCT user_id) AS n_distinct,
+       round(CAST(min(user_id) AS DOUBLE), 6) AS num_min,
+       round(CAST(max(user_id) AS DOUBLE), 6) AS num_max,
+       round(CAST(sum(CAST(user_id AS DECIMAL(28,6))) AS DOUBLE) / count(user_id), 6) AS num_mean,
+       CAST(NULL AS VARCHAR) AS str_min, CAST(NULL AS VARCHAR) AS str_max
+FROM events
+UNION ALL
+SELECT 'value', count(*),
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT value),
+       round(min(value), 6), round(max(value), 6),
+       round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(value), 6),
+       NULL, NULL
+FROM events
+UNION ALL
+SELECT 'event_type', count(*),
+       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT event_type),
+       NULL, NULL, NULL, min(event_type), max(event_type)
+FROM events
+UNION ALL
+SELECT 'props', count(*),
+       CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT props),
+       NULL, NULL, NULL, min(props), max(props)
+FROM events
+UNION ALL
+SELECT 'ts', count(*),
+       CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT ts),
+       round(CAST(epoch_us(min(ts)) AS DOUBLE), 6),
+       round(CAST(epoch_us(max(ts)) AS DOUBLE), 6),
+       round(CAST(sum(CAST(epoch_us(ts) AS DECIMAL(28,6))) AS DOUBLE) / count(ts), 6),
+       NULL, NULL
+FROM events
+"""
+
+
+def q_interval_lookup(spark, sf_dir):
+    """Point-in-interval dimension lookup (ranges.interval_lookup): each
+    purchase value joined to every OVERLAPPING tier band [i*25, i*25+30]
+    via fixed-width bucket decomposition — an equi-join on the bucket, not
+    the O(n*m) BroadcastNestedLoopJoin the BETWEEN theta-join plans."""
+    from esa_pfa_spark.operators.ranges import interval_lookup
+
+    ev = _ld(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    points = ev.select("event_id", F.col("value").alias("v"))
+    tiers = spark.range(16).select(
+        F.col("id").cast("int").alias("tier_id"),
+        (F.col("id") * 25.0).alias("lo"),
+        (F.col("id") * 25.0 + 30.0).alias("hi"),
+    )
+    out = interval_lookup(points, tiers, point_col="v", bucket_width=25.0)
+    return out.select(
+        "event_id", "tier_id", _r6(F.col("v")).alias("v"), "lo", "hi"
+    )
+
+
+SQL_INTERVAL_LOOKUP = """
+WITH tiers AS (SELECT CAST(i AS INT) AS tier_id, i * 25.0 AS lo, i * 25.0 + 30.0 AS hi
+               FROM (SELECT unnest(generate_series(0, 15)) AS i)),
+p AS (SELECT event_id, value AS v FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, t.tier_id, round(p.v, 6) AS v, t.lo, t.hi
+FROM p JOIN tiers t ON p.v >= t.lo AND p.v <= t.hi
+"""
+
+
+def q_funnel(spark, sf_dir):
+    """Greedy-earliest funnel signup -> view -> purchase per user, each
+    step within 10 days of the previous (ranges.funnel): one groupBy +
+    sorted-array fold, no per-step self-joins."""
+    from esa_pfa_spark.operators.ranges import funnel
+
+    ev = _ld(spark, sf_dir, "events")
+    return funnel(
+        ev, steps=["signup", "view", "purchase"], key="user_id",
+        within=dt.timedelta(days=10),
+    )
+
+
+SQL_FUNNEL = """
+WITH u AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type IN ('signup', 'view', 'purchase')),
+s1 AS (SELECT u.user_id,
+              (SELECT min(ts) FROM events e
+                WHERE e.user_id = u.user_id AND e.event_type = 'signup') AS step_1_ts
+       FROM u),
+s2 AS (SELECT s1.*,
+              (SELECT min(ts) FROM events e
+                WHERE e.user_id = s1.user_id AND e.event_type = 'view'
+                  AND s1.step_1_ts IS NOT NULL AND e.ts > s1.step_1_ts
+                  AND epoch_us(e.ts) - epoch_us(s1.step_1_ts) <= 864000000000) AS step_2_ts
+       FROM s1),
+s3 AS (SELECT s2.*,
+              (SELECT min(ts) FROM events e
+                WHERE e.user_id = s2.user_id AND e.event_type = 'purchase'
+                  AND s2.step_2_ts IS NOT NULL AND e.ts > s2.step_2_ts
+                  AND epoch_us(e.ts) - epoch_us(s2.step_2_ts) <= 864000000000) AS step_3_ts
+       FROM s2)
+SELECT user_id, step_1_ts, step_2_ts, step_3_ts,
+       CAST(CASE WHEN step_3_ts IS NOT NULL THEN 3
+                 WHEN step_2_ts IS NOT NULL THEN 2
+                 WHEN step_1_ts IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS funnel_depth
+FROM s3
+"""
+
+
 def q_negative_samples(spark, sf_dir):
     """Deterministic contrastive negative sampling (dataset.
     negative_samples): 2 corpus-wide negatives per doc via dense-rank
@@ -3490,6 +3611,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "target_encode_expanding": (q_target_encode, SQL_TARGET_ENCODE),
     "cyclical_time_features": (q_cyclical_time, SQL_CYCLICAL_TIME),
     "negative_samples_2": (q_negative_samples, SQL_NEGATIVE_SAMPLES),
+    "interval_lookup_tiers": (q_interval_lookup, SQL_INTERVAL_LOOKUP),
+    "profile_events": (q_profile_events, SQL_PROFILE_EVENTS),
+    "funnel_signup_view_purchase": (q_funnel, SQL_FUNNEL),
     "semantic_dedup_survivors": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "rollup_source_lang": (q_rollup_source_lang, SQL_ROLLUP_SOURCE_LANG),
     "pivot_event_counts": (q_pivot_event_counts, SQL_PIVOT_EVENT_COUNTS),

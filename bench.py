@@ -253,16 +253,31 @@ def run_scaling() -> None:
     results = {}
     draws: dict[int, list[float]] = {N_CORES: [], N4_CORES: []}
     n_rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "5"))
+    round_pairs: list[tuple[float, float]] = []
     for rnd in range(n_rounds):
+        this_round: dict[int, float] = {}
         for cpus in (N_CORES, N4_CORES):
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), **scale_env)
-            proc = subprocess.run(
-                [sys.executable, __file__, "--flagship-only", "--warmup"],
-                capture_output=True, text=True, env=env, cwd=str(REPO),
-            )
-            line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-            res = json.loads(line)
+            res = None
+            for attempt in range(2):  # transient JVM/host failures: retry once
+                proc = subprocess.run(
+                    [sys.executable, __file__, "--flagship-only", "--warmup"],
+                    capture_output=True, text=True, env=env, cwd=str(REPO),
+                )
+                lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+                if lines:
+                    res = json.loads(lines[-1])
+                    break
+                print(
+                    f"round {rnd} local[{cpus}] attempt {attempt} produced no "
+                    f"JSON (rc={proc.returncode}); stderr tail:\n"
+                    + "\n".join(proc.stderr.splitlines()[-5:]),
+                    file=sys.stderr,
+                )
+            if res is None:
+                continue  # skip this draw; the paired round is dropped below
             draws[cpus].append(res["sequences_per_sec"])
+            this_round[cpus] = res["sequences_per_sec"]
             prev = results.get(cpus)
             if prev is None or res["sequences_per_sec"] > prev["sequences_per_sec"]:
                 results[cpus] = res
@@ -270,6 +285,8 @@ def run_scaling() -> None:
                 f"round {rnd} local[{cpus}]: {res['sequences_per_sec']} seq/s",
                 file=sys.stderr,
             )
+        if N_CORES in this_round and N4_CORES in this_round:
+            round_pairs.append((this_round[N_CORES], this_round[N4_CORES]))
 
     t8 = results[N_CORES]["sequences_per_sec"]
     t32 = results[N4_CORES]["sequences_per_sec"]
@@ -282,9 +299,7 @@ def run_scaling() -> None:
     # regime (observed to understate by ~0.1 on this host).  Both are
     # reported; the median (not max) of pairs avoids cherry-picking.
     import statistics
-    pair_effs = [
-        b / (4 * a) for a, b in zip(draws[N_CORES], draws[N4_CORES])
-    ]
+    pair_effs = [b / (4 * a) for a, b in round_pairs]  # complete rounds only
     eff = statistics.median(pair_effs)
     eff_best = t32 / (4 * t8)
     sha = subprocess.run(

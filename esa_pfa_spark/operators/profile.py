@@ -1,0 +1,100 @@
+"""Table profiling: the per-column audit report a data platform runs on
+every new ingest (the reference's per-feature STX report generalized to
+arbitrary columns — SURVEY §2.4 A1's consumer-facing sibling).
+
+One distributed pass computes, per profiled column: row count, null
+count, EXACT distinct count, numeric min/max/mean (decimal-exact mean)
+or string lexicographic min/max.  Output is one ROW per column (melted
+from the single aggregate row), so the report composes with sinks and
+diffing like any other table.
+
+Scale note (documented trade): multiple exact count-distincts in one
+aggregate plan an Expand — input multiplied by the number of distinct
+aggs before the shuffle.  Right for audit-sized passes and exactness;
+for routine monitoring at 100 TB swap ``approx_count_distinct`` (same
+code path, HLL-based, no Expand) via ``exact_distinct=False``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-column profile rows: ``(column, n, n_null, n_distinct,
+    num_min, num_max, num_mean, str_min, str_max)``.  Numeric columns
+    fill the num_* fields (mean via decimal-exact sum), string columns
+    the str_* fields; timestamps profile as unix microseconds (numeric).
+    Unsupported types raise — profile what you can compare."""
+    if columns is None:
+        columns = [f.name for f in df.schema.fields]
+    aggs = []
+    kinds: dict[str, str] = {}
+    for c in columns:
+        dt_ = df.schema[c].dataType
+        if isinstance(dt_, (T.TimestampType, T.TimestampNTZType)):
+            # NTZ-safe: cast through LTZ (session TZ pinned UTC) so
+            # unix_micros resolves for parquet written by other engines
+            col, kind = (
+                F.unix_micros(F.col(c).cast("timestamp_ltz")).cast("double"),
+                "num",
+            )
+        elif isinstance(dt_, _NUMERIC):
+            col, kind = F.col(c).cast("double"), "num"
+        elif isinstance(dt_, T.StringType):
+            col, kind = F.col(c), "str"
+        else:
+            raise ValueError(f"unsupported profile type for {c}: {dt_}")
+        kinds[c] = kind
+        nd = (
+            F.count_distinct(col) if exact_distinct
+            else F.approx_count_distinct(col)
+        )
+        aggs.append(F.count(F.lit(1)).alias(f"__n_{c}"))
+        aggs.append(F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__nn_{c}"))
+        aggs.append(nd.alias(f"__nd_{c}"))
+        if kind == "num":
+            aggs.append(F.round(F.min(col), round_to).alias(f"__mn_{c}"))
+            aggs.append(F.round(F.max(col), round_to).alias(f"__mx_{c}"))
+            aggs.append(
+                F.round(
+                    F.sum(col.cast("decimal(28,6)")).cast("double") / F.count(col),
+                    round_to,
+                ).alias(f"__mean_{c}")
+            )
+        else:
+            aggs.append(F.min(col).alias(f"__smn_{c}"))
+            aggs.append(F.max(col).alias(f"__smx_{c}"))
+    one = df.agg(*aggs)
+
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    structs = []
+    for c in columns:
+        is_num = kinds[c] == "num"
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__n_{c}").cast("long").alias("n"),
+                F.col(f"__nn_{c}").cast("long").alias("n_null"),
+                F.col(f"__nd_{c}").cast("long").alias("n_distinct"),
+                (F.col(f"__mn_{c}") if is_num else null_d).alias("num_min"),
+                (F.col(f"__mx_{c}") if is_num else null_d).alias("num_max"),
+                (F.col(f"__mean_{c}") if is_num else null_d).alias("num_mean"),
+                (null_s if is_num else F.col(f"__smn_{c}")).alias("str_min"),
+                (null_s if is_num else F.col(f"__smx_{c}")).alias("str_max"),
+            )
+        )
+    return one.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
