@@ -2944,6 +2944,60 @@ FROM counted
 """
 
 
+def q_ewma_by_user(spark, sf_dir):
+    """Per-entity EWMA state (signal.ewma_by_key): JVM fold over the
+    time-sorted purchase values — bit-exact vs DuckDB list_reduce because
+    both run the identical double operation sequence (alpha=0.25 keeps
+    the multipliers exactly representable)."""
+    from esa_pfa_spark.operators.signal import ewma_by_key
+
+    ev = _ld(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return ewma_by_key(
+        ev, value="value", key="user_id", ts="ts", tiebreak="event_id", alpha=0.25
+    )
+
+
+SQL_EWMA_BY_USER = """
+WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type='purchase'),
+g AS (SELECT user_id,
+             list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vs
+      FROM p GROUP BY user_id)
+SELECT user_id,
+       CAST(len(vs) AS BIGINT) AS n,
+       round(list_reduce(vs, (acc, x) -> acc * 0.75 + 0.25 * x), 6) AS ewma
+FROM g
+"""
+
+
+def q_cusum_by_user(spark, sf_dir):
+    """Per-entity one-sided CUSUM drift score (signal.cusum_by_key),
+    target 50: the recurrence de-recursed into cumsum/running-min/max
+    window algebra over ONE sort — no fold, no UDF."""
+    from esa_pfa_spark.operators.signal import cusum_by_key
+
+    ev = _ld(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return cusum_by_key(
+        ev, value="value", key="user_id", ts="ts", tiebreak="event_id", target=50.0
+    )
+
+
+SQL_CUSUM_BY_USER = """
+WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type='purchase'),
+d AS (SELECT user_id, ts, event_id,
+             CAST(sum(CAST(value - 50.0 AS DECIMAL(18,6)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS d
+      FROM p),
+s AS (SELECT user_id,
+             d - min(least(d, 0.0))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS s
+      FROM d)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n, round(max(s), 6) AS cusum_max
+FROM s GROUP BY user_id
+"""
+
+
 def q_profile_events(spark, sf_dir):
     """Per-column ingest audit (profile.profile_table): exact distinct /
     null counts, decimal-exact numeric means, string min/max — one
@@ -3613,6 +3667,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "negative_samples_2": (q_negative_samples, SQL_NEGATIVE_SAMPLES),
     "interval_lookup_tiers": (q_interval_lookup, SQL_INTERVAL_LOOKUP),
     "profile_events": (q_profile_events, SQL_PROFILE_EVENTS),
+    "ewma_by_user": (q_ewma_by_user, SQL_EWMA_BY_USER),
+    "cusum_by_user": (q_cusum_by_user, SQL_CUSUM_BY_USER),
     "funnel_signup_view_purchase": (q_funnel, SQL_FUNNEL),
     "semantic_dedup_survivors": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "rollup_source_lang": (q_rollup_source_lang, SQL_ROLLUP_SOURCE_LANG),
