@@ -2944,6 +2944,30 @@ FROM counted
 """
 
 
+def q_robust_z(spark, sf_dir):
+    """Robust outlier score (encode.robust_z_by_group): per-event-type
+    0.6745*(v - median)/MAD — the gate that survives its own outliers."""
+    from esa_pfa_spark.operators.encode import robust_z_by_group
+
+    ev = _ld(spark, sf_dir, "events")
+    out = robust_z_by_group(ev, value="value", group="event_type")
+    return out.select("event_id", "event_type", "robust_z")
+
+
+SQL_ROBUST_Z = """
+WITH m AS (SELECT event_id, event_type, value,
+                  quantile_cont(value, 0.5) OVER (PARTITION BY event_type) AS med
+           FROM events),
+d AS (SELECT *, quantile_cont(abs(value - med), 0.5)
+                OVER (PARTITION BY event_type) AS mad
+      FROM m)
+SELECT event_id, event_type,
+       round(CASE WHEN mad > 0
+             THEN 0.6745 * (value - med) / mad END, 6) AS robust_z
+FROM d
+"""
+
+
 def q_ewma_by_user(spark, sf_dir):
     """Per-entity EWMA state (signal.ewma_by_key): JVM fold over the
     time-sorted purchase values — bit-exact vs DuckDB list_reduce because
@@ -3668,6 +3692,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "interval_lookup_tiers": (q_interval_lookup, SQL_INTERVAL_LOOKUP),
     "profile_events": (q_profile_events, SQL_PROFILE_EVENTS),
     "ewma_by_user": (q_ewma_by_user, SQL_EWMA_BY_USER),
+    "robust_z_by_type": (q_robust_z, SQL_ROBUST_Z),
     "cusum_by_user": (q_cusum_by_user, SQL_CUSUM_BY_USER),
     "funnel_signup_view_purchase": (q_funnel, SQL_FUNNEL),
     "semantic_dedup_survivors": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),

@@ -123,3 +123,30 @@ def cyclical_time_features(
         .withColumn("dow_sin", d_sin)
         .withColumn("dow_cos", d_cos)
     )
+
+
+def robust_z_by_group(
+    df: DataFrame,
+    value: str = "value",
+    group: str = "entity_id",
+    out_col: str = "robust_z",
+    round_to: int = 6,
+) -> DataFrame:
+    """Outlier score robust to the outliers themselves: per-group
+    0.6745 * (v - median) / MAD (median absolute deviation, interpolated
+    percentiles — Spark percentile == DuckDB quantile_cont).  The 0.6745
+    factor rescales MAD to sigma-equivalents for normal data, so the
+    usual |z| > 3.5 gate applies (Iglewicz & Hoaglin 1993).  Null when
+    MAD is 0 (constant-majority group).  Two window passes over one
+    group Exchange: median first, then the MAD over |v - median|."""
+    w = Window.partitionBy(group)
+    med = F.percentile(F.col(value), F.lit(0.5)).over(w)
+    with_med = df.withColumn("__med", med)
+    mad = F.percentile(
+        F.abs(F.col(value) - F.col("__med")), F.lit(0.5)
+    ).over(w)
+    out = with_med.withColumn("__mad", mad)
+    z = F.lit(0.6745) * (F.col(value) - F.col("__med")) / F.col("__mad")
+    return out.withColumn(
+        out_col, F.round(F.when(F.col("__mad") > 0, z), round_to)
+    ).drop("__med", "__mad")

@@ -85,3 +85,27 @@ def test_cyclical_wraps(spark):
     assert rows[0]["hour_sin"] == 0.0 and rows[0]["hour_cos"] == 1.0
     # 23h is geometrically close to 0h: cos near 1, sin slightly negative
     assert rows[1]["hour_cos"] > 0.95 and rows[1]["hour_sin"] < 0
+
+
+def test_robust_z_survives_outlier(spark):
+    from esa_pfa_spark.operators.encode import robust_z_by_group
+
+    # 99 values at ~10 and one wild outlier: classic z would dilute its
+    # own score via the inflated stddev; robust z must flag it hard
+    vals = [10.0 + (i % 5) * 0.1 for i in range(99)] + [1000.0]
+    df = spark.createDataFrame(
+        pd.DataFrame({"entity_id": ["g"] * 100, "value": vals})
+    )
+    out = {r["value"]: r["robust_z"] for r in robust_z_by_group(df).collect()}
+    assert out[1000.0] > 3.5          # flagged
+    assert abs(out[10.0]) < 3.5       # bulk unflagged
+
+
+def test_robust_z_null_when_mad_zero(spark):
+    from esa_pfa_spark.operators.encode import robust_z_by_group
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"entity_id": ["g"] * 5, "value": [3.0, 3.0, 3.0, 3.0, 9.0]})
+    )
+    out = robust_z_by_group(df).collect()
+    assert all(r["robust_z"] is None for r in out)  # MAD = 0
