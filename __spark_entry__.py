@@ -2944,6 +2944,26 @@ FROM counted
 """
 
 
+def q_quantile_bins(spark, sf_dir):
+    """Equal-frequency binning (encode.quantile_bins): decile index per
+    purchase value — edge table via one aggregate, map-only assignment
+    (no ntile global window)."""
+    from esa_pfa_spark.operators.encode import quantile_bins
+
+    ev = _ld(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    out = quantile_bins(ev, value="value", n_bins=10)
+    return out.select("event_id", _r6(F.col("value")).alias("value"), "bin")
+
+
+SQL_QUANTILE_BINS = """
+WITH p AS (SELECT event_id, value FROM events WHERE event_type='purchase'),
+e AS (SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS edges FROM p)
+SELECT p.event_id, round(p.value, 6) AS value,
+       CAST(len(list_filter(e.edges, x -> p.value >= x)) AS INT) AS bin
+FROM p, e
+"""
+
+
 def q_robust_z(spark, sf_dir):
     """Robust outlier score (encode.robust_z_by_group): per-event-type
     0.6745*(v - median)/MAD — the gate that survives its own outliers."""
@@ -3693,6 +3713,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "profile_events": (q_profile_events, SQL_PROFILE_EVENTS),
     "ewma_by_user": (q_ewma_by_user, SQL_EWMA_BY_USER),
     "robust_z_by_type": (q_robust_z, SQL_ROBUST_Z),
+    "quantile_bins_10": (q_quantile_bins, SQL_QUANTILE_BINS),
     "cusum_by_user": (q_cusum_by_user, SQL_CUSUM_BY_USER),
     "funnel_signup_view_purchase": (q_funnel, SQL_FUNNEL),
     "semantic_dedup_survivors": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),

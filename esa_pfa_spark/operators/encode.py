@@ -150,3 +150,28 @@ def robust_z_by_group(
     return out.withColumn(
         out_col, F.round(F.when(F.col("__mad") > 0, z), round_to)
     ).drop("__med", "__mad")
+
+
+def quantile_bins(
+    df: DataFrame,
+    value: str = "value",
+    n_bins: int = 10,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Equal-frequency discretization: assign each row the index of its
+    corpus quantile bucket (0..n_bins-1), bin i covering
+    [q_{i/n}, q_{(i+1)/n}).  The naive form is ``ntile() OVER (ORDER BY
+    v)`` — a partition-less global window, one task sees every row.  The
+    scale form here: ONE aggregate computes the n_bins-1 interior edges
+    (exact interpolated percentiles), a single tiny action ships them to
+    the driver, and assignment is a map-only "count of edges <= v" over
+    the edge array as a plan literal.  Ties sit in the HIGHER bin
+    (v == edge counts the edge), mirrored by the oracle."""
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    row = df.agg(
+        F.percentile(F.col(value), F.array(*[F.lit(f) for f in fracs])).alias("e")
+    ).first()
+    edges = [float(x) for x in row["e"]]
+    arr = F.array(*[F.lit(e) for e in edges])
+    bin_ = F.size(F.filter(arr, lambda e: F.col(value) >= e))
+    return df.withColumn(out_col, bin_.cast("int"))

@@ -109,3 +109,15 @@ def test_robust_z_null_when_mad_zero(spark):
     )
     out = robust_z_by_group(df).collect()
     assert all(r["robust_z"] is None for r in out)  # MAD = 0
+
+
+def test_quantile_bins_equal_frequency(spark):
+    from esa_pfa_spark.operators.encode import quantile_bins
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"value": [float(v) for v in range(1000)]})
+    )
+    out = quantile_bins(df, n_bins=10).groupBy("bin").count().collect()
+    counts = {r["bin"]: r["count"] for r in out}
+    assert set(counts) == set(range(10))
+    assert all(abs(c - 100) <= 1 for c in counts.values())
