@@ -60,6 +60,14 @@ HEADLINE = [
     "minhash_dedup_survivors",
     "unigram_logprob_quality",
     "scd2_feature_intervals",
+    "funnel_signup_view_purchase",
+    "interval_lookup_tiers",
+    "ewma_by_user",
+    "cusum_by_user",
+    "robust_z_by_type",
+    "mg_heavy_hitters_top20",
+    "pii_scrub",
+    "c4_line_clean",
 ]
 
 # flagship synthetic scale (distributed generation, written once to parquet)

@@ -121,3 +121,15 @@ def test_quantile_bins_equal_frequency(spark):
     counts = {r["bin"]: r["count"] for r in out}
     assert set(counts) == set(range(10))
     assert all(abs(c - 100) <= 1 for c in counts.values())
+
+
+def test_profile_approx_distinct_within_5pct(spark):
+    from esa_pfa_spark.operators.profile import profile_table
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    exact = {r["column"]: r["n_distinct"] for r in profile_table(
+        ev, columns=["user_id", "event_type"], exact_distinct=True).collect()}
+    approx = {r["column"]: r["n_distinct"] for r in profile_table(
+        ev, columns=["user_id", "event_type"], exact_distinct=False).collect()}
+    for c in exact:
+        assert abs(approx[c] - exact[c]) <= max(1, 0.05 * exact[c]), c

@@ -186,3 +186,17 @@ def test_quantize_int8_bounds_and_zero_vector(spark):
     out = {r.vec_id: r.q8 for r in quantize_int8(df).collect()}
     assert out[1] == [-127, 64, 127]   # floor(63.5+0.5)=64
     assert out[2] == [0, 0, 0]         # zero vector -> zeros, not NaN
+
+
+def test_trained_ivf_recall_contract(spark):
+    """Trained-IVF single-cell probe search must keep recall >= 7/10 vs
+    exact cosine top-10 at sf0.01 (clustered synthetic embeddings put a
+    probe's true neighbors in its own cell most of the time; below this
+    the coarse quantizer is broken, not merely approximate)."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.01"
+    approx = {r["vec_id"] for r in entry.queries()["ann_ivf_trained_topk"](spark, sf).collect()}
+    exact = {r["vec_id"] for r in entry.queries()["embedding_cosine_topk"](spark, sf).collect()}
+    # embedding_cosine_topk ranks vs probe vec_id 0 as well (same probe)
+    assert len(approx & exact) >= 7, (approx, exact)
