@@ -2944,6 +2944,35 @@ FROM counted
 """
 
 
+def q_token_budget_mix(spark, sf_dir):
+    """Token-budget mixture (dataset.mixture_by_token_budget): per-source
+    token quotas filled in seeded hash order — the tokens-per-source mix
+    spec of a real LLM run, reproducible across backfills."""
+    from esa_pfa_spark.operators.dataset import mixture_by_token_budget
+    from esa_pfa_spark.operators.tokens import tokenize
+
+    docs = tokenize(_ld(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "n_tok"
+    )
+    budgets = {"src0": 800, "src1": 400, "src2": 1200}
+    return mixture_by_token_budget(docs, budgets)
+
+
+SQL_TOKEN_BUDGET_MIX = """
+WITH d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok FROM documents),
+c AS (SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (
+               PARTITION BY source
+               ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 400
+                         WHEN 'src2' THEN 1200 END AS budget
+      FROM d)
+SELECT doc_id, source, CAST(n_tok AS INT) AS n_tok, CAST(cum AS BIGINT) AS cum_tok
+FROM c WHERE budget IS NOT NULL AND cum <= budget
+"""
+
+
 def q_quantile_bins(spark, sf_dir):
     """Equal-frequency binning (encode.quantile_bins): decile index per
     purchase value — edge table via one aggregate, map-only assignment
@@ -3714,6 +3743,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ewma_by_user": (q_ewma_by_user, SQL_EWMA_BY_USER),
     "robust_z_by_type": (q_robust_z, SQL_ROBUST_Z),
     "quantile_bins_10": (q_quantile_bins, SQL_QUANTILE_BINS),
+    "token_budget_mix": (q_token_budget_mix, SQL_TOKEN_BUDGET_MIX),
     "cusum_by_user": (q_cusum_by_user, SQL_CUSUM_BY_USER),
     "funnel_signup_view_purchase": (q_funnel, SQL_FUNNEL),
     "semantic_dedup_survivors": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),

@@ -243,3 +243,40 @@ def negative_samples(
         exploded.join(tgt, "__nidx")
         .select(id_col, F.col("neg_rank").cast("int").alias("neg_rank"), "neg_id")
     )
+
+
+def mixture_by_token_budget(
+    df: DataFrame,
+    budgets: dict[str, int],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    ntok_col: str = "n_tok",
+    seed: int = 0,
+) -> DataFrame:
+    """Token-BUDGET mixture sampling: real LLM data mixes are specified as
+    tokens-per-source, not row rates.  Per source, documents are taken in
+    the seeded md5 hash order (the repo's reproducible pseudo-random
+    permutation) while the running token total stays <= the source's
+    budget; the first doc that would cross the budget is cut, as is
+    everything after it.  Sources absent from ``budgets`` are dropped.
+
+    Exactness: the selected set is within one document of the budget
+    (never over), deterministic in (seed, corpus) — reruns and backfills
+    regenerate the identical mix.  Plan: one window cumsum per source
+    (hash-ordered) + a map-only filter; one Exchange on the source key,
+    per-source rows bound the window task."""
+    if not budgets:
+        raise ValueError("budgets must be non-empty")
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
+    cum = F.sum(ntok_col).over(w)
+    budget = None
+    for g, b in budgets.items():
+        cond = F.col(group_col) == g
+        budget = F.when(cond, int(b)) if budget is None else budget.when(cond, int(b))
+    return (
+        df.withColumn("__cum", cum)
+        .withColumn("__budget", budget)
+        .filter(F.col("__budget").isNotNull() & (F.col("__cum") <= F.col("__budget")))
+        .select(id_col, group_col, F.col(ntok_col), F.col("__cum").cast("long").alias("cum_tok"))
+    )

@@ -115,3 +115,25 @@ def test_stratified_fixed_k_deterministic_and_partition_invariant(docs):
     # different seed -> different panel
     c = sorted(r["doc_id"] for r in DS.stratified_fixed_k(docs, k=11, seed=5).collect())
     assert a != c
+
+
+def test_token_budget_mix_never_over_and_deterministic(docs):
+    tok = docs.withColumn("n_tok", (F.col("doc_id") % 7 + 1).cast("int"))
+    budgets = {"src0": 50, "src1": 25}
+    out = DS.mixture_by_token_budget(tok, budgets)
+    rows = out.collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append(r)
+    assert set(per_src) <= set(budgets)
+    for src, rs in per_src.items():
+        total = sum(r["n_tok"] for r in rs)
+        assert total <= budgets[src]
+        assert max(r["cum_tok"] for r in rs) == total
+    # partition-invariant membership
+    a = sorted(r["doc_id"] for r in rows)
+    b = sorted(
+        r["doc_id"]
+        for r in DS.mixture_by_token_budget(tok.repartition(13), budgets).collect()
+    )
+    assert a == b
