@@ -2944,6 +2944,56 @@ FROM counted
 """
 
 
+def q_pit_multi_window(spark, sf_dir):
+    """Multi-horizon PIT features (pit.pit_multi_window_agg): 1d / 7d / 30d
+    purchase aggregates at each click, all horizons sharing ONE fused
+    fill and one hash agg — no per-horizon joins or passes."""
+    from esa_pfa_spark.operators.pit import pit_multi_window_agg
+
+    ev = _ld(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("query_ts")
+    )
+    obs = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", F.col("event_id").alias("obs_id")
+    )
+    out = pit_multi_window_agg(
+        probes, obs, on="user_id", probe_ts="query_ts", obs_ts="ts",
+        value="value", tiebreak="obs_id",
+        windows={"1d": dt.timedelta(days=1), "7d": dt.timedelta(days=7),
+                 "30d": dt.timedelta(days=30)},
+    )
+    cols = ["event_id", "user_id", "query_ts"]
+    for nme in ("1d", "7d", "30d"):
+        cols += [f"n_{nme}",
+                 _r6(F.col(f"sum_{nme}")).alias(f"sum_{nme}"),
+                 _r6(F.col(f"mean_{nme}")).alias(f"mean_{nme}")]
+    return out.select(*cols)
+
+
+def _pit_horizon_sql(nme: str, days: int) -> str:
+    return f"""
+  (SELECT count(*) FROM p WHERE p.user_id=c.user_id
+    AND p.ts<=c.query_ts AND p.ts > c.query_ts - INTERVAL {days} DAY) AS n_{nme},
+  round((SELECT CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) FROM p
+    WHERE p.user_id=c.user_id AND p.ts<=c.query_ts
+    AND p.ts > c.query_ts - INTERVAL {days} DAY), 6) AS sum_{nme},
+  round((SELECT CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) FROM p
+    WHERE p.user_id=c.user_id AND p.ts<=c.query_ts
+    AND p.ts > c.query_ts - INTERVAL {days} DAY HAVING count(*) > 0), 6) AS mean_{nme}"""
+
+
+SQL_PIT_MULTI_WINDOW = f"""
+WITH c AS (SELECT event_id, user_id, ts AS query_ts FROM events WHERE event_type='click'),
+     p AS (SELECT user_id, ts, value FROM events WHERE event_type='purchase')
+SELECT c.event_id, c.user_id, c.query_ts,
+{_pit_horizon_sql('1d', 1)},
+{_pit_horizon_sql('7d', 7)},
+{_pit_horizon_sql('30d', 30)}
+FROM c
+"""
+
+
 def q_token_budget_mix(spark, sf_dir):
     """Token-budget mixture (dataset.mixture_by_token_budget): per-source
     token quotas filled in seeded hash order — the tokens-per-source mix
@@ -3744,6 +3794,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "robust_z_by_type": (q_robust_z, SQL_ROBUST_Z),
     "quantile_bins_10": (q_quantile_bins, SQL_QUANTILE_BINS),
     "token_budget_mix": (q_token_budget_mix, SQL_TOKEN_BUDGET_MIX),
+    "pit_multi_window_1d_7d_30d": (q_pit_multi_window, SQL_PIT_MULTI_WINDOW),
     "cusum_by_user": (q_cusum_by_user, SQL_CUSUM_BY_USER),
     "funnel_signup_view_purchase": (q_funnel, SQL_FUNNEL),
     "semantic_dedup_survivors": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),

@@ -177,3 +177,124 @@ def pit_window_agg(
         F.when(in_win, F.col("__last")["mval"]).alias("last_val"),
         F.when(in_win, F.col("__last")["mts"]).alias("last_ts"),
     )
+
+
+def pit_multi_window_agg(
+    probes: DataFrame,
+    observations: DataFrame,
+    windows: dict[str, _dt.timedelta],
+    on: str = "entity_id",
+    probe_ts: str = "query_ts",
+    obs_ts: str = "ts",
+    value: str = "value",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Multi-horizon PIT aggregates — count / exact sum / mean per named
+    window (e.g. {"1d": ..., "7d": ..., "30d": ...}) for every probe, in
+    the SAME single-Exchange plan as ``pit_window_agg``: all horizons
+    share ONE end boundary row (the cum at query_ts) and add one start
+    boundary row each; the fused cumulative fill runs once, and each
+    horizon's aggregate is its own difference of cumulatives.  Cost is
+    one fill + one hash agg regardless of horizon count — the
+    multi-horizon feature-store ask without per-horizon joins or passes.
+
+    Output: ``(on, probe-cols, probe_ts, n_<name>, sum_<name>,
+    mean_<name> ...)``.  Same half-open ``(query_ts - w, query_ts]``
+    boundary semantics as pit_window_agg."""
+    if not windows:
+        raise ValueError("windows must be non-empty")
+    names = list(windows)
+    w_us = {}
+    for nme, w in windows.items():
+        s = _seconds(w)
+        if s <= 0:
+            raise ValueError(f"window {nme} must be positive")
+        w_us[nme] = int(s * 1e6)
+    keys = [on] if isinstance(on, str) else list(on)
+    probe_cols = [c for c in probes.columns if c not in keys + [probe_ts]]
+    if not probe_cols:
+        raise ValueError("probes need an id column")
+
+    _TS, _TAG, _TIE = "__pit_ts", "__pit_tag", "__pit_tie"
+    _N, _S, _K, _Q = "__pit_n", "__pit_s", "__pit_kind", "__pit_qts"
+
+    tie_col = (
+        F.col(tiebreak).cast("double") if tiebreak else F.col(value).cast("double")
+    )
+    obs_side = observations.select(
+        *keys,
+        F.col(obs_ts).alias(_TS),
+        F.lit(0).alias(_TAG),
+        tie_col.alias(_TIE),
+        F.lit(1).cast("long").alias(_N),
+        F.col(value).cast("decimal(18,6)").alias(_S),
+        F.lit(None).cast("int").alias(_K),
+        *[F.lit(None).cast(probes.schema[c].dataType).alias(f"__p_{c}") for c in probe_cols],
+        F.lit(None).cast(probes.schema[probe_ts].dataType).alias(_Q),
+    )
+
+    def boundary(kind: int, ts_expr):
+        return probes.select(
+            *keys,
+            ts_expr.alias(_TS),
+            F.lit(1).alias(_TAG),
+            F.lit(0.0).alias(_TIE),
+            F.lit(0).cast("long").alias(_N),
+            F.lit("0").cast("decimal(18,6)").alias(_S),
+            F.lit(kind).alias(_K),
+            *[F.col(c).alias(f"__p_{c}") for c in probe_cols],
+            F.col(probe_ts).alias(_Q),
+        )
+
+    # kind i = start boundary of windows[names[i]]; kind len(names) = the
+    # SHARED end boundary (cum at query_ts serves every horizon)
+    unioned = obs_side
+    for i, nme in enumerate(names):
+        start = boundary(
+            i, F.col(probe_ts) - F.expr(f"INTERVAL {w_us[nme]} MICROSECOND")
+        )
+        unioned = unioned.unionByName(start)
+    unioned = unioned.unionByName(boundary(len(names), F.col(probe_ts)))
+
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(_TS).asc(), F.col(_TAG).asc(), F.col(_TIE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        unioned.select(
+            *keys,
+            F.col(_K),
+            F.col(_Q),
+            F.sum(_N).over(w_cum).alias("__cn"),
+            F.sum(_S).over(w_cum).alias("__cs"),
+            *[F.col(f"__p_{c}") for c in probe_cols],
+        )
+        .filter(F.col(_K).isNotNull())
+    )
+
+    end_k = len(names)
+    aggs = []
+    for i, nme in enumerate(names):
+        n_i = (
+            F.max(F.when(F.col(_K) == end_k, F.col("__cn")))
+            - F.max(F.when(F.col(_K) == i, F.col("__cn")))
+        ).alias(f"n_{nme}")
+        s_i = (
+            F.max(F.when(F.col(_K) == end_k, F.col("__cs")))
+            - F.max(F.when(F.col(_K) == i, F.col("__cs")))
+        ).alias(f"__s_{nme}")
+        aggs.extend([n_i, s_i])
+    picked = filled.groupBy(
+        *keys, F.col(_Q).alias(probe_ts),
+        *[F.col(f"__p_{c}").alias(c) for c in probe_cols],
+    ).agg(*aggs)
+
+    out_cols = [*keys, *probe_cols, probe_ts]
+    for nme in names:
+        n_c = F.col(f"n_{nme}")
+        s_c = F.col(f"__s_{nme}").cast("double")
+        out_cols.append(n_c.alias(f"n_{nme}"))
+        out_cols.append(F.when(n_c > 0, s_c).alias(f"sum_{nme}"))
+        out_cols.append(F.when(n_c > 0, s_c / n_c).alias(f"mean_{nme}"))
+    return picked.select(*out_cols)

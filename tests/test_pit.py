@@ -3,8 +3,10 @@
 Boundary semantics pinned by hand-built goldens (half-open window:
 inclusive end, exclusive start; deterministic last under ts collisions),
 equivalence vs a brute-force interval-join oracle on seeded random data,
-and the plan shape (TWO exchanges total: one fused fill on the key, one
-hash agg by probe — independent of window density).
+and the plan shape (ONE exchange total: the fused fill hash-partitions
+by the key and the closing hash agg reuses that distribution —
+independent of window density and, for the multi-window form, of the
+horizon count).
 """
 
 from __future__ import annotations
@@ -161,3 +163,54 @@ def test_plan_single_exchange_and_no_join(spark):
     plan = plan_of(out)
     assert n_exchanges(plan) == 1, plan
     assert "Join" not in plan, "difference-of-cumulatives must not plan a join"
+
+
+def test_multi_window_matches_single_per_horizon(spark):
+    """Every horizon of the multi-window plan must equal the single-window
+    operator run separately — and the fused plan must still be ONE
+    exchange with no join."""
+    import datetime as dt
+
+    from esa_pfa_spark.operators.pit import pit_multi_window_agg
+
+    rng = __import__("numpy").random.default_rng(9)
+    obs_rows = [
+        (f"k{int(k)}", T0 + dt.timedelta(minutes=int(m)), float(v), int(i))
+        for i, (k, m, v) in enumerate(
+            zip(rng.integers(0, 8, 600), rng.integers(0, 5000, 600),
+                rng.normal(20, 5, 600))
+        )
+    ]
+    probe_rows = [
+        (int(i), f"k{int(k)}", T0 + dt.timedelta(minutes=int(m)))
+        for i, (k, m) in enumerate(
+            zip(rng.integers(0, 8, 150), rng.integers(0, 5200, 150))
+        )
+    ]
+    p, o = _mk(spark, probe_rows, obs_rows)
+    windows = {"1h": dt.timedelta(hours=1), "1d": dt.timedelta(days=1)}
+    multi = {
+        r["pid"]: r
+        for r in pit_multi_window_agg(
+            p, o, on="k", probe_ts="query_ts", obs_ts="ts",
+            value="value", tiebreak="oid", windows=windows,
+        ).collect()
+    }
+    for nme, w in windows.items():
+        single = _run(spark, probe_rows, obs_rows, window=w)
+        for pid, r in single.items():
+            m = multi[pid]
+            assert m[f"n_{nme}"] == r["n_win"], (nme, pid)
+            if r["sum_win"] is None:
+                assert m[f"sum_{nme}"] is None
+            else:
+                assert abs(m[f"sum_{nme}"] - r["sum_win"]) < 1e-9
+
+    plan = plan_of(
+        pit_multi_window_agg(
+            p, o, on="k", probe_ts="query_ts", obs_ts="ts",
+            value="value", tiebreak="oid", windows=windows,
+        )
+    )
+    assert n_exchanges(plan) == 1, plan
+    assert "Join" not in plan
