@@ -57,6 +57,7 @@ HEADLINE = [
     "asof_nearest_12h",
     "pit_two_table_features",
     "pit_window_agg_7d",
+    "pit_multi_window_1d_7d_30d",
     "minhash_dedup_survivors",
     "unigram_logprob_quality",
     "scd2_feature_intervals",
