@@ -2773,11 +2773,11 @@ FROM (
   SELECT doc_id, source,
          CAST(('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS INTEGER)
              % 10000 AS bk,
-         CASE WHEN source = 'src0' THEN 0.3
-              WHEN source = 'src1' THEN 1.0
-              ELSE 0.05 END AS rate
+         CASE WHEN source = 'src0' THEN 3000
+              WHEN source = 'src1' THEN 10000
+              ELSE 500 END AS thr
   FROM documents)
-WHERE bk < CAST(rate * 10000 AS INTEGER)
+WHERE bk < thr
 """
 
 
@@ -3331,8 +3331,8 @@ SELECT event_id, user_id,
              THEN CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
                   / count(value) OVER w END, 6) AS te_mean
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 """
 
 

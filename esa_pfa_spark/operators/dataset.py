@@ -71,16 +71,25 @@ def mixture_sample(
     default_rate: float = 0.0,
 ) -> DataFrame:
     """Per-group deterministic sampling (mixture weighting): keep a row of
-    group g iff bucket(id) < rates[g] * B.  Groups absent from ``rates``
-    use ``default_rate``.  Map-only; the rate table is a literal CASE
-    chain (tiny), so no join at all."""
+    group g iff bucket(id) < round(rates[g] * B).  Groups absent from
+    ``rates`` use ``default_rate``.  Map-only; the rate table is a literal
+    CASE chain (tiny), so no join at all.
+
+    Thresholds are computed DRIVER-side as ``int(round(rate * B))`` (as
+    ``hash_split`` does for its edges): an executor-side
+    ``(rate * B).cast('int')`` truncates the IEEE double product, so a
+    rate whose product lands just below an integer (0.29 * 10000 =
+    2899.999...) would lose a bucket vs the documented rate*B semantics
+    and vs a decimal-arithmetic SQL oracle."""
     b = _hash_bucket(id_col, seed)
-    rate = None
+    thr = None
     for g, r in rates.items():
         cond = F.col(group_col) == g
-        rate = F.when(cond, r) if rate is None else rate.when(cond, r)
-    rate = F.lit(default_rate) if rate is None else rate.otherwise(default_rate)
-    return df.filter(b < (rate * BUCKETS).cast("int"))
+        t = int(round(r * BUCKETS))
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    default_thr = int(round(default_rate * BUCKETS))
+    thr = F.lit(default_thr) if thr is None else thr.otherwise(default_thr)
+    return df.filter(b < thr)
 
 
 def deterministic_shuffle(

@@ -135,9 +135,13 @@ def minhash_signature_cols(
     than ``k`` words have no shingles -> NULL signature (callers filter).
     Returns the column list."""
     ws = F.split(F.col(text_col), " ")
+    # total expression: greatest(size-k, 0) keeps the sequence ascending for
+    # docs shorter than k words (a descending sequence(0,-1,...) would be a
+    # runtime error if Spark ever hoisted this out of the size>=k CaseWhen
+    # guard below — don't rely on lazy branch evaluation)
     sh = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.size(ws) - k),
+            F.sequence(F.lit(0), F.greatest(F.size(ws) - k, F.lit(0))),
             lambda i: F.concat_ws(" ", F.slice(ws, i + 1, k)),
         )
     )

@@ -19,9 +19,16 @@ Every stage is O(distinct/n_partitions) per task.  For DISTINCT inputs
 row-position == dense_rank, so the result is bit-identical to the SQL
 oracle's ``dense_rank() OVER (ORDER BY col) - 1``.
 
-Determinism constraint: both passes re-execute ``repartitionByRange``;
-its sampled boundaries reproduce only over deterministic inputs (scans,
-hash shuffles — the ``distinct()`` here qualifies).  See
+Determinism: the ranged DataFrame is ``persist()``-ed and materialized
+by the counts action, so the numbering pass reads the SAME physical
+partitioning instead of re-executing ``repartitionByRange`` (whose
+RangePartitioner seeds its reservoir sample with the runtime rdd.id —
+boundaries can differ between two separate jobs even on deterministic
+input once partitions exceed the sample size).  Eviction is safe: a
+recomputed cached partition replays the one captured RDD lineage (same
+rdd.id, same sample), unlike a fresh job.  The cache is the size of the
+distinct keys; callers running many unrelated jobs in one session can
+``spark.catalog.clearCache()`` between them.  See
 ``dataset.deterministic_shuffle`` for the content-defined-bucket variant
 used when the key distribution is known-uniform.
 """
@@ -48,9 +55,14 @@ def dense_ids(
     if n_partitions is None:
         n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     distinct = df.select(col).distinct()
-    ranged = distinct.repartitionByRange(n_partitions, F.col(col)).sortWithinPartitions(col)
+    ranged = (
+        distinct.repartitionByRange(n_partitions, F.col(col))
+        .sortWithinPartitions(col)
+        .persist()  # pin ONE sampled partitioning for both passes (module docstring)
+    )
 
-    # per-partition counts -> global offsets (tiny: n_partitions rows)
+    # per-partition counts -> global offsets (tiny: n_partitions rows);
+    # this action also materializes the persisted partitioning
     counts = (
         ranged.select(F.spark_partition_id().alias("__pid"))
         .groupBy("__pid")

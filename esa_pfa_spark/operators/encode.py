@@ -71,23 +71,28 @@ def target_encode_expanding(
     out_prefix: str = "te",
 ) -> DataFrame:
     """Leakage-free target encoding: for each row, the mean target of the
-    SAME category over STRICTLY EARLIER rows (expanding window ending at
-    -1).  The first row of a category gets null — there is no past.  The
-    classic leaky form (whole-dataset category mean) trains on the
-    label; this expanding form is the PIT-correct one, same contract as
-    the engine's as-of core (zero temporal leakage).
+    SAME category over STRICTLY EARLIER TIMESTAMPS (RANGE frame ending at
+    1 PRECEDING over epoch micros).  The first timestamp of a category
+    gets null — there is no past.  The classic leaky form (whole-dataset
+    category mean) trains on the label; this expanding form is the
+    PIT-correct one, same contract as the engine's as-of core (zero
+    temporal leakage).
+
+    RANGE, not ROWS: a ROWS frame ordered by (ts, tiebreak) would include
+    same-timestamp rows that merely sort earlier — equal-ts label leakage
+    (and a nondeterministic encoding with no tiebreak).  The RANGE frame
+    is a pure function of ts, so it is deterministic by construction;
+    ``tiebreak`` is kept for signature compatibility but no longer
+    affects the result.
 
     Sums accumulate as decimal(18,6) (exact, order-independent) so the
     encoding is bit-stable under any partitioning and matches the SQL
-    oracle.  ``tiebreak`` orders simultaneous rows (required for a
-    deterministic encoding under ts collisions)."""
-    order = [F.col(ts).asc()]
-    if tiebreak:
-        order.append(F.col(tiebreak).asc())
+    oracle."""
+    del tiebreak  # RANGE frame is ts-determined; see docstring
     w = (
         Window.partitionBy(category)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .orderBy(F.unix_micros(F.col(ts).cast("timestamp")))
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
     cnt = F.count(target).over(w)
     s = F.sum(F.col(target).cast("decimal(18,6)")).over(w)

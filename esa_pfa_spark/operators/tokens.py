@@ -142,20 +142,27 @@ def pack_offsets(
     _in_doc``/``n_in_chunk`` (0-based half-open span of this doc's tokens
     inside the window), ``n_tok``.
 
-    Determinism constraint: the offsets pass and the numbering pass each
-    re-execute ``repartitionByRange``, whose sampled boundaries are only
-    reproducible when the INPUT is (file scans, hash shuffles — not
-    round-robin ``repartition()``/``sample()``/``limit()`` upstreams).
-    ``dataset.deterministic_shuffle`` shows the content-defined-bucket
-    alternative for keys with a known-uniform distribution; order keys
-    here are arbitrary strings, so sampling is the right tool and the
-    constraint is documented instead."""
+    Determinism: the ranged DataFrame is ``persist()``-ed and materialized
+    by the offsets action, so the numbering pass reads the SAME physical
+    partitioning instead of re-executing ``repartitionByRange``.  Without
+    the pin, RangePartitioner seeds its reservoir sample with the runtime
+    rdd.id — two separate jobs can sample DIFFERENT boundaries even on
+    fully deterministic input once partitions exceed the ~100-row sample,
+    silently corrupting tok_start near boundaries (invisible at test
+    scale, where partitions are sampled exhaustively).  Eviction is safe:
+    a recomputed cached partition replays the one captured RDD lineage
+    (same rdd.id, same sample).  The cache holds only the
+    (order_cols, n_tok) projection; sessions running many unrelated jobs
+    can ``spark.catalog.clearCache()`` between them."""
     spark = df.sparkSession
     if n_partitions is None:
         n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     base = df.filter(F.col(ntok_col) > 0).select(*order_cols, F.col(ntok_col).alias("n_tok"))
-    ranged = base.repartitionByRange(n_partitions, *[F.col(c) for c in order_cols]) \
-                 .sortWithinPartitions(*order_cols)
+    ranged = (
+        base.repartitionByRange(n_partitions, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .persist()  # pin ONE sampled partitioning for both passes (docstring)
+    )
 
     sums = (
         ranged.select(F.spark_partition_id().alias("__pid"), "n_tok")

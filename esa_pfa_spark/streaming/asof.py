@@ -12,8 +12,13 @@ stream-static enrichment when the join is not a plain equi-join:
    batch side automatically when it fits;
  * semantics are IDENTICAL to the batch operator by construction — one
    code path, one test surface (no reimplemented window logic to drift);
- * exactly-once to file sinks comes from the streaming checkpoint +
-   idempotent-by-batchId parquet append.
+ * ``foreachBatch`` is at-least-once: a micro-batch can be REPLAYED after
+   a failure, so the sink write must be idempotent by batch id.  Each
+   batch overwrites its own ``sink_path/batch_id=<id>`` directory — a
+   replay rewrites the same files instead of appending duplicates, which
+   together with the streaming checkpoint gives end-to-end exactly-once
+   to the file sink.  Readers of ``sink_path`` see ``batch_id`` as a
+   discovered partition column.
 
 A pure stream-static join + streaming max_by aggregation could express
 backward-as-of natively, but needs a watermarked streaming aggregation
@@ -32,6 +37,39 @@ from typing import Iterable
 from pyspark.sql import DataFrame
 
 from esa_pfa_spark.operators.asof import asof_join
+
+
+def batch_enricher(
+    observations: DataFrame,
+    sink_path: str,
+    *,
+    on: str | list[str] = "entity_id",
+    probe_ts: str = "query_ts",
+    obs_ts: str = "ts",
+    payload: Iterable[str] | None = None,
+    direction: str = "backward",
+    tolerance=None,
+):
+    """The per-micro-batch function: as-of enrich, then an IDEMPOTENT
+    write — each batch owns ``sink_path/batch_id=<id>`` and overwrites it
+    wholesale, so an at-least-once ``foreachBatch`` replay rewrites the
+    same directory instead of appending duplicates.  Exposed as a module
+    function so replay idempotency is directly testable."""
+
+    def _enrich(batch_df: DataFrame, batch_id: int) -> None:
+        out = asof_join(
+            batch_df,
+            observations,
+            on=on,
+            probe_ts=probe_ts,
+            obs_ts=obs_ts,
+            payload=payload,
+            direction=direction,
+            tolerance=tolerance,
+        )
+        out.write.mode("overwrite").parquet(f"{sink_path}/batch_id={int(batch_id)}")
+
+    return _enrich
 
 
 def stream_asof_features(
@@ -53,20 +91,16 @@ def stream_asof_features(
     ``trigger``: kwargs for ``DataStreamWriter.trigger`` (default
     ``{"availableNow": True}`` — drain what's there and stop; pass e.g.
     ``{"processingTime": "10 seconds"}`` for continuous serving)."""
-
-    def _enrich(batch_df: DataFrame, batch_id: int) -> None:
-        out = asof_join(
-            batch_df,
-            observations,
-            on=on,
-            probe_ts=probe_ts,
-            obs_ts=obs_ts,
-            payload=payload,
-            direction=direction,
-            tolerance=tolerance,
-        )
-        out.write.mode("append").parquet(sink_path)
-
+    _enrich = batch_enricher(
+        observations,
+        sink_path,
+        on=on,
+        probe_ts=probe_ts,
+        obs_ts=obs_ts,
+        payload=payload,
+        direction=direction,
+        tolerance=tolerance,
+    )
     writer = (
         probe_stream.writeStream.foreachBatch(_enrich)
         .option("checkpointLocation", checkpoint_path)

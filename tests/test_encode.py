@@ -40,8 +40,12 @@ def test_target_encoding_never_sees_self_or_future(spark):
     assert out[4]["te_mean"] is None                           # other cat
 
 
-def test_target_encoding_ts_collision_deterministic(spark):
-    rows = [("u", T0, 1.0, 2), ("u", T0, 5.0, 1)]  # same ts, rid orders them
+def test_target_encoding_ts_collision_no_same_ts_leak(spark):
+    """Same-timestamp rows must see NEITHER each other nor themselves
+    (RANGE frame over epoch micros): a ROWS frame would leak the earlier-
+    sorted same-ts label into the later one."""
+    rows = [("u", T0, 1.0, 2), ("u", T0, 5.0, 1),
+            ("u", T0 + dt.timedelta(hours=1), 9.0, 3)]
     df = spark.createDataFrame(
         pd.DataFrame(rows, columns=["cat", "ts", "y", "rid"])
     )
@@ -51,8 +55,9 @@ def test_target_encoding_ts_collision_deterministic(spark):
             df, category="cat", target="y", ts="ts", tiebreak="rid"
         ).collect()
     }
-    assert out[1]["te_mean"] is None            # rid 1 is first
-    assert out[2]["te_mean"] == pytest.approx(5.0)
+    assert out[1]["te_mean"] is None and out[1]["te_n"] == 0
+    assert out[2]["te_mean"] is None and out[2]["te_n"] == 0
+    assert out[3]["te_mean"] == pytest.approx(3.0) and out[3]["te_n"] == 2
 
 
 def test_zscore_constant_group_is_null(spark):

@@ -98,6 +98,51 @@ def test_stream_asof_resumes_from_checkpoint(spark, tmp_path):
     assert not out.duplicated(subset=["entity_id", "query_ts"]).any()
 
 
+def test_stream_asof_replayed_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running the SAME (batch_df,
+    batch_id) — as Spark does after a failure mid-batch — must not
+    duplicate sink rows (each batch overwrites its own batch_id=<id>
+    directory)."""
+    from esa_pfa_spark.streaming.asof import batch_enricher
+
+    sink = tmp_path / "out"
+    enrich = batch_enricher(
+        _obs(spark), str(sink), tolerance=dt.timedelta(hours=3)
+    )
+    probes = spark.createDataFrame(
+        _probes(1)[0], "entity_id string, query_ts timestamp"
+    )
+    enrich(probes, 0)
+    once = (
+        spark.read.parquet(str(sink))
+        .toPandas()
+        .sort_values(["entity_id", "query_ts"])
+        .reset_index(drop=True)
+    )
+    enrich(probes, 0)  # replay of batch 0
+    enrich(
+        spark.createDataFrame(
+            _probes(2)[1], "entity_id string, query_ts timestamp"
+        ),
+        1,
+    )
+    out = (
+        spark.read.parquet(str(sink))
+        .toPandas()
+        .sort_values(["entity_id", "query_ts"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 4
+    assert not out.duplicated(subset=["entity_id", "query_ts"]).any()
+    replayed = (
+        out[out["batch_id"] == 0]
+        .drop(columns=["batch_id"])
+        .sort_values(["entity_id", "query_ts"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(replayed, once.drop(columns=["batch_id"]))
+
+
 def stream_src(spark, src):
     return (
         spark.readStream.schema("entity_id string, query_ts timestamp")
