@@ -1906,6 +1906,142 @@ FROM s QUALIFY rank <= 10
 """
 
 
+def q_ann_ivf_multiprobe(spark, sf_dir):
+    """Multi-probe IVF ANN (similarity.ann_topk_ivf, nprobe=2): the probe
+    searches its TWO nearest cells — the production recall remedy for the
+    single-cell miss mode (true neighbor assigned to the runner-up cell).
+    Deterministic cell order (dot desc, ties to lowest index) => exact
+    oracle.  Recall-vs-nprobe contract: tests/test_similarity.py."""
+    from esa_pfa_spark.operators.similarity import ann_topk_ivf
+
+    emb = _ld(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return ann_topk_ivf(
+        emb.filter(F.col("vec_id") != 0), probe, _ivf_centroids(), k=10, nprobe=2
+    )
+
+
+def _ivf_multiprobe_sql(nprobe: int = 2) -> str:
+    cents = _ivf_centroids()
+
+    def dots(vec):
+        return ", ".join(
+            f"list_dot_product({vec}::DOUBLE[], [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+            for c in cents
+        )
+
+    # probe's top-P cells: rank cell indices by dot desc, index asc
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+a AS (SELECT vec_id, embedding,
+             CAST(list_position(d, list_max(d)) AS INT) AS cl
+      FROM (SELECT vec_id, embedding, [{dots("embedding")}] AS d
+            FROM embeddings WHERE vec_id != 0)),
+p AS (SELECT qv, [{dots("qv")}] AS d FROM q),
+pc AS (SELECT CAST(i AS INT) AS cl
+       FROM (SELECT unnest(d) AS val, generate_subscripts(d, 1) AS i FROM p)
+       ORDER BY val DESC, i ASC LIMIT {nprobe}),
+s AS (SELECT a.vec_id,
+             list_dot_product(a.embedding::DOUBLE[], q.qv::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) AS cos
+      FROM a JOIN pc ON a.cl = pc.cl CROSS JOIN q)
+SELECT vec_id, CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank
+FROM s QUALIFY rank <= 10
+"""
+
+
+def q_ann_lsh_multiprobe(spark, sf_dir):
+    """Hamming-radius-1 multi-probe LSH ANN: the probe also searches every
+    bucket one sign-bit away (9 buckets at 8 planes) — recovers neighbors
+    that landed just across one hyperplane, the dominant LSH miss mode."""
+    emb = _ld(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return SIM.ann_topk_lsh(
+        emb.filter(F.col("vec_id") != 0), probe, k=10, n_planes=8, seed=7, dim=64,
+        hamming_radius=1,
+    )
+
+
+def _ann_lsh_multiprobe_sql(n_planes: int = 8) -> str:
+    sig = _sig_sql("embedding")
+    qsig = _sig_sql("qv")
+    popcount = " + ".join(
+        f"((xor(({sig}), ({qsig})) >> {b}) & 1)" for b in range(n_planes)
+    )
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT e.vec_id, e.embedding, q.qv
+  FROM embeddings e, q
+  WHERE e.vec_id != 0 AND ({popcount}) <= 1),
+s AS (
+  SELECT vec_id,
+         list_dot_product(embedding::DOUBLE[], qv::DOUBLE[])
+         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))) AS cos
+  FROM cand)
+SELECT vec_id, CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank
+FROM s QUALIFY rank <= 10
+"""
+
+
+def _cv_grid():
+    # 11 x 10, the reference's SVM grid shape (SVM.java:219-260)
+    scales = [round(0.1 * i, 1) for i in range(11)]          # 0.0 .. 1.0
+    biases = [round(-0.5 + 0.1 * j, 1) for j in range(10)]   # -0.5 .. 0.4
+    return [(s, b) for s in scales for b in biases]
+
+
+def _cv_weights():
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    return rng.standard_normal(64).astype(np.float64)
+
+
+def q_cv_grid_pick(spark, sf_dir):
+    """Distributed CV grid selection (scoring.cv_grid_scores): 110 linear
+    scorers s*(w.x)+b evaluated under 5-fold CV in ONE data pass (grid as
+    an exploded literal, two partial-agg shuffles of |grid| rows); target
+    y = the vector's first component, fold = md5 bucket of vec_id.
+    Reference analog: the 11x10 SVM grid search + 5-fold CV
+    (SVM.java:219-260)."""
+    from esa_pfa_spark.operators.scoring import cv_grid_scores
+
+    emb = _ld(spark, sf_dir, "embeddings")
+    data = emb.select(
+        "vec_id", "embedding",
+        F.element_at("embedding", 1).cast("double").alias("y"),
+    )
+    return cv_grid_scores(
+        data, _cv_weights(), _cv_grid(), label_col="y", id_col="vec_id",
+        n_folds=5, seed=0,
+    )
+
+
+def _cv_grid_sql() -> str:
+    w = ", ".join(repr(float(x)) for x in _cv_weights())
+    grid_rows = ", ".join(f"({s!r}, {b!r})" for s, b in _cv_grid())
+    return f"""
+WITH d AS (
+  SELECT CAST(('0x' || substr(md5('0:' || CAST(vec_id AS VARCHAR)), 1, 6)) AS INTEGER)
+             % 10000 % 5 AS fold,
+         list_dot_product(embedding::DOUBLE[], [{w}]::DOUBLE[]) AS dd,
+         CAST(embedding[1] AS DOUBLE) AS y
+  FROM embeddings),
+g AS (SELECT * FROM (VALUES {grid_rows}) AS t(scale, bias)),
+fl AS (SELECT g.scale, g.bias, d.fold,
+              avg((g.scale * d.dd + g.bias - d.y) * (g.scale * d.dd + g.bias - d.y)) AS l
+       FROM d CROSS JOIN g GROUP BY g.scale, g.bias, d.fold),
+cv AS (SELECT scale, bias, round(avg(l), 6) AS cv_loss
+       FROM fl GROUP BY scale, bias)
+SELECT CAST(scale AS DOUBLE) AS scale, CAST(bias AS DOUBLE) AS bias, cv_loss,
+       CAST(row_number() OVER (ORDER BY cv_loss, scale, bias) AS INT) AS rank
+FROM cv
+"""
+
+
 def q_flag_predicate(spark, sf_dir):
     """§2.8 flag/bit predicates (l1_flags.INVALID analog): synthesize an
     8-bit flag word from event_id, count rows matching bitmask tests."""
@@ -3402,6 +3538,28 @@ def q_bpe_merge_table(spark, sf_dir):
     return table
 
 
+def q_bpe_sampled_apply(spark, sf_dir):
+    """BPE at scale (tokens.bpe_train_sampled): merge table trained
+    driver-side on a deterministic sample, then ALL 256 rules applied
+    corpus-wide in ONE map-only mapInPandas pass — vs bpe_train's
+    one-full-corpus-rewrite-per-round.  Output: per-doc merged length +
+    md5 fingerprint of the merged sequence (deterministic).  Iterative
+    trainer => no SQL oracle (rows-only); exactness of the one-pass apply
+    vs the per-round trainer is tested in tests/test_bpe.py."""
+    from esa_pfa_spark.operators.tokens import bpe_train_sampled
+
+    toks = _tokenized_docs(spark, sf_dir).select("doc_id", "tokens")
+    _, applied, _ = bpe_train_sampled(toks, n_merges=256, sample_docs=10_000)
+    merged_str = F.array_join(
+        F.transform(F.col("tokens"), lambda x: x.cast("string")), ","
+    )
+    return applied.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_merged"),
+        F.md5(merged_str).alias("merged_fp"),
+    )
+
+
 def q_salted_join(spark, sf_dir):
     """Skew-remedy salted equi-join (skew.salted_join): orders x customer
     on custkey via (key, salt) with the right side explode-replicated —
@@ -3772,6 +3930,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "most_ambiguous_pick": (q_most_ambiguous, _most_ambiguous_sql()),
     "asof_backward_multikey_3d": (q_asof_multikey, SQL_ASOF_MULTIKEY),
     "ann_ivf_topk": (q_ann_ivf_topk, _ivf_sql()),
+    "ann_ivf_multiprobe": (q_ann_ivf_multiprobe, _ivf_multiprobe_sql()),
+    "cv_grid_pick": (q_cv_grid_pick, _cv_grid_sql()),
+    "ann_lsh_multiprobe_r1": (q_ann_lsh_multiprobe, _ann_lsh_multiprobe_sql()),
     "kmeans_train_centroids": (q_kmeans_centroids, SQL_KMEANS_CENTROIDS),
     "kmeans_cluster_sizes": (q_kmeans_sizes, SQL_KMEANS_SIZES),
     "ann_ivf_trained_topk": (q_ann_ivf_trained, SQL_ANN_IVF_TRAINED),
@@ -3782,6 +3943,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "psi_value_drift": (q_psi_drift, SQL_PSI_DRIFT),
     "salted_join_custorders": (q_salted_join, SQL_SALTED_JOIN),
     "bpe_merge_table": (q_bpe_merge_table, None),
+    "bpe_sampled_apply_256": (q_bpe_sampled_apply, None),
     "mg_heavy_hitters_top20": (q_mg_heavy_hitters, SQL_MG_HEAVY_HITTERS),
     "zscore_by_user": (q_zscore_by_user, SQL_ZSCORE_BY_USER),
     "winsorize_by_type": (q_winsorize_by_type, SQL_WINSORIZE_BY_TYPE),

@@ -312,6 +312,83 @@ def asof_join_pandas(
     return cg.applyInPandas(merge2, schema=out_schema)
 
 
+def asof_join_auto(
+    probes: DataFrame,
+    observations: DataFrame,
+    on: str = "entity_id",
+    probe_ts: str = "query_ts",
+    obs_ts: str = "ts",
+    payload: Iterable[str] | None = None,
+    direction: str = "backward",
+    tolerance=None,
+    hot_rows: int = 5_000_000,
+    chunk=None,
+) -> DataFrame:
+    """As-of join with AUTOMATIC hot-key dispatch.
+
+    The JVM union+window plan sorts each key's whole timeline in one task,
+    and AQE skew handling never applies to window sorts — so one
+    pathological entity (a Zipf head key at 100x scale) is one straggler
+    task, invisible to every runtime remedy.  This wrapper spends one
+    cheap partial-agg pass counting observations per key, then routes:
+
+      * keys with more than ``hot_rows`` observations -> the chunked
+        cogrouped path (``asof_join_pandas(chunk=...)``): the hot timeline
+        becomes ceil(span/chunk) bounded tasks, exact by tolerance-width
+        replication (chunk defaults to the tolerance);
+      * every other key -> the JVM plan unchanged;
+      * results are unioned by name — row-identical to ``asof_join`` on
+        the whole input (tested in tests/test_asof.py).
+
+    The hot-key list is collected to the driver — it is bounded by
+    |input| / hot_rows keys (at the 5M default, <=200k keys per 10^12
+    rows; in practice a handful), shipped back as an ``isin`` literal so
+    both branch filters push down to the scan.  ``tolerance`` is required
+    only when a hot key actually exists (the chunked path needs the
+    replication bound).  Single join key (the chunked path's contract).
+
+    Default ``hot_rows`` sizing: 5M rows of (ts + payload) is roughly a
+    1-2 GB sort in one task — the point where a window-sort task becomes
+    the stage straggler and spills; tune per payload width.
+
+    Reference analog: PatchCS assumes uniform grid keys
+    (pfa-bitemp-fex/.../PatchCS.java:57-61); real entity keys are Zipfian,
+    so the engine dispatches instead of assuming."""
+    hot = [
+        r[0]
+        for r in (
+            observations.groupBy(on)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > hot_rows)
+            .select(on)
+            .collect()
+        )
+    ]
+    kw = dict(
+        on=on, probe_ts=probe_ts, obs_ts=obs_ts, payload=payload,
+        direction=direction, tolerance=tolerance,
+    )
+    if not hot:
+        return asof_join(probes, observations, **kw)
+    if tolerance is None:
+        raise ValueError(
+            f"asof_join_auto found hot keys {hot[:3]}... but the chunked "
+            "path needs a tolerance bound; pass tolerance="
+        )
+    cold_out = asof_join(
+        probes.filter(~F.col(on).isin(hot)),
+        observations.filter(~F.col(on).isin(hot)),
+        **kw,
+    )
+    hot_out = asof_join_pandas(
+        probes.filter(F.col(on).isin(hot)),
+        observations.filter(F.col(on).isin(hot)),
+        chunk=chunk if chunk is not None else tolerance,
+        **kw,
+    )
+    return cold_out.unionByName(hot_out.select(*cold_out.columns))
+
+
 def asof_join_multi(
     probes: DataFrame,
     sources: Iterable[tuple[str, DataFrame, dict]],

@@ -1,0 +1,220 @@
+"""Pure-stdlib mini-codecs: PNG (8-bit, non-interlaced) and WAV (PCM).
+
+The multimodal plumbing (multimodal.py) was shipped with a documented
+codec stub because this environment has no PIL/ffmpeg.  These parsers
+replace the stub's swap point with REAL format decoding built only on
+``struct`` + ``zlib``:
+
+ * PNG: signature + chunk walk, IHDR metadata, and a full IDAT decode
+   (zlib inflate + per-scanline unfilter, filters 0-4 incl. Paeth) for
+   8-bit gray/gray+alpha/RGB/RGBA non-interlaced images — the subset a
+   deterministic pipeline fixture needs.  Unsupported shapes raise
+   ``UnsupportedMediaError`` (the NotImplementedError contract the stub
+   documented).
+ * WAV: RIFF chunk walk, fmt/data parsing for integer PCM — channels,
+   sample rate, bit depth, sample count, duration.
+
+Matching ENCODERS (filter-0 PNG, PCM WAV) exist so tests can build real
+fixture bytes with zero external dependencies and prove byte-exact
+round-trips.
+
+Reference analog: the quicklook/raster decode path the reference gets
+from JAI (AlgalBloomFeatureWriter.java:216-229) — re-expressed as a
+library-free parser so the Spark-side mapInPandas plumbing exercises a
+genuine decode, not a fake.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color_type -> samples/pixel
+
+
+class UnsupportedMediaError(Exception):
+    """Raised for media this mini-codec does not cover (the production
+    codec's NotImplementedError contract)."""
+
+
+# --------------------------------------------------------------- PNG --
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(data: bytes) -> dict:
+    """Parse + fully decode a PNG.  Returns ``{width, height, channels,
+    bit_depth, pixels}`` with ``pixels`` the unfiltered raw bytes
+    (row-major, ``width*channels`` per row)."""
+    if data[:8] != PNG_SIG:
+        raise UnsupportedMediaError("not a PNG (bad signature)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        (length,), ctype = struct.unpack(">I", data[pos:pos + 4]), data[pos + 4:pos + 8]
+        if pos + 12 + length > len(data):
+            raise UnsupportedMediaError("truncated PNG chunk")
+        body = data[pos + 8:pos + 8 + length]
+        expect_crc = struct.unpack(">I", data[pos + 8 + length:pos + 12 + length])[0]
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != expect_crc:
+            raise UnsupportedMediaError(f"bad CRC in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise UnsupportedMediaError("missing IHDR/IDAT")
+    width, height, bit_depth, color_type, comp, filt, interlace = ihdr
+    if bit_depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise UnsupportedMediaError(
+            f"unsupported PNG shape (depth={bit_depth}, interlace={interlace})"
+        )
+    if color_type not in _PNG_CHANNELS:
+        raise UnsupportedMediaError(f"unsupported color type {color_type}")
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise UnsupportedMediaError("IDAT size mismatch")
+    out = bytearray(height * stride)
+    prev = bytes(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if ftype == 1:    # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                ul = prev[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise UnsupportedMediaError(f"unknown PNG filter {ftype}")
+        out[y * stride:(y + 1) * stride] = line
+        prev = bytes(line)
+    return {
+        "width": width,
+        "height": height,
+        "channels": ch,
+        "bit_depth": bit_depth,
+        "pixels": bytes(out),
+    }
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
+    """Minimal valid PNG writer (8-bit, filter 0 on every scanline)."""
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    if len(pixels) != height * stride:
+        raise ValueError("pixels must be height*width*channels bytes")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y * stride:(y + 1) * stride] for y in range(height)
+    )
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+# --------------------------------------------------------------- WAV --
+
+def decode_wav(data: bytes) -> dict:
+    """Parse a RIFF/WAVE integer-PCM file.  Returns ``{channels,
+    sample_rate, bits_per_sample, n_samples, duration_s}`` (n_samples is
+    per channel)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise UnsupportedMediaError("not a RIFF/WAVE file")
+    pos, fmt, data_len = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            if clen < 16:
+                raise UnsupportedMediaError("short fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data_len = len(body)
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data_len is None:
+        raise UnsupportedMediaError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _byte_rate, block_align, bits = fmt
+    if audio_format != 1:
+        raise UnsupportedMediaError(f"non-PCM WAV (format {audio_format})")
+    if block_align != channels * bits // 8 or block_align == 0:
+        raise UnsupportedMediaError("inconsistent block alignment")
+    n_samples = data_len // block_align
+    return {
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "bits_per_sample": bits,
+        "n_samples": n_samples,
+        "duration_s": n_samples / sample_rate,
+    }
+
+
+def encode_wav(
+    samples: bytes, sample_rate: int = 16_000, channels: int = 1, bits: int = 16
+) -> bytes:
+    """Minimal PCM WAV writer (``samples`` = raw little-endian frames)."""
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(samples)) + samples
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ------------------------------------------------- dispatch for Spark --
+
+def decode_media(payload: bytes, mime: str) -> dict:
+    """Mime-dispatched decode returning the unified metadata row used by
+    ``multimodal.decode_media_batch``: width/height for images,
+    sample_rate/n_samples for audio, nulls for the other modality."""
+    payload = bytes(payload)
+    if mime == "image/png":
+        m = decode_png(payload)
+        return {
+            "width": m["width"], "height": m["height"], "channels": m["channels"],
+            "sample_rate": None, "n_samples": None,
+        }
+    if mime == "audio/wav":
+        m = decode_wav(payload)
+        return {
+            "width": None, "height": None, "channels": m["channels"],
+            "sample_rate": m["sample_rate"], "n_samples": m["n_samples"],
+        }
+    raise UnsupportedMediaError(f"no codec for mime {mime!r}")

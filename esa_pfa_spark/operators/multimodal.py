@@ -2,11 +2,16 @@
 
 Images/audio/video are carried as ``binary`` columns with struct metadata;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` transforms.  The actual codec step is STUBBED (no
-image/audio libraries in this environment) behind ``decode_stub`` — a
-deterministic fake that derives "decoded" metadata purely from the bytes,
-so the Spark-side plumbing (schema, batching, partitioning, UDF signature)
-is real and oracle-checkable while the codec is swappable.
+``mapInPandas`` transforms.  Two codec tiers:
+
+ * ``decode_batch`` — the deterministic fake (oracle-checkable end to
+   end; the SQL oracle mirrors the fake's arithmetic), proving the
+   schema/batch/partitioning plumbing;
+ * ``decode_media_batch`` — a REAL decode through the stdlib PNG/WAV
+   mini-codecs (operators/codecs.py: zlib inflate + scanline unfilter,
+   RIFF walk), fixture-golden-tested — the documented swap point
+   exercised for real.  Heavier formats (JPEG/MP4) still need a real
+   library and slot into the same ``decode_media`` dispatch.
 
 Reference analog: the auxdata raster load + per-patch quicklook path
 (AlgalBloomFeatureWriter.java:216-229; RemoteClassifierService quicklook
@@ -71,6 +76,53 @@ def decode_batch(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), False),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("err", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+    ]
+)
+
+
+def decode_media_batch(df: DataFrame) -> DataFrame:
+    """REAL codec decode (operators.codecs: stdlib PNG + WAV parsers) over
+    the same mapInPandas plumbing as ``decode_batch`` — this is the
+    documented stub swap point exercised for real.  Input rows carry
+    (doc_id, payload binary, mime string); output one metadata row per
+    input with modality-appropriate fields and a per-row ok/err channel
+    (a corrupt payload must not fail the task — the production contract
+    for web-scale media)."""
+    from esa_pfa_spark.operators.codecs import decode_media
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for did, payload, mime in zip(b["doc_id"], b["payload"], b["mime"]):
+                try:
+                    m = decode_media(payload, mime)
+                    rows.append(
+                        {"doc_id": int(did), "mime": mime, "ok": True, "err": None, **m}
+                    )
+                except Exception as e:  # UnsupportedMediaError, truncation, ...
+                    rows.append(
+                        {
+                            "doc_id": int(did), "mime": mime, "ok": False,
+                            "err": str(e)[:200], "width": None, "height": None,
+                            "channels": None, "sample_rate": None, "n_samples": None,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(

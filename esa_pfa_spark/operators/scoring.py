@@ -43,6 +43,68 @@ def score_linear(
     return df.withColumn(out_col, scorer(F.col(vec_col)))
 
 
+def cv_grid_scores(
+    df: DataFrame,
+    weights: np.ndarray,
+    grid: list[tuple[float, float]],
+    label_col: str = "y",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_folds: int = 5,
+    seed: int = 0,
+) -> DataFrame:
+    """Distributed hyperparameter-grid scoring with k-fold CV in ONE data
+    pass — the engine analog of the reference's 11x10 SVM grid search with
+    5-fold cross-validation (pfa-database/.../activelearning/SVM.java:
+    219-260; training itself is out of engine scope per SURVEY §3.3, the
+    grid/CV SELECTION machinery is what this provides).
+
+    Each grid point (scale s, bias b) parameterizes a linear scorer
+    ``s * (w . x) + b`` over the shared base direction ``w``; its loss on
+    a row is the squared error vs ``label_col``; fold assignment is the
+    deterministic md5 bucket of the row id (portable to the SQL oracle).
+    cv_loss(g) = mean over folds of the fold-mean loss — folds weigh
+    equally regardless of size, the standard k-fold estimator.
+
+    Scale shape: ONE dot product per row (JVM left-fold — bit-identical
+    to DuckDB's list_dot_product), the grid rides as an exploded literal
+    (|grid| rows per input row INSIDE the map task; map-side partial agg
+    means the shuffle carries |grid| x n_folds rows, then |grid|), never
+    a per-model pass over the data.  Output: one row per grid point with
+    ``cv_loss`` (rounded 1e-6) and deterministic ``rank`` (cv_loss asc,
+    scale asc, bias asc) — rank 1 is the pick."""
+    from pyspark.sql import Window
+
+    from esa_pfa_spark.operators.dataset import _hash_bucket
+    from esa_pfa_spark.operators.similarity import _dot
+
+    w_lit = F.array(*[F.lit(float(x)) for x in np.asarray(weights, dtype=np.float64)])
+    fold = (_hash_bucket(id_col, seed) % n_folds).alias("fold")
+    base = df.select(
+        fold,
+        _dot(F.col(vec_col), w_lit).alias("__d"),
+        F.col(label_col).cast("double").alias("__y"),
+    )
+    grid_lit = F.array(*[
+        F.struct(F.lit(float(s)).alias("scale"), F.lit(float(b)).alias("bias"))
+        for s, b in grid
+    ])
+    exploded = base.select("fold", "__d", "__y", F.explode(grid_lit).alias("g"))
+    err = F.col("g.scale") * F.col("__d") + F.col("g.bias") - F.col("__y")
+    per_fold = (
+        exploded.groupBy("g.scale", "g.bias", "fold")
+        .agg(F.avg(err * err).alias("__fold_loss"))
+    )
+    cv = per_fold.groupBy("scale", "bias").agg(
+        F.round(F.avg("__fold_loss"), 6).alias("cv_loss")
+    )
+    rank_w = Window.orderBy(
+        F.col("cv_loss").asc(), F.col("scale").asc(), F.col("bias").asc()
+    )
+    # the window is partition-less but runs over |grid| rows only
+    return cv.withColumn("rank", F.row_number().over(rank_w).cast("int"))
+
+
 def classify_threshold(df: DataFrame, decision_col: str = "decision", threshold: float = 0.0) -> DataFrame:
     """Label from decision value: RELEVANT(1) / IRRELEVANT(0) / NONE(-1 for
     null) — the Patch label enum (Patch.java:26-40)."""

@@ -160,16 +160,39 @@ def ann_topk_lsh(
     n_planes: int = 8,
     seed: int = 7,
     dim: int = 64,
+    hamming_radius: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates share the probe's LSH bucket, then exact
     cosine rank within candidates.  The scale path: the probe bucket prunes
-    the scan to ~1/2^n_planes of the table."""
+    the scan to ~1/2^n_planes of the table.
+
+    ``hamming_radius=1`` is the multi-probe form: near neighbors that land
+    just across ONE hyperplane (the dominant miss mode — a vector close to
+    the probe differs in few sign bits) are recovered by also searching
+    every bucket at Hamming distance 1 from the probe's signature —
+    n_planes+1 buckets instead of 1, still ~(n_planes+1)/2^n_planes of the
+    table.  Deterministic, so exactly oracle-able; recall vs exact
+    cosine_topk is contract-tested at radius 0 and 1
+    (tests/test_similarity.py)."""
+    if hamming_radius not in (0, 1):
+        raise ValueError("hamming_radius must be 0 or 1")
     sigs = lsh_signature(embeddings, n_planes, seed, dim)
     withsig = embeddings.join(sigs, "vec_id")
     psig = lsh_signature(
         probe.withColumnRenamed("q", "embedding"), n_planes, seed, dim, id_col=None
     )
-    probe2 = probe.crossJoin(F.broadcast(psig.select(F.col("lsh_sig").alias("__psig"))))
+    base = F.col("lsh_sig")
+    if hamming_radius == 1:
+        expanded = F.array(base, *[
+            base.bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)
+        ])
+    else:
+        expanded = F.array(base)
+    probe2 = probe.crossJoin(
+        F.broadcast(psig.select(F.explode(expanded).alias("__psig")))
+    )
+    # buckets in the expansion are distinct, so each candidate row matches
+    # at most one probe bucket — no dedup needed
     cand = withsig.crossJoin(F.broadcast(probe2)).filter(F.col("lsh_sig") == F.col("__psig"))
     scored = cand.select("vec_id", cosine(F.col("embedding"), F.col("q")).alias("cos"))
     return _rank_topk(scored, k, "vec_id")
@@ -234,6 +257,63 @@ def ivf_assign(
         return pd.Series((d.argmax(axis=1) + 1).astype(np.int32))
 
     return df.withColumn("ivf_cluster", assign(F.col(vec_col)))
+
+
+def ivf_assign_topp(
+    df: DataFrame,
+    centroids,
+    nprobe: int,
+    vec_col: str = "q",
+    out_col: str = "ivf_cells",
+) -> DataFrame:
+    """Multi-probe IVF quantizer for the QUERY side: append ``out_col`` =
+    the 1-based indices of the ``nprobe`` nearest centroids by inner
+    product, ordered dot desc with ties to the lowest index (stable
+    argsort) — the P cells the probe will search.  Data vectors stay
+    single-cell (``ivf_assign``): multi-probe widens the QUERY's candidate
+    set, never duplicates storage."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    p = int(min(nprobe, len(cents)))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(v: pd.Series) -> pd.Series:
+        m = np.vstack([np.asarray(x, dtype=np.float64) for x in v])
+        d = m @ cents.T
+        order = np.argsort(-d, axis=1, kind="stable")  # ties -> lower index
+        return pd.Series([(row[:p] + 1).astype(np.int32).tolist() for row in order])
+
+    return df.withColumn(out_col, assign(F.col(vec_col)))
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    probe: DataFrame,
+    centroids,
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with multi-probe: data vectors live in their single nearest
+    cell; the probe searches its ``nprobe`` nearest cells (union of cells,
+    exact cosine re-rank inside).  nprobe=1 is the classic single-cell
+    IVF; production ANN at 10^12 vectors runs nprobe>1 to hit recall
+    targets — a vector whose nearest centroid differs from its probe's is
+    the dominant single-cell miss mode, recovered by widening the probe.
+
+    Scale shape: candidates = scan pruned to ~nprobe/n_cells of the table
+    (cell filter pushes to the scan when cells are a partition/cluster
+    key); ranking is TakeOrderedAndProject.  Deterministic (stable
+    centroid order, ties to lowest index) => exactly oracle-able."""
+    assigned = ivf_assign(embeddings, centroids, vec_col=vec_col)
+    pcells = ivf_assign_topp(probe, centroids, nprobe, vec_col="q")
+    cand = assigned.crossJoin(F.broadcast(pcells)).filter(
+        F.array_contains(F.col("ivf_cells"), F.col("ivf_cluster"))
+    )
+    scored = cand.select(
+        id_col, cosine(F.col(vec_col), F.col("q")).alias("cos")
+    )
+    return _rank_topk(scored, k, id_col)
 
 
 def quantize_int8(df: DataFrame, vec_col: str = "embedding", out_col: str = "q8") -> DataFrame:

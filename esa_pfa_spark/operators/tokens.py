@@ -683,6 +683,136 @@ def bpe_train(
     return merges, cur, table
 
 
+def bpe_apply(
+    df: DataFrame,
+    merges,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Apply a LEARNED BPE merge table corpus-wide in ONE pass — the scale
+    path.  ``bpe_train`` rewrites the whole corpus once per merge round
+    (n_merges scans + localCheckpoint materializations: exact, and the
+    right oracle, but unusable at a real vocab size).  Encoding with a
+    FIXED rule table needs no global counts, so all rules apply in a
+    single ``mapInPandas`` scan: per Arrow batch, the rules run in rank
+    order over the flattened batch corpus via the same vectorized merge
+    kernel the trainer uses (``_merge_pair_batch``) — numpy throughout,
+    zero shuffles, map-only.
+
+    Rank-order per-batch application is EXACTLY equivalent to the
+    trainer's corpus-wide rounds: a merge rule only reads local adjacency
+    within a row, so "round r over every row" == "rows in any grouping,
+    rules in rank order" (parity-tested against ``bpe_train``'s merged
+    corpus in tests/test_bpe.py).
+
+    ``merges``: the merge-table DataFrame from ``bpe_train``/
+    ``bpe_train_sampled`` or the equivalent list of dicts; collected to
+    the driver (O(n_merges) rows) and shipped as task state.
+
+    Reference analog: the fixed up-front vocab regime of the reference's
+    DatasetDescriptor (pfa-core/.../op/DatasetDescriptor.java:10-77) —
+    train once, apply everywhere."""
+    if isinstance(merges, DataFrame):
+        merges = [r.asDict() for r in merges.collect()]
+    rules = sorted(
+        ((int(m["rank"]), int(m["t1"]), int(m["t2"]), int(m["new_id"])) for m in merges)
+    )
+    out_schema = df.schema
+
+    def apply_all(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            arrs = list(pdf[tokens_col])
+            for _rank, a, b, nid in rules:
+                arrs = _merge_pair_batch(arrs, a, b, nid)
+            pdf[tokens_col] = arrs
+            yield pdf
+
+    return df.mapInPandas(apply_all, schema=out_schema)
+
+
+def bpe_train_local(arrs, n_merges: int, new_id_start: int = 1_000_000) -> list[dict]:
+    """Driver-side vectorized BPE trainer over an in-memory (sampled)
+    corpus: each round counts adjacent pairs on the flattened corpus
+    (np.unique), picks the deterministic argmax (count desc, pair asc),
+    and merges via ``_merge_pair_batch``.  Same semantics and stop rule
+    (best count < 2) as ``bpe_train`` — this is the trainer for
+    ``bpe_train_sampled``, where the sample fits one process and 256
+    numpy rounds beat 256 Spark jobs by orders of magnitude."""
+    arrs = [np.asarray(a, dtype=np.int64) for a in arrs]
+    merges: list[dict] = []
+    for r in range(n_merges):
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+        if lens.sum() == 0:
+            break
+        flat = np.concatenate(arrs) if len(arrs) > 1 else arrs[0]
+        if len(flat) < 2:
+            break
+        ends = np.cumsum(lens)
+        pos = np.arange(len(flat) - 1)
+        row = np.searchsorted(ends, pos, side="right")
+        inside = pos + 1 < ends[row]          # pair must not straddle rows
+        p1, p2 = flat[:-1][inside], flat[1:][inside]
+        if p1.size == 0:
+            break
+        pairs = np.stack([p1, p2], axis=1)
+        uniq, counts = np.unique(pairs, axis=0, return_counts=True)
+        best_cnt = int(counts.max())
+        if best_cnt < 2:
+            break
+        cand = uniq[counts == best_cnt]
+        i = np.lexsort((cand[:, 1], cand[:, 0]))[0]   # smallest (t1, t2)
+        a, b = int(cand[i, 0]), int(cand[i, 1])
+        nid = new_id_start + r
+        merges.append(
+            {"rank": r + 1, "t1": a, "t2": b, "new_id": nid, "pair_count": best_cnt}
+        )
+        arrs = _merge_pair_batch(arrs, a, b, nid)
+    return merges
+
+
+def bpe_train_sampled(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    n_merges: int = 256,
+    sample_docs: int = 10_000,
+    seed: int = 0,
+    new_id_start: int = 1_000_000,
+) -> tuple[list[dict], DataFrame, DataFrame]:
+    """BPE at corpus scale: train the merge table on a DETERMINISTIC
+    sample, then apply it corpus-wide in ONE map-only pass (``bpe_apply``)
+    — n_merges + 1 corpus scans collapse to one scan plus a sample-sized
+    training job.  This is the standard production shape (tokenizers are
+    trained on samples); ``bpe_train`` remains the exact full-corpus
+    oracle.
+
+    The sample (``deterministic_sample``: ORDER BY xxhash64(seed, id)
+    LIMIT n — a pure function of the data, reproducible across cluster
+    sizes) is collected to the driver: sample_docs * mean_tokens int64s
+    (10k docs x 1k tokens = 80 MB) — size ``sample_docs`` to the driver
+    heap; the FULL corpus never leaves the executors.
+
+    Returns (merges, applied corpus DataFrame, merge-table DataFrame)."""
+    from esa_pfa_spark.plans.query import deterministic_sample
+
+    sample = deterministic_sample(
+        df.select(id_col, tokens_col), sample_docs, [id_col], seed=seed
+    )
+    arrs = [
+        np.asarray(r[tokens_col], dtype=np.int64)
+        for r in sample.collect()
+        if r[tokens_col] is not None
+    ]
+    merges = bpe_train_local(arrs, n_merges, new_id_start)
+    spark = df.sparkSession
+    table = spark.createDataFrame(
+        [(m["rank"], m["t1"], m["t2"], m["new_id"], m["pair_count"]) for m in merges]
+        or [],
+        "rank int, t1 long, t2 long, new_id long, pair_count long",
+    )
+    return merges, bpe_apply(df, merges, tokens_col), table
+
+
 def mg_heavy_hitters(
     df: DataFrame,
     tokens_col: str = "tokens",

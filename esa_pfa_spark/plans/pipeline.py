@@ -121,13 +121,11 @@ def feature_table_fused(
 
     Physical shape: 1 Exchange + 2 in-partition Sorts (the second for the
     per-session count) + 1 ArrowEval.  Output == feature_table (tested).
-    """
-    gap_us = int(DEFAULT_SESSION_GAP.total_seconds() * 1e6)
-    tol_us = int(
-        (tolerance.total_seconds() if hasattr(tolerance, "total_seconds") else float(tolerance))
-        * 1e6
-    )
 
+    The full ``tokens`` array rides the exchange + window sorts here; see
+    ``feature_table_slim`` for the narrow-shuffle variant that fetches
+    tokens by row key AFTER the as-of.
+    """
     obs_side = observations.select(
         "entity_id",
         F.col("ts").alias("__ts"),
@@ -151,6 +149,95 @@ def feature_table_fused(
     # the plan at ONE shuffle (mapInArrow after a repartition would force
     # the window sort to re-exchange — see enrich_observations docstring)
     u = token_stats_arrow(u, "tokens")  # null stats on probe rows, zero-copy
+    return _fused_fill(u, tolerance, FEATURE_PAYLOAD)
+
+
+def feature_table_slim(
+    observations: DataFrame,
+    probes: DataFrame,
+    tolerance=DEFAULT_TOLERANCE,
+    row_key: str = "doc_id",
+) -> DataFrame:
+    """``feature_table_fused`` with a NARROW shuffle: the ``tokens`` array
+    (the fat column — mean 64 int32s vs ~120 bytes of scalars) never rides
+    the exchange, the two window sorts, or the as-of struct fill.
+
+      1. token stats map-side on the observation SCAN (Arrow UDF at scan
+         parallelism), then DROP tokens — the union carries only scalars
+         plus ``row_key`` (a unique observation id, e.g. doc_id);
+      2. the identical one-Exchange window/as-of fill as the fused plan;
+      3. ONE equi-join on ``row_key`` fetches the matched row's tokens —
+         left join, so out-of-tolerance probes keep null tokens.
+
+    Exactness: the fill carries the matched observation's unique row key,
+    so the fetch returns precisely the row the as-of selected — output is
+    row-identical to ``feature_table_fused`` (tested) PROVIDED ``row_key``
+    is unique per observation (a duplicated key would fan out the join).
+
+    Scale shape: shuffle/sort bytes drop ~4x (the 16-core host is
+    memory-bandwidth-bound per BENCH/BASELINE.md, so narrower rows buy
+    real scaling headroom, not just less I/O).  The fetch join shuffles
+    the token table once on the row key — bytes that in the fat plan rode
+    the window exchange anyway — and AQE skew-join can split it, which a
+    window sort never gets."""
+    from esa_pfa_spark.operators.features import token_stats_arrow_drop
+
+    scalar_payload = [c for c in FEATURE_PAYLOAD if c != "tokens"]
+    # token_stats_arrow_DROP: the UDF's output schema omits tokens, so the
+    # array is never serialized back from the Python worker (a caller-side
+    # .drop() would prune it only AFTER the Arrow return hop)
+    obs_side = token_stats_arrow_drop(
+        observations.select(
+            "entity_id",
+            F.col("ts").alias("__ts"),
+            F.lit(0).alias("__tag"),
+            F.col(row_key).alias("__rk"),
+            "tokens",
+            "n_tok",
+        ),
+        "tokens",
+    )
+    probe_side = probes.select(
+        "entity_id",
+        F.col("query_ts").alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(observations.schema[row_key].dataType).alias("__rk"),
+        F.lit(None).cast("int").alias("n_tok"),
+        *[F.lit(None).cast("double").alias(c) for c in STAT_SCALARS],
+        F.lit(None).cast("int").alias("count"),
+    )
+    u = obs_side.unionByName(probe_side)
+    slim = _fused_fill(u, tolerance, ["__rk"] + scalar_payload)
+
+    toks = observations.select(
+        F.col(row_key).alias("__rk"), F.col("tokens").alias("__fetched_tokens")
+    )
+    out = slim.join(toks, on="__rk", how="left")
+    return out.select(
+        "entity_id",
+        "query_ts",
+        "matched_ts",
+        F.col("__fetched_tokens").alias("tokens"),
+        *scalar_payload,
+    )
+
+
+from esa_pfa_spark.operators.features import STAT_NAMES as _STAT_NAMES
+
+STAT_SCALARS = _STAT_NAMES[:-1]  # the double-typed stats; "count" is int
+
+
+def _fused_fill(u: DataFrame, tolerance, payload: list[str]) -> DataFrame:
+    """The shared one-Exchange window/as-of core over a tagged union ``u``
+    (obs rows ``__tag=0`` carrying ``mean`` + the payload columns, probe
+    rows ``__tag=1`` with nulls): computes lag/lead/session features and
+    the backward tolerance-bounded as-of fill, returns one row per probe
+    with ``matched_ts`` + ``payload``."""
+    gap_us = int(DEFAULT_SESSION_GAP.total_seconds() * 1e6)
+    tol_us = int(
+        (tolerance.total_seconds() if hasattr(tolerance, "total_seconds") else float(tolerance))
+        * 1e6
+    )
 
     from pyspark.sql import Window
     from esa_pfa_spark.functions.time import ts_diff_us
@@ -213,7 +300,7 @@ def feature_table_fused(
     )
 
     payload_fields = [F.col("__ts").alias("matched_ts")] + [
-        F.col(c) for c in FEATURE_PAYLOAD
+        F.col(c) for c in payload
     ]
     u = u.withColumn("__pay", F.when(is_obs, F.struct(*payload_fields)))
     filled = u.withColumn("__pay", F.last("__pay", ignorenulls=True).over(w_cum))
@@ -226,5 +313,5 @@ def feature_table_fused(
         "entity_id",
         F.col("__ts").alias("query_ts"),
         F.when(in_tol, F.col("__pay.matched_ts")).alias("matched_ts"),
-        *[F.when(in_tol, F.col(f"__pay.{c}")).alias(c) for c in FEATURE_PAYLOAD],
+        *[F.when(in_tol, F.col(f"__pay.{c}")).alias(c) for c in payload],
     )

@@ -206,3 +206,67 @@ def test_sql_and_pandas_paths_agree_nearest(spark):
     a = asof_join(probes, obs, **kw).orderBy("entity_id", "query_ts").toPandas()
     b = asof_join_pandas(probes, obs, **kw).orderBy("entity_id", "query_ts").toPandas()
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def _skewed(spark):
+    """One hot entity (60 obs in 3 bursts) + 20 cold entities (3 obs)."""
+    rows, probes = [], []
+    for i in range(60):
+        burst, j = divmod(i, 20)
+        rows.append(("hot", T0 + dt.timedelta(days=30 * burst, minutes=j), float(i)))
+    for e in range(20):
+        for j in range(3):
+            rows.append((f"c{e}", T0 + dt.timedelta(hours=6 * j + e), float(100 + e + j)))
+    for i in range(12):
+        probes.append(("hot", T0 + dt.timedelta(days=30 * (i % 3), minutes=40 + i)))
+    for e in range(20):
+        probes.append((f"c{e}", T0 + dt.timedelta(hours=7 + e)))
+    probes.append(("nokey", T0))
+    obs = spark.createDataFrame(rows, "entity_id string, ts timestamp, value double")
+    prb = spark.createDataFrame(probes, "entity_id string, query_ts timestamp")
+    return obs, prb
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_auto_dispatch_row_identical(spark, direction):
+    """asof_join_auto with a hot key must equal the plain JVM path row for
+    row — the hot entity goes through the chunked cogrouped branch (plan-
+    checked), cold keys through the window branch."""
+    from esa_pfa_spark.operators.asof import asof_join_auto
+
+    obs, prb = _skewed(spark)
+    tol = dt.timedelta(days=2)
+    auto = asof_join_auto(
+        prb, obs, direction=direction, tolerance=tol, hot_rows=30
+    )
+    plain = asof_join(prb, obs, direction=direction, tolerance=tol)
+    assert "FlatMapCoGroupsInPandas" in auto._jdf.queryExecution().executedPlan().toString()
+    key = lambda r: (r["entity_id"], r["query_ts"])
+    got = sorted(auto.collect(), key=key)
+    want = sorted(plain.select(*auto.columns).collect(), key=key)
+    assert got == want
+    assert len(got) == prb.count()
+
+
+def test_asof_auto_no_hot_key_uses_window_plan(spark):
+    from esa_pfa_spark.operators.asof import asof_join_auto
+
+    obs, prb = _skewed(spark)
+    out = asof_join_auto(
+        prb, obs, tolerance=dt.timedelta(days=2), hot_rows=10_000
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" not in plan  # pure JVM plan
+    plain = asof_join(prb, obs, tolerance=dt.timedelta(days=2))
+    key = lambda r: (r["entity_id"], r["query_ts"])
+    assert sorted(out.collect(), key=key) == sorted(
+        plain.select(*out.columns).collect(), key=key
+    )
+
+
+def test_asof_auto_hot_without_tolerance_raises(spark):
+    from esa_pfa_spark.operators.asof import asof_join_auto
+
+    obs, prb = _skewed(spark)
+    with pytest.raises(ValueError, match="tolerance"):
+        asof_join_auto(prb, obs, tolerance=None, hot_rows=30)

@@ -77,6 +77,81 @@ def test_bpe_matches_sequential_oracle(spark):
     assert table.count() == len(want_merges)
 
 
+def test_bpe_train_local_matches_sequential():
+    from esa_pfa_spark.operators.tokens import bpe_train_local
+
+    rng = np.random.default_rng(5)
+    arrs = [
+        rng.integers(0, 6, rng.integers(0, 12)).astype("int64").tolist()
+        for _ in range(200)
+    ]
+    got = bpe_train_local(arrs, 8)
+    want, _ = _seq_bpe(arrs, 8)
+    assert [
+        (m["rank"], m["t1"], m["t2"], m["new_id"], m["pair_count"]) for m in got
+    ] == want
+
+
+def test_bpe_apply_one_pass_matches_train_corpus(spark):
+    """bpe_apply (all rules, ONE mapInPandas scan) must reproduce
+    bpe_train's per-round corpus rewrites exactly."""
+    from esa_pfa_spark.operators.tokens import bpe_apply
+
+    rng = np.random.default_rng(23)
+    arrs = [
+        rng.integers(0, 5, rng.integers(0, 15)).astype("int32").tolist()
+        for _ in range(250)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(arrs)), "tokens": arrs}),
+        "doc_id long, tokens array<int>",
+    )
+    merges, merged_df, table = bpe_train(df, n_merges=7)
+    assert merges, "test needs at least one merge to be meaningful"
+    want = {r["doc_id"]: list(r["tokens"]) for r in merged_df.collect()}
+    # both input forms: the table DataFrame and the dict list
+    for rules in (table, merges):
+        got = {r["doc_id"]: list(r["tokens"]) for r in bpe_apply(df, rules).collect()}
+        assert got == want
+
+
+def test_bpe_sampled_with_full_sample_equals_exact(spark):
+    """sample_docs >= corpus => the sampled trainer sees everything and
+    must reproduce the exact path's merge table AND applied corpus."""
+    from esa_pfa_spark.operators.tokens import bpe_train_sampled
+
+    rng = np.random.default_rng(31)
+    arrs = [
+        rng.integers(0, 6, rng.integers(1, 14)).astype("int32").tolist()
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [str(i) for i in range(len(arrs))], "tokens": arrs}),
+        "doc_id string, tokens array<int>",
+    )
+    ex_merges, ex_df, _ = bpe_train(df, n_merges=6)
+    s_merges, s_df, s_table = bpe_train_sampled(
+        df, n_merges=6, sample_docs=10_000
+    )
+    assert s_merges == ex_merges
+    assert s_table.count() == len(ex_merges)
+    got = {r["doc_id"]: list(r["tokens"]) for r in s_df.collect()}
+    want = {r["doc_id"]: list(r["tokens"]) for r in ex_df.collect()}
+    assert got == want
+
+
+def test_bpe_apply_empty_rules_is_identity(spark):
+    from esa_pfa_spark.operators.tokens import bpe_apply
+
+    df = spark.createDataFrame(
+        [(0, [1, 2]), (1, [])], "doc_id long, tokens array<int>"
+    )
+    got = sorted(
+        (r["doc_id"], list(r["tokens"])) for r in bpe_apply(df, []).collect()
+    )
+    assert got == [(0, [1, 2]), (1, [])]
+
+
 def test_bpe_stops_when_no_repeating_pair(spark):
     df = spark.createDataFrame(
         [(0, [1, 2]), (1, [3, 4])], "doc_id long, tokens array<int>"

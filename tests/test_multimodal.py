@@ -62,3 +62,126 @@ def test_multimodal_determinism(spark, payloads):
     for x, y in zip(a, b):
         assert x.doc_id == y.doc_id
         np.testing.assert_array_equal(np.array(x.features), np.array(y.features))
+
+
+# ---------------------------------------------------------------------------
+# Real mini-codec (operators/codecs.py): stdlib PNG/WAV — fixture goldens,
+# byte-exact round-trips, and the Spark decode_media_batch swap point.
+# ---------------------------------------------------------------------------
+
+
+def _checker_png(w=6, h=4, ch=3):
+    """Deterministic checkerboard fixture."""
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            v = 255 if (x + y) % 2 == 0 else 0
+            px.extend([v, (x * 40) % 256, (y * 80) % 256, (x * y) % 256][:ch])
+    from esa_pfa_spark.operators.codecs import encode_png
+
+    return encode_png(w, h, bytes(px), channels=ch), bytes(px)
+
+
+def test_png_roundtrip_byte_exact():
+    from esa_pfa_spark.operators.codecs import decode_png
+
+    for ch in (1, 2, 3, 4):
+        data, px = _checker_png(5, 3, ch)
+        m = decode_png(data)
+        assert (m["width"], m["height"], m["channels"]) == (5, 3, ch)
+        assert m["pixels"] == px
+
+
+def test_png_all_filter_types_unfilter():
+    """Hand-build a PNG whose scanlines use filters 1..4 (Sub/Up/Avg/
+    Paeth) and check the decoder recovers the intended raster."""
+    import struct
+    import zlib
+
+    from esa_pfa_spark.operators.codecs import PNG_SIG, _png_chunk, decode_png
+
+    w, ch = 4, 1
+    rows = [bytes([10, 20, 30, 40]), bytes([12, 22, 32, 42]),
+            bytes([20, 30, 40, 50]), bytes([25, 35, 45, 55])]
+
+    def filt(ftype, cur, prev):
+        out = bytearray([ftype])
+        for i, x in enumerate(cur):
+            left = cur[i - ch] if i >= ch else 0
+            up = prev[i] if prev else 0
+            ul = prev[i - ch] if (prev and i >= ch) else 0
+            if ftype == 1:
+                out.append((x - left) & 0xFF)
+            elif ftype == 2:
+                out.append((x - up) & 0xFF)
+            elif ftype == 3:
+                out.append((x - ((left + up) >> 1)) & 0xFF)
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                out.append((x - pred) & 0xFF)
+        return bytes(out)
+
+    raw = b"".join(
+        filt(f, rows[i], rows[i - 1] if i else None)
+        for i, f in enumerate([1, 2, 3, 4])
+    )
+    ihdr = struct.pack(">IIBBBBB", w, len(rows), 8, 0, 0, 0, 0)
+    data = (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b""))
+    assert decode_png(data)["pixels"] == b"".join(rows)
+
+
+def test_wav_roundtrip_golden():
+    from esa_pfa_spark.operators.codecs import decode_wav, encode_wav
+
+    samples = bytes(range(200))  # 100 16-bit mono frames
+    data = encode_wav(samples, sample_rate=8000, channels=1, bits=16)
+    m = decode_wav(data)
+    assert m == {
+        "channels": 1, "sample_rate": 8000, "bits_per_sample": 16,
+        "n_samples": 100, "duration_s": 100 / 8000,
+    }
+    stereo = encode_wav(bytes(range(160)), sample_rate=16000, channels=2, bits=16)
+    m2 = decode_wav(stereo)
+    assert m2["channels"] == 2 and m2["n_samples"] == 40
+
+
+def test_codec_rejects_garbage_and_truncation():
+    import pytest as _pytest
+
+    from esa_pfa_spark.operators.codecs import (
+        UnsupportedMediaError, decode_png, decode_wav,
+    )
+
+    with _pytest.raises(UnsupportedMediaError):
+        decode_png(b"not a png at all")
+    data, _ = _checker_png()
+    with _pytest.raises(UnsupportedMediaError):
+        decode_png(data[:-20])  # truncated mid-IDAT (body/CRC cut short)
+    with _pytest.raises(UnsupportedMediaError):
+        decode_wav(b"RIFFxxxxJUNK")
+
+
+def test_decode_media_batch_spark_swap_point(spark):
+    """The real codec through the SAME mapInPandas plumbing: mixed
+    PNG/WAV/corrupt rows in one DataFrame; per-row ok/err, no task
+    failure."""
+    from esa_pfa_spark.operators.codecs import encode_wav
+    from esa_pfa_spark.operators.multimodal import decode_media_batch
+
+    png, _ = _checker_png(6, 4, 3)
+    wav = encode_wav(bytes(range(200)), sample_rate=8000)
+    rows = [
+        (1, bytearray(png), "image/png"),
+        (2, bytearray(wav), "audio/wav"),
+        (3, bytearray(b"\x00corrupt"), "image/png"),
+        (4, bytearray(png), "video/mp4"),  # no codec for mime
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary, mime string")
+    got = {r["doc_id"]: r.asDict() for r in decode_media_batch(df).collect()}
+    assert got[1]["ok"] and (got[1]["width"], got[1]["height"]) == (6, 4)
+    assert got[2]["ok"] and got[2]["sample_rate"] == 8000 and got[2]["n_samples"] == 100
+    assert not got[3]["ok"] and got[3]["err"]
+    assert not got[4]["ok"] and "no codec" in got[4]["err"]

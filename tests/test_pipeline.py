@@ -89,3 +89,38 @@ def test_fused_equals_modular(spark):
     a = a[sorted(a.columns)].reset_index(drop=True)
     b = b[sorted(b.columns)].reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_slim_equals_fused(spark):
+    """Narrow-shuffle slim plan == fused plan, value for value INCLUDING
+    the post-join token arrays (tokens never ride the slim shuffle; the
+    fetch must return exactly the row the as-of picked, and
+    out-of-tolerance probes must keep null tokens)."""
+    from esa_pfa_spark.plans.pipeline import feature_table_fused, feature_table_slim
+
+    obs = synth.observations_df(spark, seed=21, n_entities=12, mean_obs=22, mean_tok=10)
+    probes = synth.queries_df(spark, seed=21, n_entities=12, mean_obs=22)
+    short_tol = dt.timedelta(hours=18)  # force a real unmatched fraction
+    a = (
+        feature_table_fused(obs, probes, short_tol)
+        .orderBy("entity_id", "query_ts")
+        .toPandas()
+    )
+    b = (
+        feature_table_slim(obs, probes, short_tol)
+        .orderBy("entity_id", "query_ts")
+        .toPandas()
+    )
+    assert list(a.columns) == list(b.columns)
+    assert a["matched_ts"].isna().any()  # the unmatched path is exercised
+    for ga, gb in zip(a["tokens"], b["tokens"]):
+        if ga is None or (isinstance(ga, float) and pd.isna(ga)):
+            assert gb is None or (isinstance(gb, float) and pd.isna(gb))
+        else:
+            assert np.array_equal(np.asarray(ga), np.asarray(gb))
+    cols = [c for c in a.columns if c != "tokens"]
+    pd.testing.assert_frame_equal(
+        a[cols].reset_index(drop=True),
+        b[cols].reset_index(drop=True),
+        check_dtype=False,
+    )

@@ -104,6 +104,35 @@ def test_fused_pipeline_single_exchange(spark):
     )
 
 
+def test_slim_pipeline_narrow_shuffle(spark):
+    """feature_table_slim: the tokens array must NOT ride the window
+    exchange — only the post-as-of fetch join may touch it.  Executed-plan
+    check: every hash-partitioning Exchange line is tokens-free, and the
+    window exchange count stays at one (the fetch join may add its own
+    shuffle or broadcast)."""
+    from esa_pfa_spark import synth
+    from esa_pfa_spark.plans.pipeline import feature_table_slim
+
+    obs = synth.observations_df(spark, seed=42, n_entities=10, mean_obs=5, mean_tok=8)
+    probes = synth.queries_df(spark, seed=42, n_entities=10, mean_obs=5)
+    plan = (
+        feature_table_slim(obs, probes)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    ex_lines = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l or "Exchange rangepartitioning" in l
+    ]
+    assert 1 <= len(ex_lines) <= 2, plan
+    assert all("tokens" not in l for l in ex_lines), (
+        "tokens array rode a shuffle in the slim plan:\n" + plan
+    )
+    ent_ex = [l for l in ex_lines if "entity_id" in l]
+    assert len(ent_ex) == 1, "window fill must keep exactly one entity_id exchange"
+
+
 def test_enrichment_windows_share_exchange(spark):
     """lag/lead + sessionize + session_len over one repartition: the window
     specs on (entity_id) and (entity_id, session_id) must both be satisfied
@@ -174,11 +203,15 @@ def test_dense_ids_matches_dense_rank_and_avoids_global_window(spark):
 def test_pack_offsets_avoids_global_window(spark):
     """Sequence packing must never plan the naive global-window cumsum:
     no SinglePartition exchange; the order comes from ONE range partition
-    + within-partition sort."""
+    + within-partition sort, materialized through the persisted
+    (InMemoryTableScan) relation so the numbering pass reads the SAME
+    sampled partitioning as the offsets pass (determinism fix — the
+    cached plan's single range exchange prints once per reference)."""
     df = entry_mod.queries()["token_pack_capacity"](spark, SF_DIR)
     plan = plan_of(df)
     assert "SinglePartition" not in plan
-    assert len(re.findall(r"rangepartitioning", plan)) == 1
+    assert "InMemoryTableScan" in plan  # both passes read the pinned cache
+    assert len(re.findall(r"rangepartitioning", plan)) >= 1
 
 
 def test_token_topk_is_take_ordered(spark):

@@ -200,3 +200,53 @@ def test_trained_ivf_recall_contract(spark):
     exact = {r["vec_id"] for r in entry.queries()["embedding_cosine_topk"](spark, sf).collect()}
     # embedding_cosine_topk ranks vs probe vec_id 0 as well (same probe)
     assert len(approx & exact) >= 7, (approx, exact)
+
+
+def test_ivf_multiprobe_recall_monotone(spark):
+    """Recall@10 vs exact cosine must be non-decreasing in nprobe (each
+    extra probed cell only ADDS candidates) and reach >= 7/10 by nprobe=4
+    (half the 8 seeded cells searched; below that the quantizer is broken,
+    not merely approximate).  Candidate growth is also checked so the
+    contract can't pass vacuously via identical candidate sets."""
+    import __spark_entry__ as entry
+    from esa_pfa_spark.operators.similarity import ann_topk_ivf
+
+    sf = "/root/testdata/sf0.01"
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    data = emb.filter(F.col("vec_id") != 0)
+    cents = entry._ivf_centroids()
+    exact = {r["vec_id"] for r in entry.q_embedding_topk(spark, sf).collect()}
+
+    recalls = {}
+    for nprobe in (1, 2, 4):
+        got = {
+            r["vec_id"]
+            for r in ann_topk_ivf(data, probe, cents, k=10, nprobe=nprobe).collect()
+        }
+        recalls[nprobe] = len(got & exact)
+    assert recalls[1] <= recalls[2] <= recalls[4], recalls
+    assert recalls[4] >= 7, recalls
+
+
+def test_lsh_multiprobe_radius1_superset_and_recall(spark):
+    """Hamming-radius-1 candidates strictly contain the radius-0 bucket,
+    so recall@10 can only improve; both are compared to exact top-10."""
+    import __spark_entry__ as entry
+    from esa_pfa_spark.operators.similarity import ann_topk_lsh
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    data = emb.filter(F.col("vec_id") != 0)
+    exact = {r["vec_id"] for r in entry.q_embedding_topk(spark, sf).collect()}
+
+    r0 = {r["vec_id"] for r in ann_topk_lsh(
+        data, probe, k=10, n_planes=8, seed=7, dim=64, hamming_radius=0).collect()}
+    r1 = {r["vec_id"] for r in ann_topk_lsh(
+        data, probe, k=10, n_planes=8, seed=7, dim=64, hamming_radius=1).collect()}
+    assert len(r1 & exact) >= len(r0 & exact), (r0, r1)
+    assert len(r1) == 10
