@@ -174,12 +174,16 @@ def feature_table_slim(
     row-identical to ``feature_table_fused`` (tested) PROVIDED ``row_key``
     is unique per observation (a duplicated key would fan out the join).
 
-    Scale shape: shuffle/sort bytes drop ~4x (the 16-core host is
-    memory-bandwidth-bound per BENCH/BASELINE.md, so narrower rows buy
-    real scaling headroom, not just less I/O).  The fetch join shuffles
-    the token table once on the row key — bytes that in the fat plan rode
-    the window exchange anyway — and AQE skew-join can split it, which a
-    window sort never gets."""
+    Scale shape: at the bench token width (mean 64 int32s) the window
+    exchange/sort rows shrink ~60-70%, and ``token_stats_arrow_drop``
+    also removes the array from the Arrow Python->JVM return hop (~40%
+    of the stats stage's traffic) — the stage that memory-bandwidth-
+    saturates the many-core side per BENCH/BASELINE.md.  Measured
+    (pinned, 10M sequences): faster than the fused plan at BOTH 4 and 16
+    cores (47.6s vs 89.1s, 22.7s vs 27.8s min-of-2 draws).  The fetch
+    join shuffles the token table once on the row key — bytes that in
+    the fat plan rode the window exchange anyway — and AQE skew-join can
+    split it, which a window sort never gets."""
     from esa_pfa_spark.operators.features import token_stats_arrow_drop
 
     scalar_payload = [c for c in FEATURE_PAYLOAD if c != "tokens"]
