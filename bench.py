@@ -249,6 +249,13 @@ def main() -> None:
     timings["flagship_asof_features"] = round(fsec, 3)
 
     if not args.flagship_only:
+        # r1/r2 continuity: the OTHER plan variant timed in the same warm
+        # JVM (the headline variant changed to slim in r3; this keeps the
+        # cross-round plan-identical comparison honest).  Skipped in
+        # --flagship-only mode so scaling subprocesses stay lean.
+        other = "fused" if FLAGSHIP_VARIANT == "slim" else "slim"
+        osec, _ = run_flagship(spark, repeats=2, variant=other)
+        timings[f"flagship_{other}_variant"] = round(osec, 3)
         import __spark_entry__ as entry_mod
 
         qs = entry_mod.queries()
