@@ -262,10 +262,12 @@ def graph_components(
     appears in ``pairs``; the component label is the minimum node id of
     the component (deterministic).
 
-    Why not plain min-label propagation (the grid CC in spatial.py):
-    propagation needs O(graph diameter) joins — fine on a raster blob,
-    pathological on a web-scale duplicate graph where transitive
-    near-dup chains can be long.  Star contraction converges in
+    Why not plain min-label propagation: propagation needs O(graph
+    diameter) joins — pathological both on a web-scale duplicate graph
+    (long transitive near-dup chains) and on a dense raster (one blob
+    spanning the grid measured ~90 rounds; spatial.connected_components
+    now delegates here for exactly that reason).  Star contraction
+    converges in
     O(log n) rounds regardless of diameter, each round two
     groupBy-min + equi-join passes over the shrinking edge list —
     the published MapReduce-scale shape.  Every round localCheckpoints
