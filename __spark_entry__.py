@@ -3859,6 +3859,74 @@ FROM embeddings em LEFT JOIN comp c ON c.id = em.vec_id
 # ---------------------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
+    # Order matters: the driver correctness gate samples the FIRST 50 entries.
+    # Round 4 leads with the two r1 driver-FAILs (fixed r2, oracle-green since,
+    # never driver-reconfirmed) then the queries never driver-sampled in r1-r3.
+    "grid_adjacency_counts": (q_grid_adjacency, SQL_GRID_ADJACENCY),
+    "grid_connectivity": (q_grid_connectivity, SQL_GRID_CONNECTIVITY),
+    "zscore_by_user": (q_zscore_by_user, SQL_ZSCORE_BY_USER),
+    "winsorize_by_type": (q_winsorize_by_type, SQL_WINSORIZE_BY_TYPE),
+    "target_encode_expanding": (q_target_encode, SQL_TARGET_ENCODE),
+    "cyclical_time_features": (q_cyclical_time, SQL_CYCLICAL_TIME),
+    "robust_z_by_type": (q_robust_z, SQL_ROBUST_Z),
+    "quantile_bins_10": (q_quantile_bins, SQL_QUANTILE_BINS),
+    "pit_multi_window_1d_7d_30d": (q_pit_multi_window, SQL_PIT_MULTI_WINDOW),
+    "ann_ivf_trained_topk": (q_ann_ivf_trained, SQL_ANN_IVF_TRAINED),
+    "ann_ivf_multiprobe": (q_ann_ivf_multiprobe, _ivf_multiprobe_sql()),
+    "ann_lsh_multiprobe_r1": (q_ann_lsh_multiprobe, _ann_lsh_multiprobe_sql()),
+    "cv_grid_pick": (q_cv_grid_pick, _cv_grid_sql()),
+    "token_loss_mask": (q_token_loss_mask, SQL_TOKEN_LOSS_MASK),
+    "largest_component_grid": (q_largest_component, SQL_LARGEST_COMPONENT),
+    "semantic_dedup_survivors": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "tumbling_rate_5m": (q_tumbling_rate, SQL_TUMBLING_RATE),
+    "scd2_feature_intervals": (q_scd2_intervals, SQL_SCD2_INTERVALS),
+    "ann_lsh_topk_batch": (q_ann_lsh_batch, _ann_lsh_batch_sql()),
+    "most_ambiguous_pick": (q_most_ambiguous, _most_ambiguous_sql()),
+    "asof_backward_multikey_3d": (q_asof_multikey, SQL_ASOF_MULTIKEY),
+    "ann_ivf_topk": (q_ann_ivf_topk, _ivf_sql()),
+    "kmeans_train_centroids": (q_kmeans_centroids, SQL_KMEANS_CENTROIDS),
+    "kmeans_cluster_sizes": (q_kmeans_sizes, SQL_KMEANS_SIZES),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "c4_line_clean": (q_c4_line_clean, SQL_C4_LINE_CLEAN),
+    "encoding_garbage": (q_encoding_garbage, SQL_ENCODING_GARBAGE),
+    "stratified_sample_50": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "psi_value_drift": (q_psi_drift, SQL_PSI_DRIFT),
+    "salted_join_custorders": (q_salted_join, SQL_SALTED_JOIN),
+    "mg_heavy_hitters_top20": (q_mg_heavy_hitters, SQL_MG_HEAVY_HITTERS),
+    "negative_samples_2": (q_negative_samples, SQL_NEGATIVE_SAMPLES),
+    "interval_lookup_tiers": (q_interval_lookup, SQL_INTERVAL_LOOKUP),
+    "profile_events": (q_profile_events, SQL_PROFILE_EVENTS),
+    "ewma_by_user": (q_ewma_by_user, SQL_EWMA_BY_USER),
+    "token_budget_mix": (q_token_budget_mix, SQL_TOKEN_BUDGET_MIX),
+    "cusum_by_user": (q_cusum_by_user, SQL_CUSUM_BY_USER),
+    "funnel_signup_view_purchase": (q_funnel, SQL_FUNNEL),
+    "rollup_source_lang": (q_rollup_source_lang, SQL_ROLLUP_SOURCE_LANG),
+    "pivot_event_counts": (q_pivot_event_counts, SQL_PIVOT_EVENT_COUNTS),
+    "flag_predicate_counts": (q_flag_predicate, SQL_FLAG_PREDICATE),
+    "grid_transect_runs": (q_transect_runs, SQL_TRANSECT_RUNS),
+    "grid_contagion_clumpiness": (q_contagion_clumpiness, SQL_CONTAGION_CLUMPINESS),
+    "grid_patch_metrics": (q_patch_metrics, SQL_PATCH_METRICS),
+    "grid_patch_rejection": (q_patch_rejection, SQL_PATCH_REJECTION),
+    "grid_patch_connectivity": (q_patch_connectivity, SQL_PATCH_CONNECTIVITY),
+    "diversity_pick_farthest": (q_diversity_pick, _diversity_pick_sql()),
+    "token_chunk_windows": (q_token_chunks, SQL_TOKEN_CHUNKS),
+    "token_pack_capacity": (q_token_packing, SQL_TOKEN_PACKING),
+    "length_bucket_padding": (q_length_buckets, SQL_LENGTH_BUCKETS),
+    "token_pack_manifest": (q_pack_manifest, SQL_PACK_MANIFEST),
+    "token_vocab_topk": (q_token_vocab, SQL_TOKEN_VOCAB),
+    "token_bigrams_topk": (q_token_bigrams, SQL_TOKEN_BIGRAMS),
+    "token_repetition_stats": (q_token_repetition, SQL_TOKEN_REPETITION),
+    "token_dup_ngram_spans": (q_dup_ngram_spans, SQL_DUP_NGRAM),
+    "token_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "token_tfidf_topk": (q_tfidf_topk, SQL_TFIDF),
+    "dataset_split_counts": (q_dataset_split, SQL_DATASET_SPLIT),
+    "split_leakage_pairs": (q_split_leakage, SQL_SPLIT_LEAKAGE),
+    "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
+    "shuffle_order": (q_shuffle_order, SQL_SHUFFLE_ORDER),
+    "bpe_merge_table": (q_bpe_merge_table, None),
+    "bpe_sampled_apply_256": (q_bpe_sampled_apply, None),
+    "flagship_feature_table_synth": (q_flagship_synth, None),
+    "nonreuse_pairs_synth": (q_nonreuse_pairs_synth, None),
     "asof_backward_7d": (q_asof_backward, SQL_ASOF_BACKWARD),
     "asof_forward_1d": (q_asof_forward, SQL_ASOF_FORWARD),
     "asof_nearest_12h": (q_asof_nearest, SQL_ASOF_NEAREST),
@@ -3913,81 +3981,15 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "nsphere_decomposition": (q_nsphere, SQL_NSPHERE),
     "embedding_centroid": (q_embedding_centroid, SQL_EMB_CENTROID),
     "source_dictionary": (q_source_dictionary, SQL_SOURCE_DICT),
-    "grid_adjacency_counts": (q_grid_adjacency, SQL_GRID_ADJACENCY),
-    "grid_connectivity": (q_grid_connectivity, SQL_GRID_CONNECTIVITY),
     "staircase_count": (q_staircase, SQL_STAIRCASE),
     "date_parse_roundtrip": (q_date_roundtrip, SQL_DATE_ROUNDTRIP),
     "linear_score": (q_linear_score, _linear_score_sql()),
     "rolling_time_range_1h": (q_rolling_time_range, SQL_ROLLING_TIME),
     "session_window_native": (q_session_window_native, SQL_SESSION_WINDOW_NATIVE),
     "salted_agg_by_user": (q_salted_agg, SQL_SALTED_AGG),
-    "tumbling_rate_5m": (q_tumbling_rate, SQL_TUMBLING_RATE),
-    "scd2_feature_intervals": (q_scd2_intervals, SQL_SCD2_INTERVALS),
     "ann_lsh_topk": (q_ann_lsh_topk, _ann_lsh_sql()),
-    "ann_lsh_topk_batch": (q_ann_lsh_batch, _ann_lsh_batch_sql()),
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, _neardup_lsh_sql()),
     "nan_validity_filter": (q_nan_validity, SQL_NAN_VALIDITY),
-    "most_ambiguous_pick": (q_most_ambiguous, _most_ambiguous_sql()),
-    "asof_backward_multikey_3d": (q_asof_multikey, SQL_ASOF_MULTIKEY),
-    "ann_ivf_topk": (q_ann_ivf_topk, _ivf_sql()),
-    "ann_ivf_multiprobe": (q_ann_ivf_multiprobe, _ivf_multiprobe_sql()),
-    "cv_grid_pick": (q_cv_grid_pick, _cv_grid_sql()),
-    "ann_lsh_multiprobe_r1": (q_ann_lsh_multiprobe, _ann_lsh_multiprobe_sql()),
-    "kmeans_train_centroids": (q_kmeans_centroids, SQL_KMEANS_CENTROIDS),
-    "kmeans_cluster_sizes": (q_kmeans_sizes, SQL_KMEANS_SIZES),
-    "ann_ivf_trained_topk": (q_ann_ivf_trained, SQL_ANN_IVF_TRAINED),
-    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
-    "c4_line_clean": (q_c4_line_clean, SQL_C4_LINE_CLEAN),
-    "encoding_garbage": (q_encoding_garbage, SQL_ENCODING_GARBAGE),
-    "stratified_sample_50": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
-    "psi_value_drift": (q_psi_drift, SQL_PSI_DRIFT),
-    "salted_join_custorders": (q_salted_join, SQL_SALTED_JOIN),
-    "bpe_merge_table": (q_bpe_merge_table, None),
-    "bpe_sampled_apply_256": (q_bpe_sampled_apply, None),
-    "mg_heavy_hitters_top20": (q_mg_heavy_hitters, SQL_MG_HEAVY_HITTERS),
-    "zscore_by_user": (q_zscore_by_user, SQL_ZSCORE_BY_USER),
-    "winsorize_by_type": (q_winsorize_by_type, SQL_WINSORIZE_BY_TYPE),
-    "target_encode_expanding": (q_target_encode, SQL_TARGET_ENCODE),
-    "cyclical_time_features": (q_cyclical_time, SQL_CYCLICAL_TIME),
-    "negative_samples_2": (q_negative_samples, SQL_NEGATIVE_SAMPLES),
-    "interval_lookup_tiers": (q_interval_lookup, SQL_INTERVAL_LOOKUP),
-    "profile_events": (q_profile_events, SQL_PROFILE_EVENTS),
-    "ewma_by_user": (q_ewma_by_user, SQL_EWMA_BY_USER),
-    "robust_z_by_type": (q_robust_z, SQL_ROBUST_Z),
-    "quantile_bins_10": (q_quantile_bins, SQL_QUANTILE_BINS),
-    "token_budget_mix": (q_token_budget_mix, SQL_TOKEN_BUDGET_MIX),
-    "pit_multi_window_1d_7d_30d": (q_pit_multi_window, SQL_PIT_MULTI_WINDOW),
-    "cusum_by_user": (q_cusum_by_user, SQL_CUSUM_BY_USER),
-    "funnel_signup_view_purchase": (q_funnel, SQL_FUNNEL),
-    "semantic_dedup_survivors": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
-    "rollup_source_lang": (q_rollup_source_lang, SQL_ROLLUP_SOURCE_LANG),
-    "pivot_event_counts": (q_pivot_event_counts, SQL_PIVOT_EVENT_COUNTS),
-    "flag_predicate_counts": (q_flag_predicate, SQL_FLAG_PREDICATE),
-    "grid_transect_runs": (q_transect_runs, SQL_TRANSECT_RUNS),
-    "grid_contagion_clumpiness": (q_contagion_clumpiness, SQL_CONTAGION_CLUMPINESS),
-    "grid_patch_metrics": (q_patch_metrics, SQL_PATCH_METRICS),
-    "grid_patch_rejection": (q_patch_rejection, SQL_PATCH_REJECTION),
-    "grid_patch_connectivity": (q_patch_connectivity, SQL_PATCH_CONNECTIVITY),
-    "diversity_pick_farthest": (q_diversity_pick, _diversity_pick_sql()),
-    "token_chunk_windows": (q_token_chunks, SQL_TOKEN_CHUNKS),
-    "token_pack_capacity": (q_token_packing, SQL_TOKEN_PACKING),
-    "length_bucket_padding": (q_length_buckets, SQL_LENGTH_BUCKETS),
-    "token_pack_manifest": (q_pack_manifest, SQL_PACK_MANIFEST),
-    "token_vocab_topk": (q_token_vocab, SQL_TOKEN_VOCAB),
-    "token_bigrams_topk": (q_token_bigrams, SQL_TOKEN_BIGRAMS),
-    "token_repetition_stats": (q_token_repetition, SQL_TOKEN_REPETITION),
-    "token_dup_ngram_spans": (q_dup_ngram_spans, SQL_DUP_NGRAM),
-    "token_loss_mask": (q_token_loss_mask, SQL_TOKEN_LOSS_MASK),
-    "token_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
-    "token_tfidf_topk": (q_tfidf_topk, SQL_TFIDF),
-    "dataset_split_counts": (q_dataset_split, SQL_DATASET_SPLIT),
-    "split_leakage_pairs": (q_split_leakage, SQL_SPLIT_LEAKAGE),
-    "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
-    "shuffle_order": (q_shuffle_order, SQL_SHUFFLE_ORDER),
-    "largest_component_grid": (q_largest_component, SQL_LARGEST_COMPONENT),
-    # non-SQL-expressible (rows-only):
-    "flagship_feature_table_synth": (q_flagship_synth, None),
-    "nonreuse_pairs_synth": (q_nonreuse_pairs_synth, None),
 }
 
 
