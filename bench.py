@@ -294,7 +294,14 @@ def main() -> None:
         "flagship_variant": FLAGSHIP_VARIANT,
         "sequences_per_sec": round(n_seq / fsec, 1),
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    # truncation-proof copy: the driver captures stdout tails, which have
+    # been observed cut mid-line (BENCH_r03 lost the flagship numbers) —
+    # the file is the authoritative record of the same line.
+    last = REPO / "BENCH" / "LAST_BENCH.json"
+    last.parent.mkdir(exist_ok=True)
+    last.write_text(line + "\n")
     spark.stop()
 
 
@@ -698,7 +705,9 @@ identical parquet input; tolerance 7d.
 | `asof_join` (JVM union+window; hot key = ONE sort task) | {t_plain} |
 | `asof_join_auto` (hot key -> chunked cogroup, cold keys -> JVM) | {t_auto} |
 
-Outputs identical (exceptAll both ways + count): **{equal}**
+Outputs identical (one-sided exceptAll + equal counts — a valid
+multiset-equality proof: zero plain∖auto differences plus |plain|=|auto|
+forces auto∖plain empty too): **{equal}**
 
 ## Reading
 

@@ -323,6 +323,9 @@ def asof_join_auto(
     tolerance=None,
     hot_rows: int = 5_000_000,
     chunk=None,
+    key_counts: DataFrame | None = None,
+    census_sample: float | None = None,
+    census_safety: float = 2.0,
 ) -> DataFrame:
     """As-of join with AUTOMATIC hot-key dispatch.
 
@@ -351,19 +354,51 @@ def asof_join_auto(
     1-2 GB sort in one task — the point where a window-sort task becomes
     the stage straggler and spills; tune per payload width.
 
+    The census is amortizable: pass ``key_counts`` — a precomputed
+    (key, count) DataFrame, e.g. the manifest's per-key row counts — and
+    NO job touches ``observations`` at plan time (only the small stats
+    table is filtered and collected); or pass ``census_sample`` (a
+    fraction) to count on a sample instead of the full table, with the
+    threshold lowered by ``census_safety`` so borderline-hot keys that
+    under-sample still route hot (routing a cold key hot is merely
+    slower; missing a hot key recreates the straggler).  Without either,
+    one column-pruned partial-agg pass over ``observations`` runs per
+    call — fine once, wasteful in a loop.
+
+    NULL join keys always take the cold branch: ``isin`` is three-valued
+    (NULL for a NULL key), so filtering both branches with bare
+    ``isin``/``~isin`` would drop null-key probes from BOTH — breaking
+    the probes-never-dropped contract.  The cold filter is
+    ``isNull() | ~isin(hot)`` and the hot filter
+    ``isNotNull() & isin(hot)``, an exact partition of the input.
+
     Reference analog: PatchCS assumes uniform grid keys
     (pfa-bitemp-fex/.../PatchCS.java:57-61); real entity keys are Zipfian,
     so the engine dispatches instead of assuming."""
-    hot = [
-        r[0]
-        for r in (
+    if key_counts is not None:
+        cnt = [c for c in key_counts.columns if c != on]
+        if len(cnt) != 1:
+            raise ValueError(
+                f"key_counts must have exactly ({on}, <count>) columns, "
+                f"got {key_counts.columns}"
+            )
+        hot_src = key_counts.filter(F.col(cnt[0]) > hot_rows)
+    elif census_sample is not None:
+        threshold = hot_rows * census_sample / census_safety
+        hot_src = (
+            observations.select(on)
+            .sample(fraction=census_sample, seed=7)
+            .groupBy(on)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > threshold)
+        )
+    else:
+        hot_src = (
             observations.groupBy(on)
             .agg(F.count(F.lit(1)).alias("__n"))
             .filter(F.col("__n") > hot_rows)
-            .select(on)
-            .collect()
         )
-    ]
+    hot = [r[0] for r in hot_src.select(on).filter(F.col(on).isNotNull()).collect()]
     kw = dict(
         on=on, probe_ts=probe_ts, obs_ts=obs_ts, payload=payload,
         direction=direction, tolerance=tolerance,
@@ -375,14 +410,16 @@ def asof_join_auto(
             f"asof_join_auto found hot keys {hot[:3]}... but the chunked "
             "path needs a tolerance bound; pass tolerance="
         )
+    is_cold = F.col(on).isNull() | ~F.col(on).isin(hot)
+    is_hot = F.col(on).isNotNull() & F.col(on).isin(hot)
     cold_out = asof_join(
-        probes.filter(~F.col(on).isin(hot)),
-        observations.filter(~F.col(on).isin(hot)),
+        probes.filter(is_cold),
+        observations.filter(is_cold),
         **kw,
     )
     hot_out = asof_join_pandas(
-        probes.filter(F.col(on).isin(hot)),
-        observations.filter(F.col(on).isin(hot)),
+        probes.filter(is_hot),
+        observations.filter(is_hot),
         chunk=chunk if chunk is not None else tolerance,
         **kw,
     )

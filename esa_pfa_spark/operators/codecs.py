@@ -158,6 +158,13 @@ def decode_wav(data: bytes) -> dict:
     while pos + 8 <= len(data):
         cid = data[pos:pos + 4]
         (clen,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        if pos + 8 + clen > len(data):
+            # mirror decode_png's truncated-chunk rejection: a short body
+            # would silently under-report n_samples/duration_s
+            raise UnsupportedMediaError(
+                f"truncated {cid!r} chunk ({clen} declared, "
+                f"{len(data) - pos - 8} available)"
+            )
         body = data[pos + 8:pos + 8 + clen]
         if cid == b"fmt ":
             if clen < 16:

@@ -27,8 +27,9 @@ boundaries can differ between two separate jobs even on deterministic
 input once partitions exceed the sample size).  Eviction is safe: a
 recomputed cached partition replays the one captured RDD lineage (same
 rdd.id, same sample), unlike a fresh job.  The cache is the size of the
-distinct keys; callers running many unrelated jobs in one session can
-``spark.catalog.clearCache()`` between them.  See
+distinct keys; callers running many unrelated jobs in one session call
+``release_pin(result)`` once the result is materialized — it unpersists
+exactly this function's cache without evicting unrelated ones.  See
 ``dataset.deterministic_shuffle`` for the content-defined-bucket variant
 used when the key distribution is known-uniform.
 """
@@ -88,4 +89,21 @@ def dense_ids(
             seen += b.num_rows
             yield pa.RecordBatch.from_arrays([b.column(0), ids], [col, out_col])
 
-    return ranged.mapInArrow(number, schema=out_schema)
+    out = ranged.mapInArrow(number, schema=out_schema)
+    out._pinned_cache = ranged  # release with release_pin(out)
+    return out
+
+
+def release_pin(df: DataFrame, blocking: bool = False) -> bool:
+    """Unpersist the partitioning pin attached by ``dense_ids`` /
+    ``tokens.pack_offsets`` to their result DataFrame.  Call AFTER the
+    result is materialized (written / collected): the pin exists so two
+    jobs read one sampled range partitioning — once the numbers are on
+    disk nothing re-reads it.  Targeted alternative to
+    ``spark.catalog.clearCache()``, which would evict unrelated caches.
+    Returns True if a pin was found and released."""
+    pinned = getattr(df, "_pinned_cache", None)
+    if pinned is None:
+        return False
+    pinned.unpersist(blocking=blocking)
+    return True

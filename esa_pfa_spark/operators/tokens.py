@@ -153,7 +153,9 @@ def pack_offsets(
     a recomputed cached partition replays the one captured RDD lineage
     (same rdd.id, same sample).  The cache holds only the
     (order_cols, n_tok) projection; sessions running many unrelated jobs
-    can ``spark.catalog.clearCache()`` between them."""
+    call ``dictionary.release_pin(result)`` after materializing the
+    result to drop exactly this cache (clearCache() would evict
+    unrelated ones)."""
     spark = df.sparkSession
     if n_partitions is None:
         n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -213,13 +215,15 @@ def pack_offsets(
     cstart = F.col("chunk_id") * capacity
     tok_start_in_doc = F.greatest(cstart - F.col("__gs"), F.lit(0)).cast("long")
     tok_end_in_doc = F.least(cstart + capacity - F.col("__gs"), F.col("n_tok").cast("long"))
-    return spans.select(
+    out = spans.select(
         *order_cols,
         F.col("n_tok").cast("long").alias("n_tok"),
         F.col("chunk_id").cast("long").alias("chunk_id"),
         tok_start_in_doc.alias("tok_start_in_doc"),
         (tok_end_in_doc - tok_start_in_doc).cast("long").alias("n_in_chunk"),
     )
+    out._pinned_cache = ranged  # release with dictionary.release_pin(out)
+    return out
 
 
 def pack_manifest(

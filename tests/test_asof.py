@@ -209,7 +209,9 @@ def test_sql_and_pandas_paths_agree_nearest(spark):
 
 
 def _skewed(spark):
-    """One hot entity (60 obs in 3 bursts) + 20 cold entities (3 obs)."""
+    """One hot entity (60 obs in 3 bursts) + 20 cold entities (3 obs)
+    + NULL-key rows (isin() is three-valued: a bare isin/~isin branch
+    pair silently drops them — the auto dispatcher must not)."""
     rows, probes = [], []
     for i in range(60):
         burst, j = divmod(i, 20)
@@ -217,11 +219,13 @@ def _skewed(spark):
     for e in range(20):
         for j in range(3):
             rows.append((f"c{e}", T0 + dt.timedelta(hours=6 * j + e), float(100 + e + j)))
+    rows.append((None, T0 + dt.timedelta(hours=1), 999.0))
     for i in range(12):
         probes.append(("hot", T0 + dt.timedelta(days=30 * (i % 3), minutes=40 + i)))
     for e in range(20):
         probes.append((f"c{e}", T0 + dt.timedelta(hours=7 + e)))
     probes.append(("nokey", T0))
+    probes.append((None, T0 + dt.timedelta(hours=2)))
     obs = spark.createDataFrame(rows, "entity_id string, ts timestamp, value double")
     prb = spark.createDataFrame(probes, "entity_id string, query_ts timestamp")
     return obs, prb
@@ -241,11 +245,11 @@ def test_asof_auto_dispatch_row_identical(spark, direction):
     )
     plain = asof_join(prb, obs, direction=direction, tolerance=tol)
     assert "FlatMapCoGroupsInPandas" in auto._jdf.queryExecution().executedPlan().toString()
-    key = lambda r: (r["entity_id"], r["query_ts"])
+    key = lambda r: (r["entity_id"] or "", r["query_ts"])
     got = sorted(auto.collect(), key=key)
     want = sorted(plain.select(*auto.columns).collect(), key=key)
     assert got == want
-    assert len(got) == prb.count()
+    assert len(got) == prb.count()  # null-key probe survives dispatch
 
 
 def test_asof_auto_no_hot_key_uses_window_plan(spark):
@@ -258,7 +262,7 @@ def test_asof_auto_no_hot_key_uses_window_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapCoGroupsInPandas" not in plan  # pure JVM plan
     plain = asof_join(prb, obs, tolerance=dt.timedelta(days=2))
-    key = lambda r: (r["entity_id"], r["query_ts"])
+    key = lambda r: (r["entity_id"] or "", r["query_ts"])
     assert sorted(out.collect(), key=key) == sorted(
         plain.select(*out.columns).collect(), key=key
     )
@@ -270,3 +274,82 @@ def test_asof_auto_hot_without_tolerance_raises(spark):
     obs, prb = _skewed(spark)
     with pytest.raises(ValueError, match="tolerance"):
         asof_join_auto(prb, obs, tolerance=None, hot_rows=30)
+
+
+def test_asof_auto_key_counts_skips_census(spark):
+    """With key_counts supplied, NO job may touch observations at plan
+    time.  Proven with a tripwire: observations carries a Python-UDF
+    filter that raises on execution — building the dispatched plan must
+    not fire it (the same call without key_counts does, via the census
+    collect)."""
+    from pyspark.sql import functions as F
+    from esa_pfa_spark.operators.asof import asof_join_auto
+
+    obs, prb = _skewed(spark)
+
+    @F.udf("boolean")
+    def _boom(v):
+        raise RuntimeError("census scanned observations")
+
+    trapped = obs.filter(_boom("value"))
+    kc = spark.createDataFrame(
+        [("hot", 60)] + [(f"c{e}", 3) for e in range(20)],
+        "entity_id string, n_rows long",
+    )
+    out = asof_join_auto(
+        prb, trapped, tolerance=dt.timedelta(days=2), hot_rows=30,
+        key_counts=kc,
+    )  # no exception: stats table consulted, observations untouched
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan  # hot key found via stats
+    with pytest.raises(Exception, match="census scanned observations"):
+        asof_join_auto(
+            prb, trapped, tolerance=dt.timedelta(days=2), hot_rows=30
+        )
+
+
+def test_asof_auto_key_counts_row_identical(spark):
+    from esa_pfa_spark.operators.asof import asof_join, asof_join_auto
+
+    obs, prb = _skewed(spark)
+    kc = obs.groupBy("entity_id").count()
+    tol = dt.timedelta(days=2)
+    auto = asof_join_auto(prb, obs, tolerance=tol, hot_rows=30, key_counts=kc)
+    plain = asof_join(prb, obs, tolerance=tol)
+    key = lambda r: (r["entity_id"] or "", r["query_ts"])
+    assert sorted(auto.collect(), key=key) == sorted(
+        plain.select(*auto.columns).collect(), key=key
+    )
+
+
+def test_asof_auto_sampled_census_row_identical(spark):
+    """census_sample counts a fraction with a lowered threshold: the
+    60-obs hot key clears 30*0.5/2.0=7.5 sampled rows with huge margin;
+    3-obs cold keys cannot reach it even if fully sampled."""
+    from esa_pfa_spark.operators.asof import asof_join, asof_join_auto
+
+    obs, prb = _skewed(spark)
+    tol = dt.timedelta(days=2)
+    auto = asof_join_auto(
+        prb, obs, tolerance=tol, hot_rows=30, census_sample=0.5
+    )
+    assert "FlatMapCoGroupsInPandas" in (
+        auto._jdf.queryExecution().executedPlan().toString()
+    )
+    plain = asof_join(prb, obs, tolerance=tol)
+    key = lambda r: (r["entity_id"] or "", r["query_ts"])
+    assert sorted(auto.collect(), key=key) == sorted(
+        plain.select(*auto.columns).collect(), key=key
+    )
+
+
+def test_asof_auto_bad_key_counts_raises(spark):
+    from esa_pfa_spark.operators.asof import asof_join_auto
+
+    obs, prb = _skewed(spark)
+    bad = obs.select("entity_id", "ts", "value")  # two non-key columns
+    with pytest.raises(ValueError, match="key_counts"):
+        asof_join_auto(
+            prb, obs, tolerance=dt.timedelta(days=2), hot_rows=30,
+            key_counts=bad,
+        )

@@ -164,6 +164,27 @@ def test_codec_rejects_garbage_and_truncation():
         decode_wav(b"RIFFxxxxJUNK")
 
 
+def test_wav_rejects_truncated_chunk():
+    """A cut-short data chunk must raise (mirroring PNG), not silently
+    under-report n_samples/duration_s from the shortened body slice."""
+    import pytest as _pytest
+
+    from esa_pfa_spark.operators.codecs import (
+        UnsupportedMediaError, decode_wav, encode_wav,
+    )
+
+    samples = bytes(range(200)) * 2
+    data = encode_wav(samples, sample_rate=8000, channels=1, bits=16)
+    with _pytest.raises(UnsupportedMediaError, match="truncated"):
+        decode_wav(data[:-37])  # data chunk body cut short
+    # corrupt declared length (clen beyond the buffer) also raises
+    import struct as _struct
+    idx = data.index(b"data")
+    bad = data[: idx + 4] + _struct.pack("<I", 1 << 30) + data[idx + 8:]
+    with _pytest.raises(UnsupportedMediaError, match="truncated"):
+        decode_wav(bad)
+
+
 def test_decode_media_batch_spark_swap_point(spark):
     """The real codec through the SAME mapInPandas plumbing: mixed
     PNG/WAV/corrupt rows in one DataFrame; per-row ok/err, no task

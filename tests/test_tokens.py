@@ -112,6 +112,28 @@ def test_pack_offsets_tiles_exactly(spark):
         assert s == 32 or cid == last
 
 
+def test_pack_offsets_release_pin(spark):
+    """pack_offsets/dense_ids pin a cached range partitioning for the
+    session; release_pin(result) drops exactly that cache (not the whole
+    catalog) once the result is materialized."""
+    from esa_pfa_spark.operators.dictionary import dense_ids, release_pin
+
+    rows = [("s", f"d{i:02d}", 10 + i) for i in range(20)]
+    df = spark.createDataFrame(rows, "source string, doc_id string, n_tok int")
+    out = TK.pack_offsets(df, capacity=32, n_partitions=3)
+    out.count()  # materialize
+    pinned = out._pinned_cache
+    assert pinned.storageLevel.useMemory
+    assert release_pin(out, blocking=True)
+    assert not pinned.storageLevel.useMemory
+    # idempotent + safe on unpinned frames
+    assert not release_pin(df)
+
+    ids = dense_ids(df, "doc_id", n_partitions=2)
+    ids.count()
+    assert release_pin(ids, blocking=True)
+
+
 def test_pack_manifest_composition(spark):
     """Hand case: docs of 5/4/6 tokens, capacity 8 -> window 0 holds d0:5 +
     d1:3 (split), window 1 holds d1:1 + d2:6; boundaries reconstruct."""
