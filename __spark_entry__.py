@@ -3621,10 +3621,16 @@ FROM c, t
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup (similarity.semantic_dedup): k-means-blocked embedding
     near-dup removal — within-cluster cosine pairs >= 0.3, components,
-    cluster-min canonical."""
+    cluster-min canonical.  k is DERIVED from the corpus:
+    max(4, ceil(n/100)) — 5 at sf0.01 (n=500, mirrored by the oracle's
+    k=5 CTE), 20 at sf0.1 — so the within-cluster quadratic term stays
+    ~n*100/2, linear in corpus size."""
     from esa_pfa_spark.operators.similarity import semantic_dedup
 
-    out = semantic_dedup(_ld(spark, sf_dir, "embeddings"), threshold=0.3, k=4, n_iter=2)
+    out = semantic_dedup(
+        _ld(spark, sf_dir, "embeddings"),
+        threshold=0.3, n_iter=2, target_cluster_rows=100, k_min=4,
+    )
     return out.select(
         "vec_id",
         F.col("canonical_doc_id").alias("canonical_vec_id"),
@@ -3829,7 +3835,9 @@ FROM s QUALIFY rank <= 10
 
 
 SQL_SEMANTIC_DEDUP = (
-    _kmeans_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    # k mirrors the engine's derived-k rule at the oracle's scale:
+    # max(4, ceil(500/100)) = 5 on the 500-row sf0.01 embeddings table
+    _kmeans_cte(k=5).replace("WITH ", "WITH RECURSIVE ", 1)
     + _KMEANS_FINAL_ASSIGN
     + """,
 pr AS (SELECT x.vec_id AS u, y.vec_id AS v

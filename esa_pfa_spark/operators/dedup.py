@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 N_MINHASH = 6  # two bands of three
 SHINGLE_K = 3
@@ -254,6 +255,7 @@ def graph_components(
     src: str = "doc_id_a",
     dst: str = "doc_id_b",
     max_iter: int = 25,
+    local_finish_edges: int = 200_000,
 ) -> DataFrame:
     """Connected components of an arbitrary pair graph by alternating
     large-star / small-star contraction (Kiveris, Lattanzi, Mirrokni,
@@ -272,7 +274,19 @@ def graph_components(
     groupBy-min + equi-join passes over the shrinking edge list —
     the published MapReduce-scale shape.  Every round localCheckpoints
     (truncates the doubling lineage) and the fixpoint test is one tiny
-    agg (count + order-insensitive hash) per round, not a full compare."""
+    agg (count + order-insensitive hash) per round, not a full compare.
+
+    Local endgame: once the (shrinking) edge list fits under
+    ``local_finish_edges`` rows it is collected and finished with
+    driver-side union-find — the standard recursion bottom-out for
+    contraction algorithms.  Each distributed round costs several
+    shuffles + an eager checkpoint job; on a nearly-converged list that
+    fixed cost dwarfs the work, while union-find on <=200k bounded-size
+    edges is milliseconds and exact (same min-id labels).  The bound is
+    checked BEFORE any collect (the count rides the fixpoint agg), so a
+    web-scale graph runs contraction rounds until it has shrunk under
+    the cap — driver memory stays bounded by the parameter, never by
+    the input."""
     # Materialize the edge list ONCE (eager localCheckpoint): ``pairs`` is
     # typically an expensive upstream plan (LSH banding = shingles +
     # signatures + band join) and is otherwise re-evaluated three times —
@@ -291,8 +305,11 @@ def graph_components(
         .unionByName(e.select(F.col("v").alias("id")))
         .distinct()
     )
+    n_edges = e.count()  # free: e is checkpointed; bounds the endgame check
     prev_sig = None
     for _ in range(max_iter):
+        if n_edges <= local_finish_edges:
+            return _finish_components_local(e, nodes)
         e = _small_star(_large_star(e)).localCheckpoint()
         sig = tuple(
             e.agg(
@@ -305,7 +322,46 @@ def graph_components(
         if sig == prev_sig:
             break
         prev_sig = sig
+        n_edges = sig[0]
     return nodes.join(e, nodes["id"] == e["u"], "left").select(
+        "id", F.coalesce(F.col("v"), F.col("id")).alias("component")
+    )
+
+
+def _finish_components_local(e: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Union-find endgame for ``graph_components``: exact min-id labels
+    over a driver-collected edge list already proven <= local_finish_edges
+    rows.  Star rounds preserve connectivity over the surviving node set,
+    so components of any intermediate edge list equal the remaining
+    components of the original graph; nodes absent from it are their own
+    component (the left-join-coalesce recovers them)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = e.collect()
+    for r in rows:
+        ru, rv = find(r[0]), find(r[1])
+        if ru != rv:
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo  # larger root under smaller -> min-id labels
+
+    seen = {x for r in rows for x in (r[0], r[1])}
+    id_t = e.schema["u"].dataType
+    spark = e.sparkSession
+    comp = spark.createDataFrame(
+        [(x, find(x)) for x in seen] or [],
+        T.StructType(
+            [T.StructField("u", id_t), T.StructField("v", id_t)]
+        ),
+    )
+    return nodes.join(comp, nodes["id"] == comp["u"], "left").select(
         "id", F.coalesce(F.col("v"), F.col("id")).alias("component")
     )
 

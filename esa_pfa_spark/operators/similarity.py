@@ -20,11 +20,16 @@ row_number assignment happens AFTER the limit, over k rows only.
 
 from __future__ import annotations
 
+import logging
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+logger = logging.getLogger(__name__)
 
 
 def _dot(a, b):
@@ -373,10 +378,14 @@ def quantized_cosine_topk(
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.3,
-    k: int = 4,
+    k: int | None = None,
     n_iter: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    target_cluster_rows: int = 100,
+    k_min: int = 4,
+    max_cluster_rows: int | None = 100_000,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
     near-duplicate removal — k-means the embeddings, compare pairs ONLY
@@ -385,12 +394,30 @@ def semantic_dedup(
     id as canonical.  Returns (id, canonical id, survives) for every row.
 
     Scale shape: the all-pairs search is confined to clusters, so the
-    quadratic term is (corpus/k)^2 per cluster — k grows with the corpus
-    (the paper runs ~110k clusters at web scale) keeping cluster sizes
-    bounded; training is Lloyd over exact scaled ints
-    (clustering.kmeans_fit — integer-exact, oracle-parity), assignment is
-    map-only plan literals, and the pair join is an equi-join on the
-    cluster id (hash-partitioned, no broadcast of the corpus)."""
+    quadratic term is (n/k)^2 per cluster.  That only holds if k GROWS
+    with the corpus (the paper runs ~110k clusters at web scale), so the
+    rule is ENFORCED, not documented: when ``k`` is None (default),
+    ``k = max(k_min, ceil(n / target_cluster_rows))`` — expected cluster
+    size stays ~target_cluster_rows and the pair term stays
+    ~n * target_cluster_rows / 2, linear in n.  Pass ``n_rows`` (e.g.
+    manifest counts) to skip the count job, or an explicit ``k`` to
+    pin it (tests / oracle parity).
+
+    k-means can still leave a pathological cluster far above the mean, so
+    ``max_cluster_rows`` is a hard safety valve: oversized clusters are
+    deterministically sub-sharded (xxhash64(id) mod ceil(size/cap)) and
+    pairs are generated within (cluster, shard) — bounding any single
+    task's quadratic term at cap^2 regardless of how badly Lloyd
+    converged.  Cross-shard pairs are DROPPED, so recall inside an
+    oversized cluster degrades gracefully instead of the job dying; the
+    exact dropped-pair count is computed and logged (never silent).  The
+    cap never triggers when clustering is balanced (target 100 rows vs
+    cap 100k = a 1000x blowout before it engages).
+
+    Training is Lloyd over exact scaled ints (clustering.kmeans_fit —
+    integer-exact, oracle-parity), assignment is map-only plan literals,
+    and the pair join is an equi-join on the cluster id
+    (hash-partitioned, no broadcast of the corpus)."""
     from esa_pfa_spark.operators.clustering import (
         _scaled,
         assign_clusters,
@@ -398,17 +425,67 @@ def semantic_dedup(
     )
     from esa_pfa_spark.operators.dedup import dedup_survivors
 
+    if k is None:
+        n = n_rows if n_rows is not None else emb.count()
+        k = max(k_min, math.ceil(n / target_cluster_rows))
+
     cents = kmeans_fit(emb, k=k, n_iter=n_iter, vec_col=vec_col, id_col=id_col)
     scaled = emb.select(id_col, vec_col, _scaled(emb, vec_col).alias("__xs"))
     assigned = assign_clusters(scaled, cents).drop("__xs")
+
+    pair_keys = ["cluster"]
+    if max_cluster_rows is not None:
+        # k-row collect (bounded by the k rule, ~n/target): only clusters
+        # above the cap pay anything; the common case adds no plan nodes.
+        sizes = {
+            r["cluster"]: r["n"]
+            for r in assigned.groupBy("cluster").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        over = {c: s for c, s in sizes.items() if s > max_cluster_rows}
+        if over:
+            shard_of = F.create_map(
+                *[
+                    x
+                    for c, s in over.items()
+                    for x in (F.lit(c), F.lit(int(math.ceil(s / max_cluster_rows))))
+                ]
+            )
+            n_shards = F.coalesce(
+                shard_of[F.col("cluster")], F.lit(1)
+            ).cast("long")
+            assigned = assigned.withColumn(
+                "__shard", F.pmod(F.xxhash64(F.col(id_col)), n_shards)
+            )
+            pair_keys = ["cluster", "__shard"]
+            # exact dropped-pair accounting: C(size,2) - sum_shard C(s,2)
+            shard_sizes = (
+                assigned.filter(F.col("cluster").isin(list(over)))
+                .groupBy("cluster", "__shard")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            kept = sum(r["n"] * (r["n"] - 1) // 2 for r in shard_sizes)
+            total = sum(s * (s - 1) // 2 for s in over.values())
+            logger.warning(
+                "semantic_dedup: %d cluster(s) exceed max_cluster_rows=%d "
+                "(sizes %s); sub-sharded — dropping %d of %d within-cluster "
+                "candidate pairs (%.2f%%)",
+                len(over), max_cluster_rows,
+                sorted(over.values(), reverse=True)[:5],
+                total - kept, total,
+                100.0 * (total - kept) / total if total else 0.0,
+            )
+
     a = assigned.select(
-        F.col(id_col).alias(f"{id_col}_a"), "cluster", F.col(vec_col).alias("__va")
+        F.col(id_col).alias(f"{id_col}_a"), *pair_keys, F.col(vec_col).alias("__va")
     )
     b = assigned.select(
-        F.col(id_col).alias(f"{id_col}_b"), "cluster", F.col(vec_col).alias("__vb")
+        F.col(id_col).alias(f"{id_col}_b"), *pair_keys, F.col(vec_col).alias("__vb")
     )
     pairs = (
-        a.join(b, "cluster")
+        a.join(b, pair_keys)
         .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
         .select(
             f"{id_col}_a",

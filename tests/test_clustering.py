@@ -123,6 +123,46 @@ def test_assignment_is_map_only(spark):
     assert "Exchange" not in plan
 
 
+def test_assignment_arrow_path_matches_literal_path(spark):
+    """k*dim above the codegen cutover switches assignment to the numpy
+    mapInArrow kernel — same exact int64 distances, same lowest-index tie
+    rule, so assignments must be IDENTICAL to the literal-expression
+    path on the same centroids (including deliberate ties)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    dim = 8
+    rows = [
+        (i, [float(x) for x in rng.normal(size=dim)]) for i in range(300)
+    ]
+    rows.append((300, [0.0] * dim))  # equidistant to duplicate centroids
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    scaled = df.select(
+        F.col("vec_id").alias("__id"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * SCALE + F.lit(0.5)).cast("long"),
+        ).alias("__xs"),
+    )
+    base = [list(rng.integers(-(10**6), 10**6, size=dim)) for _ in range(10)]
+    base[7] = list(base[2])  # exact duplicate -> tie must pick index 3
+    # same centroids, padded with copies to cross the k*dim<=512 cutover
+    k_small = base  # 10*8=80 -> literal path
+    k_big = base + [list(c) for c in base] * 7  # 80*8=640 -> arrow path
+    lit = {
+        r["__id"]: r["cluster"]
+        for r in assign_clusters(scaled, k_small).collect()
+    }
+    arrow = {
+        r["__id"]: r["cluster"]
+        for r in assign_clusters(scaled, k_big).collect()
+    }
+    # padded copies never win a tie (higher index), so assignments agree
+    assert arrow == lit
+    plan = assign_clusters(scaled, k_big)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # still map-only
+
+
 def test_empty_cluster_keeps_previous_centroid(spark):
     """Two far groups + k=3 where one init centroid captures nothing after
     the first update: its centroid must persist, not NaN/vanish."""

@@ -109,6 +109,40 @@ def test_graph_components_matches_union_find(spark):
     assert got == _uf_components(edges)
 
 
+def test_graph_components_local_finish_parity(spark):
+    """The three execution regimes — pure distributed star rounds
+    (local_finish_edges=0), immediate driver union-find (huge threshold),
+    and the mixed path (a few star rounds, then the endgame once the
+    list shrinks under a mid-sized threshold) — must produce identical
+    labels on the same adversarial graph."""
+    import random
+
+    rng = random.Random(13)
+    chain = [(i, i + 1) for i in range(60)]
+    rand = [(rng.randrange(100, 180), rng.randrange(100, 180)) for _ in range(120)]
+    edges = chain + [(u, v) for u, v in rand if u != v]
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_id_a": [u for u, _ in edges], "doc_id_b": [v for _, v in edges]})
+    )
+    want = _uf_components(edges)
+    for thresh in (0, 60, 10**9):
+        got = {
+            r["id"]: r["component"]
+            for r in DD.graph_components(pairs, local_finish_edges=thresh).collect()
+        }
+        assert got == want, f"local_finish_edges={thresh}"
+
+
+def test_graph_components_local_finish_string_ids(spark):
+    """The endgame path must round-trip non-numeric id types."""
+    edges = [("a", "b"), ("b", "c"), ("x", "y")]
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_id_a": [u for u, _ in edges], "doc_id_b": [v for _, v in edges]})
+    )
+    got = {r["id"]: r["component"] for r in DD.graph_components(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
 def test_dedup_survivors_singletons_survive(spark):
     docs = _docs(spark, ["a b c d e f", "a b c d e f", "totally different text here x"])
     pairs = DD.minhash_band_candidates(docs)

@@ -81,3 +81,77 @@ def test_semantic_dedup_known_clusters(spark):
     assert [out[i]["canonical_doc_id"] for i in (1, 5)] == [1, 1]
     assert out[2]["canonical_doc_id"] == 2 and out[2]["survives"]
     assert sum(1 for r in out.values() if r["survives"]) == 3
+
+
+def _families(spark):
+    def vec(axis, scale):
+        v = [0.0] * 8
+        v[axis] = scale
+        return v
+
+    rows = [
+        (0, vec(0, 1.0)), (3, vec(0, 2.0)), (4, vec(0, 0.5)),
+        (1, vec(3, 1.0)), (5, vec(3, 3.0)),
+        (2, vec(6, 1.0)),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semantic_dedup_derived_k_matches_explicit(spark):
+    """k=None derives max(k_min, ceil(n/target)): 6 rows / target 2 = 3
+    — identical output to the explicit k=3 run; n_rows skips the count
+    job (same answer either way)."""
+    df = _families(spark)
+    key = lambda r: r["vec_id"]
+    explicit = sorted(
+        semantic_dedup(df, threshold=0.9, k=3, n_iter=2).collect(), key=key
+    )
+    derived = sorted(
+        semantic_dedup(
+            df, threshold=0.9, n_iter=2, target_cluster_rows=2, k_min=3
+        ).collect(),
+        key=key,
+    )
+    supplied = sorted(
+        semantic_dedup(
+            df, threshold=0.9, n_iter=2, target_cluster_rows=2, k_min=3,
+            n_rows=6,
+        ).collect(),
+        key=key,
+    )
+    assert derived == explicit == supplied
+
+
+def test_semantic_dedup_pair_cap_logs_drops(spark, caplog):
+    """max_cluster_rows below a cluster's size sub-shards it: the job
+    stays bounded, every id still gets a row, and the dropped-pair count
+    is LOGGED (never silent).  A cap that doesn't trigger must change
+    nothing."""
+    import logging as _logging
+
+    df = _families(spark)
+    baseline = sorted(
+        semantic_dedup(df, threshold=0.9, k=3, n_iter=2).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    # generous cap: identical output, no warning
+    with caplog.at_level(_logging.WARNING, logger="esa_pfa_spark.operators.similarity"):
+        capped = sorted(
+            semantic_dedup(
+                df, threshold=0.9, k=3, n_iter=2, max_cluster_rows=1000
+            ).collect(),
+            key=lambda r: r["vec_id"],
+        )
+    assert capped == baseline
+    assert not any("sub-sharded" in m for m in caplog.messages)
+    # punitive cap: family A (3 rows) must shard; drops are logged
+    with caplog.at_level(_logging.WARNING, logger="esa_pfa_spark.operators.similarity"):
+        sharded = semantic_dedup(
+            df, threshold=0.9, k=3, n_iter=2, max_cluster_rows=2
+        ).collect()
+    assert any("sub-sharded" in m and "candidate pairs" in m for m in caplog.messages)
+    assert sorted(r["vec_id"] for r in sharded) == [0, 1, 2, 3, 4, 5]
+    # canonical ids only move DOWN (min-id rule survives sharding)
+    assert all(r["canonical_doc_id"] <= r["vec_id"] for r in sharded)
+    # sharding can only LOSE pairs -> survivors never decrease
+    assert sum(r["survives"] for r in sharded) >= 3
