@@ -3560,6 +3560,33 @@ def q_bpe_sampled_apply(spark, sf_dir):
     )
 
 
+def q_bpe_encode_sampled(spark, sf_dir):
+    """Production-vocab BPE encode (tokens.bpe_encode): merge table trained
+    driver-side on a deterministic sample (512 merges), then encoded
+    corpus-wide in ONE map-only pass whose per-batch cost is INDEPENDENT
+    of the table size — pair->rank dict + lazy min-rank heap over a
+    linked list, the standard tokenizer encode shape — vs bpe_apply's one
+    vectorized sweep PER RULE.  Equality with bpe_apply on trained tables
+    is tested in tests/test_bpe.py; near-flat cost 256 -> 4096 merges is
+    measured in BENCH/BPE_ENCODE.md.  Iterative trainer => no SQL oracle
+    (rows-only).  Reference analog: the fixed up-front vocab regime of
+    DatasetDescriptor (pfa-core/.../op/DatasetDescriptor.java:10-77)."""
+    from esa_pfa_spark.operators.tokens import bpe_train_sampled
+
+    toks = _tokenized_docs(spark, sf_dir).select("doc_id", "tokens")
+    _, applied, _ = bpe_train_sampled(
+        toks, n_merges=512, sample_docs=10_000, encoder="encode"
+    )
+    merged_str = F.array_join(
+        F.transform(F.col("tokens"), lambda x: x.cast("string")), ","
+    )
+    return applied.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_merged"),
+        F.md5(merged_str).alias("merged_fp"),
+    )
+
+
 def q_salted_join(spark, sf_dir):
     """Skew-remedy salted equi-join (skew.salted_join): orders x customer
     on custkey via (key, salt) with the right side explode-replicated —
@@ -3933,6 +3960,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "shuffle_order": (q_shuffle_order, SQL_SHUFFLE_ORDER),
     "bpe_merge_table": (q_bpe_merge_table, None),
     "bpe_sampled_apply_256": (q_bpe_sampled_apply, None),
+    "bpe_encode_sampled_512": (q_bpe_encode_sampled, None),
     "flagship_feature_table_synth": (q_flagship_synth, None),
     "nonreuse_pairs_synth": (q_nonreuse_pairs_synth, None),
     "asof_backward_7d": (q_asof_backward, SQL_ASOF_BACKWARD),

@@ -196,6 +196,7 @@ def main() -> None:
     ap.add_argument("--skew", action="store_true")
     ap.add_argument("--skew-tokens", action="store_true")
     ap.add_argument("--skew-asof", action="store_true")
+    ap.add_argument("--bpe", action="store_true")
     ap.add_argument("--flagship-only", action="store_true")
     ap.add_argument("--warmup", action="store_true",
                     help="(no-op, kept for compat: warmup+min-of-3 is now the default)")
@@ -212,6 +213,9 @@ def main() -> None:
         return
     if args.skew_asof:
         run_skew_asof()
+        return
+    if args.bpe:
+        run_bpe()
         return
 
     from esa_pfa_spark.session import get_spark
@@ -729,6 +733,133 @@ Measured at git SHA `{sha}`.
         "metric": "skew_asof", "plain_s": t_plain, "auto_s": t_auto,
         "equal": equal, "hot_frac": round(hot_rows / n_obs, 3),
     }))
+    spark.stop()
+
+
+def run_bpe() -> None:
+    """Encode cost vs merge-table size -> BENCH/BPE_ENCODE.md.
+
+    bpe_apply (rank-order rule loop) makes one vectorized corpus sweep
+    per rule — O(n_merges) sweeps per batch, linear blow-up toward a
+    production 32k-merge vocabulary.  bpe_encode (pair->rank dict +
+    lazy min-rank heap over a linked list) does work only where merges
+    FIRE, so its cost tracks corpus size, not table size.  This measures
+    both encoders with the SAME trained table truncated to 256 vs all
+    4096 ranks (a rank prefix is itself a valid merge table), on the
+    same materialized corpus, and asserts output equality of the two
+    encoders at 4096 (one-sided exceptAll + equal counts on per-doc
+    fingerprints)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from esa_pfa_spark.operators.tokens import bpe_apply, bpe_encode, bpe_train_local
+    from esa_pfa_spark.plans.query import deterministic_sample
+    from esa_pfa_spark.session import get_spark
+
+    cores = 16
+    spark = get_spark(
+        master=f"local[{cores}]",
+        app_name="esa_pfa_bpe",
+        extra_confs={
+            # the replicated corpus is ~10s of MB; shrink splits so the
+            # map-only encode stage reaches full parallelism (see main())
+            "spark.sql.files.maxPartitionBytes": str(1 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(64 * 1024),
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entry_mod
+
+    toks = entry_mod._tokenized_docs(spark, sf_dir).select("doc_id", "tokens")
+    # 8x the corpus (distinct doc ids) and materialize to parquet so the
+    # timings measure the encode pass, not tokenisation or generation
+    big = toks.select(
+        "doc_id", "tokens", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("__rep")
+    ).select(
+        (F.col("doc_id") * 8 + F.col("__rep")).alias("doc_id"), "tokens"
+    )
+    path = "/tmp/esa_pfa_bpe_corpus.parquet"
+    big.repartition(64).write.mode("overwrite").parquet(path)
+    corpus = spark.read.parquet(path)
+    n_docs = corpus.count()
+    n_tok = corpus.select(F.sum(F.size("tokens"))).first()[0]
+
+    # train ONCE at 4096 ranks on a deterministic sample (untimed: the
+    # sampled driver-local trainer is the production shape and its cost is
+    # independent of corpus size); 256-rank table = rank prefix of the same
+    sample = deterministic_sample(toks, 2000, ["doc_id"], seed=0)
+    arrs = [
+        np.asarray(r["tokens"], dtype=np.int64)
+        for r in sample.collect()
+        if r["tokens"] is not None
+    ]
+    merges = bpe_train_local(arrs, 4096)
+    tables = {256: merges[:256], 4096: merges}
+
+    def fingerprint(df):
+        s = F.array_join(F.transform(F.col("tokens"), lambda x: x.cast("string")), ",")
+        return df.select("doc_id", F.md5(s).alias("fp"))
+
+    def timed(df):
+        df.write.format("noop").mode("overwrite").save()  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        return round(best, 2)
+
+    res: dict[str, float] = {}
+    for nm, tbl in tables.items():
+        res[f"apply_{nm}"] = timed(bpe_apply(corpus, tbl))
+        res[f"encode_{nm}"] = timed(bpe_encode(corpus, tbl))
+
+    a = fingerprint(bpe_apply(corpus, tables[4096]))
+    e = fingerprint(bpe_encode(corpus, tables[4096]))
+    equal = a.exceptAll(e).count() == 0 and a.count() == e.count()
+
+    ratio_apply = round(res["apply_4096"] / res["apply_256"], 2)
+    ratio_encode = round(res["encode_4096"] / res["encode_256"], 2)
+    sha = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True, cwd=str(REPO),
+    ).stdout.strip()
+    md = f"""# BENCH/BPE_ENCODE — encode cost vs merge-table size
+
+`python bench.py --bpe` @ {sha}, local[{cores}], corpus = sf0.1 documents
+tokenized and replicated 8x ({n_docs:,} docs, {n_tok:,} tokens,
+materialized parquet), merge table trained once at 4096 ranks on a
+deterministic 2,000-doc sample (untimed — the sampled driver-local
+trainer is the production shape); the 256-rank table is the rank
+PREFIX of the same table, so both sizes encode with identical
+low-rank rules.  Timings: noop-sink write, warm + min-of-2.
+
+| encoder | 256 merges | 4096 merges | 4096/256 cost ratio |
+|---|---|---|---|
+| `bpe_apply` (one vectorized sweep per rule) | {res['apply_256']}s | {res['apply_4096']}s | {ratio_apply}x |
+| `bpe_encode` (min-rank heap, table-size-independent) | {res['encode_256']}s | {res['encode_4096']}s | **{ratio_encode}x** |
+
+Output equality at 4096 ranks (apply vs encode, one-sided exceptAll +
+equal counts on per-doc md5 fingerprints): **{"EQUAL" if equal else "MISMATCH"}**.
+
+Reading: `bpe_apply` pays one full-batch kernel sweep per rule — its
+cost scales with the merge-table size (~{ratio_apply}x here for 16x the
+rules) and is unusable at a production 32k vocabulary.  `bpe_encode`
+only does work where merges fire (candidate discovery is one vectorized
+pass; each merge is O(1) linked-list surgery plus at most two heap
+pushes), so growing the table 16x moves cost ~{ratio_encode}x — the
+residual slope is the extra LOW-frequency merges that genuinely fire at
+higher ranks, i.e. real work, not table-scan overhead.  At 100 TB both
+are map-only single-scan operators; the encode kernel keeps per-task
+cost bounded by task tokens regardless of vocabulary size.
+"""
+    (REPO / "BENCH").mkdir(exist_ok=True)
+    (REPO / "BENCH" / "BPE_ENCODE.md").write_text(md)
+    print(md)
+    if not equal:
+        raise SystemExit("bpe_encode output mismatch vs bpe_apply at 4096 ranks")
     spark.stop()
 
 

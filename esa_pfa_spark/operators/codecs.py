@@ -3,7 +3,7 @@
 The multimodal plumbing (multimodal.py) was shipped with a documented
 codec stub because this environment has no PIL/ffmpeg.  These parsers
 replace the stub's swap point with REAL format decoding built only on
-``struct`` + ``zlib``:
+``struct`` + ``zlib`` (+ numpy for the vectorized scanline unfilter):
 
  * PNG: signature + chunk walk, IHDR metadata, and a full IDAT decode
    (zlib inflate + per-scanline unfilter, filters 0-4 incl. Paeth) for
@@ -28,6 +28,8 @@ from __future__ import annotations
 
 import struct
 import zlib
+
+import numpy as np
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color_type -> samples/pixel
@@ -86,36 +88,63 @@ def decode_png(data: bytes) -> dict:
     stride = width * ch
     if len(raw) != height * (stride + 1):
         raise UnsupportedMediaError("IDAT size mismatch")
-    out = bytearray(height * stride)
-    prev = bytes(stride)
+    # Vectorized unfilter (numpy): rows stay sequential (filters 2-4 read
+    # the PREVIOUS decoded row), but within a row:
+    #  * Sub is out[i] = raw[i] + out[i-ch] mod 256 — a per-channel prefix
+    #    sum, one cumsum per row;
+    #  * Up is one full-row uint8 add (wraparound is the filter's mod-256);
+    #  * Average/Paeth carry a true left-to-right dependency, so they loop
+    #    over pixel COLUMNS with all channels as one int16 vector step
+    #    (width iterations of vector math, not width*channels byte ops).
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    ftypes = arr[:, 0]
+    if not np.all(ftypes <= 4):
+        bad = int(ftypes[ftypes > 4][0])
+        raise UnsupportedMediaError(f"unknown PNG filter {bad}")
+    lines = arr[:, 1:]
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
-        if ftype == 1:    # Sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                left = line[i - ch] if i >= ch else 0
-                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                left = line[i - ch] if i >= ch else 0
-                ul = prev[i - ch] if i >= ch else 0
-                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
-        elif ftype != 0:
-            raise UnsupportedMediaError(f"unknown PNG filter {ftype}")
-        out[y * stride:(y + 1) * stride] = line
-        prev = bytes(line)
+        f = int(ftypes[y])
+        cur = lines[y]
+        if f == 0:    # None
+            row = cur.copy()
+        elif f == 1:  # Sub: per-channel cumulative sum mod 256
+            row = (
+                cur.reshape(width, ch).cumsum(axis=0, dtype=np.int64) % 256
+            ).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up: full-row add, uint8 wrap == mod 256
+            row = cur + prev
+        else:         # Average (3) / Paeth (4): columns loop, channel vector
+            cv = cur.astype(np.int16).reshape(width, ch)
+            pv = prev.astype(np.int16).reshape(width, ch)
+            row = np.empty(stride, dtype=np.uint8)
+            rw = row.reshape(width, ch)
+            left = np.zeros(ch, dtype=np.int16)
+            ul = np.zeros(ch, dtype=np.int16)
+            for x in range(width):
+                up = pv[x]
+                if f == 3:
+                    pred = (left + up) >> 1
+                else:
+                    p = left + up - ul
+                    pa = np.abs(p - left)
+                    pb = np.abs(p - up)
+                    pc = np.abs(p - ul)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+                    )
+                left = (cv[x] + pred) & 0xFF
+                rw[x] = left.astype(np.uint8)
+                ul = up
+        out[y] = row
+        prev = row
     return {
         "width": width,
         "height": height,
         "channels": ch,
         "bit_depth": bit_depth,
-        "pixels": bytes(out),
+        "pixels": out.tobytes(),
     }
 
 

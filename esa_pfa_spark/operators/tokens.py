@@ -734,6 +734,147 @@ def bpe_apply(
     return df.mapInPandas(apply_all, schema=out_schema)
 
 
+def _bpe_encode_batch(arrs, rank_of, by_rank):
+    """Greedy best-rank BPE encode of a batch of int sequences — the
+    standard tokenizer encode shape: repeatedly merge the lowest-rank
+    rule pair present, positions resolved left-to-right within a rank.
+
+    Cost is O(n log n) in BATCH TOKENS and independent of the merge-table
+    size: a lazy min-heap of (rank, position) candidates over a
+    doubly-linked list of live slots.  Each merge touches O(1) slots and
+    pushes at most two new candidates (its new left/right-neighbor
+    pairs); rules absent from the batch cost nothing.  Contrast
+    ``bpe_apply``'s rank-order rule loop: one vectorized corpus sweep PER
+    RULE — exact, but O(n * n_merges), unusable at a 32k-merge
+    production vocab.
+
+    Equivalent to the rank-order loop (parity-tested in
+    tests/test_bpe.py): merges never create an adjacency of two
+    pre-existing token ids (the replacement id is fresh), and a rule's
+    pair can only involve new_ids of LOWER rank, so processing
+    candidates in global (rank, position) order reaches the same
+    fixpoint as full corpus sweeps in rank order.
+
+    ``rank_of``: dict (t1, t2) -> (rank, new_id); ``by_rank``: dict
+    rank -> (t1, t2, new_id)."""
+    import heapq
+
+    lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=len(arrs))
+    n = int(lens.sum())
+    if n == 0 or not rank_of:
+        return [np.asarray(x, dtype=np.int32) for x in arrs]
+    flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in arrs])
+    row = np.repeat(np.arange(len(arrs), dtype=np.int64), lens)
+    nxt = np.arange(1, n + 1, dtype=np.int64)
+    prv = np.arange(-1, n - 1, dtype=np.int64)
+    alive = np.ones(n, dtype=bool)
+
+    # Initial candidates: positions p where (flat[p], flat[p+1]) is a rule
+    # and p+1 is in the same row.  Vectorized for the common non-negative
+    # id range via one int64 key per pair + searchsorted against the
+    # sorted rule keys; plain dict-lookup loop otherwise.
+    heap: list[tuple[int, int]] = []
+    if n > 1:
+        same = np.flatnonzero(row[:-1] == row[1:])
+        rmax = max(max(a, b) for a, b in rank_of)
+        if same.size and int(flat.min()) >= 0 and min(min(a, b) for a, b in rank_of) >= 0:
+            kmax = max(int(flat.max()), rmax) + 1
+            rk = np.sort(
+                np.fromiter(
+                    (a * kmax + b for a, b in rank_of), dtype=np.int64, count=len(rank_of)
+                )
+            )
+            keys = flat[same] * kmax + flat[same + 1]
+            idx = np.searchsorted(rk, keys)
+            hit = idx < rk.size
+            hit[hit] = rk[idx[hit]] == keys[hit]
+            heap = [
+                (rank_of[(int(flat[p]), int(flat[p + 1]))][0], int(p))
+                for p in same[hit]
+            ]
+        else:
+            heap = [
+                (rank_of[pr][0], int(p))
+                for p in same
+                if (pr := (int(flat[p]), int(flat[p + 1]))) in rank_of
+            ]
+    heapq.heapify(heap)
+
+    while heap:
+        r, p = heapq.heappop(heap)
+        a, b, nid = by_rank[r]
+        if not alive[p] or flat[p] != a:
+            continue
+        j = nxt[p]
+        if j >= n or row[j] != row[p] or flat[j] != b:
+            continue
+        # merge: p takes the new id, j dies, neighbors re-link
+        flat[p] = nid
+        alive[j] = False
+        k = nxt[j]
+        nxt[p] = k
+        if k < n:
+            prv[k] = p
+        i = prv[p]
+        if i >= 0 and row[i] == row[p]:
+            hit = rank_of.get((int(flat[i]), nid))
+            if hit is not None:
+                heapq.heappush(heap, (hit[0], int(i)))
+        if k < n and row[k] == row[p]:
+            hit = rank_of.get((nid, int(flat[k])))
+            if hit is not None:
+                heapq.heappush(heap, (hit[0], int(p)))
+
+    out_flat = flat[alive].astype(np.int32)
+    out_lens = np.bincount(row[alive], minlength=len(arrs))
+    out_ends = np.cumsum(out_lens)
+    return [out_flat[e - l : e] for e, l in zip(out_ends, out_lens)]
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Production-vocab BPE encode: apply a learned merge table in one
+    map-only corpus pass with per-batch cost INDEPENDENT of the table
+    size (``_bpe_encode_batch``: pair->rank dict + lazy min-rank heap
+    over a linked list — the standard tokenizer encode shape).
+
+    ``bpe_apply`` (kept as the parity oracle) makes one vectorized sweep
+    per rule: exact, and fine at a few hundred merges, but O(n_merges)
+    kernel sweeps per batch — at a 32k-merge production vocabulary that
+    is thousands of full-batch scans.  Here every rule costs one dict
+    lookup at most, and only merges that actually FIRE do work, so the
+    encode cost tracks batch token count, not vocabulary size
+    (measured in BENCH/BPE_ENCODE.md: 256 -> 4096 merges near-flat).
+
+    Same contract as ``bpe_apply``: ``merges`` is the merge-table
+    DataFrame or list of dicts (collected driver-side, O(n_merges),
+    shipped as task state); null token arrays unsupported — filter
+    upstream.  Reference analog: the fixed up-front vocab regime of
+    DatasetDescriptor (pfa-core/.../op/DatasetDescriptor.java:10-77)."""
+    if isinstance(merges, DataFrame):
+        merges = [r.asDict() for r in merges.collect()]
+    rank_of = {
+        (int(m["t1"]), int(m["t2"])): (int(m["rank"]), int(m["new_id"]))
+        for m in merges
+    }
+    by_rank = {
+        int(m["rank"]): (int(m["t1"]), int(m["t2"]), int(m["new_id"]))
+        for m in merges
+    }
+    out_schema = df.schema
+
+    def encode_all(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[tokens_col] = _bpe_encode_batch(list(pdf[tokens_col]), rank_of, by_rank)
+            yield pdf
+
+    return df.mapInPandas(encode_all, schema=out_schema)
+
+
 def bpe_train_local(arrs, n_merges: int, new_id_start: int = 1_000_000) -> list[dict]:
     """Driver-side vectorized BPE trainer over an in-memory (sampled)
     corpus: each round counts adjacent pairs on the flattened corpus
@@ -796,6 +937,7 @@ def bpe_train_sampled(
     sample_docs: int = 10_000,
     seed: int = 0,
     new_id_start: int = 1_000_000,
+    encoder: str = "apply",
 ) -> tuple[list[dict], DataFrame, DataFrame]:
     """BPE at corpus scale: train the merge table on a DETERMINISTIC
     sample, then apply it corpus-wide in ONE map-only pass (``bpe_apply``)
@@ -809,6 +951,11 @@ def bpe_train_sampled(
     sizes) is collected to the driver: sample_docs * mean_tokens int64s
     (10k docs x 1k tokens = 80 MB) — size ``sample_docs`` to the driver
     heap; the FULL corpus never leaves the executors.
+
+    ``encoder``: "apply" (rank-order rule loop — fine to a few hundred
+    merges, O(n_merges) sweeps per batch) or "encode" (``bpe_encode``:
+    min-rank heap, per-batch cost independent of table size — the
+    production-vocab path; parity-tested, BENCH/BPE_ENCODE.md).
 
     Returns (merges, applied corpus DataFrame, merge-table DataFrame)."""
     from esa_pfa_spark.plans.query import deterministic_sample
@@ -828,7 +975,8 @@ def bpe_train_sampled(
         or [],
         "rank int, t1 long, t2 long, new_id long, pair_count long",
     )
-    return merges, bpe_apply(df, merges, tokens_col), table
+    apply_fn = bpe_encode if encoder == "encode" else bpe_apply
+    return merges, apply_fn(df, merges, tokens_col), table
 
 
 def mg_heavy_hitters(

@@ -161,3 +161,75 @@ def test_bpe_stops_when_no_repeating_pair(spark):
     assert sorted(tuple(r["tokens"]) for r in merged_df.collect()) == [
         (1, 2), (3, 4),
     ]
+
+def _encode_batch_local(arrs, merges):
+    rank_of = {(m["t1"], m["t2"]): (m["rank"], m["new_id"]) for m in merges}
+    by_rank = {m["rank"]: (m["t1"], m["t2"], m["new_id"]) for m in merges}
+    from esa_pfa_spark.operators.tokens import _bpe_encode_batch
+
+    return [list(a) for a in _bpe_encode_batch(arrs, rank_of, by_rank)]
+
+
+def test_encode_kernel_edges():
+    mk = lambda r, a, b, n: {"rank": r, "t1": a, "t2": b, "new_id": n}
+    # single rule == merge kernel semantics, incl. greedy L-to-R overlap
+    assert _encode_batch_local(
+        [[1, 2, 1, 2], [2, 1], [], [1], [1, 2]], [mk(1, 1, 2, 99)]
+    ) == [[99, 99], [2, 1], [], [1], [99]]
+    assert _encode_batch_local(
+        [[7, 7, 7], [7, 7, 7, 7]], [mk(1, 7, 7, 50)]
+    ) == [[50, 7], [50, 50]]
+    # no straddling row boundaries
+    assert _encode_batch_local([[3, 1], [2, 3]], [mk(1, 1, 2, 60)]) == [
+        [3, 1],
+        [2, 3],
+    ]
+    # cascade: rule 2 consumes rule 1's output within one pass
+    rules = [mk(1, 1, 2, 100), mk(2, 100, 3, 101)]
+    assert _encode_batch_local([[1, 2, 3, 1, 2]], rules) == [[101, 100]]
+    # lower rank wins even when listed later in the table
+    rules = [mk(2, 2, 3, 200), mk(1, 1, 2, 100)]
+    assert _encode_batch_local([[1, 2, 3]], rules) == [[100, 3]]
+    # empty table / empty batch
+    assert _encode_batch_local([[1, 2]], []) == [[1, 2]]
+    assert _encode_batch_local([], [mk(1, 1, 2, 9)]) == []
+    # negative ids fall back to the dict-loop candidate scan
+    assert _encode_batch_local([[-1, -2, -1, -2]], [mk(1, -1, -2, 77)]) == [
+        [77, 77]
+    ]
+
+
+def test_bpe_encode_matches_apply_random_corpora(spark):
+    """bpe_encode (min-rank heap, table-size-independent) must equal
+    bpe_apply (rank-order rule loop, the parity oracle) on random
+    corpora with genuinely trained (cascading) merge tables."""
+    from esa_pfa_spark.operators.tokens import bpe_apply, bpe_encode, bpe_train_local
+
+    for seed, vocab, n_merges in [(3, 5, 12), (17, 8, 25), (41, 3, 40)]:
+        rng = np.random.default_rng(seed)
+        arrs = [
+            rng.integers(0, vocab, rng.integers(0, 30)).astype("int32").tolist()
+            for _ in range(300)
+        ]
+        merges = bpe_train_local(arrs, n_merges)
+        assert merges, "seed must yield at least one merge"
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(arrs)), "tokens": arrs}),
+            "doc_id long, tokens array<int>",
+        ).repartition(4)
+        want = {r["doc_id"]: list(r["tokens"]) for r in bpe_apply(df, merges).collect()}
+        got = {r["doc_id"]: list(r["tokens"]) for r in bpe_encode(df, merges).collect()}
+        assert got == want, f"seed={seed}"
+
+
+def test_bpe_encode_accepts_table_dataframe(spark):
+    from esa_pfa_spark.operators.tokens import bpe_encode, bpe_train
+
+    df = spark.createDataFrame(
+        [(0, [1, 2, 1, 2, 1, 2]), (1, [2, 1, 2])],
+        "doc_id long, tokens array<int>",
+    )
+    merges, merged_df, table = bpe_train(df, n_merges=3)
+    want = {r["doc_id"]: list(r["tokens"]) for r in merged_df.collect()}
+    got = {r["doc_id"]: list(r["tokens"]) for r in bpe_encode(df, table).collect()}
+    assert got == want

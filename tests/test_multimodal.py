@@ -206,3 +206,63 @@ def test_decode_media_batch_spark_swap_point(spark):
     assert got[2]["ok"] and got[2]["sample_rate"] == 8000 and got[2]["n_samples"] == 100
     assert not got[3]["ok"] and got[3]["err"]
     assert not got[4]["ok"] and "no codec" in got[4]["err"]
+
+
+def test_png_unfilter_random_parity_vs_scalar():
+    """Randomized parity: the vectorized unfilter must equal the scalar
+    per-byte reference loop for every filter type, size, and channel
+    count (incl. width 1, where left/upper-left predictors are zero)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from esa_pfa_spark.operators.codecs import (
+        PNG_SIG, _paeth, _png_chunk, decode_png,
+    )
+
+    def scalar_unfilter(raw, width, height, ch):
+        stride = width * ch
+        out = bytearray(height * stride)
+        prev = bytes(stride)
+        for y in range(height):
+            ftype = raw[y * (stride + 1)]
+            line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+            if ftype == 1:
+                for i in range(ch, stride):
+                    line[i] = (line[i] + line[i - ch]) & 0xFF
+            elif ftype == 2:
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif ftype == 3:
+                for i in range(stride):
+                    left = line[i - ch] if i >= ch else 0
+                    line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+            elif ftype == 4:
+                for i in range(stride):
+                    left = line[i - ch] if i >= ch else 0
+                    ul = prev[i - ch] if i >= ch else 0
+                    line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+            out[y * stride:(y + 1) * stride] = line
+            prev = bytes(line)
+        return bytes(out)
+
+    rng = np.random.default_rng(7)
+    color_of = {1: 0, 2: 4, 3: 2, 4: 6}
+    for width, height, ch in [(1, 6, 1), (5, 5, 3), (9, 4, 4), (2, 7, 2), (17, 3, 1)]:
+        stride = width * ch
+        raw = bytearray()
+        for y in range(height):
+            raw.append(int(rng.integers(0, 5)))  # filter type 0..4
+            raw.extend(rng.integers(0, 256, stride, dtype=np.uint8).tobytes())
+        raw = bytes(raw)
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, color_of[ch], 0, 0, 0)
+        data = (
+            PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+        got = decode_png(data)["pixels"]
+        want = scalar_unfilter(raw, width, height, ch)
+        assert got == want, f"({width}x{height}x{ch})"
