@@ -889,7 +889,13 @@ def bpe_train_local(arrs, n_merges: int, new_id_start: int = 1_000_000) -> list[
         lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
         if lens.sum() == 0:
             break
-        flat = np.concatenate(arrs) if len(arrs) > 1 else arrs[0]
+        # int64 REGARDLESS of element dtype: _merge_pair_batch returns
+        # int32 rows, and int32 keys silently overflow at p1*kmax once
+        # merged ids (~1e6) enter kmax — which corrupted the argmax decode
+        # for any round whose best pair had a new-id left element
+        flat = (np.concatenate(arrs) if len(arrs) > 1 else arrs[0]).astype(
+            np.int64, copy=False
+        )
         if len(flat) < 2:
             break
         ends = np.cumsum(lens)
@@ -929,6 +935,121 @@ def bpe_train_local(arrs, n_merges: int, new_id_start: int = 1_000_000) -> list[
     return merges
 
 
+def bpe_train_local_fast(
+    arrs, n_merges: int, new_id_start: int = 1_000_000
+) -> list[dict]:
+    """Incremental driver-side BPE trainer — exact same merge table as
+    ``bpe_train_local`` (parity-tested), but each round costs O(occurrences
+    of the chosen pair), not O(corpus): pair counts live in a dict updated
+    by DELTAS as merges rewrite the corpus in place (linked list over the
+    flattened sample), the argmax comes from a lazy max-heap keyed
+    (-count, t1, t2) — exactly the trainer's deterministic tie-break —
+    and per-pair occurrence lists are validated lazily at merge time.
+    Total cost is O(N log N) setup + O(total merge events * log), so a
+    production 32k-rank table trains in seconds on the same sample where
+    the per-round rescan trainer needs O(N * n_merges)
+    (BENCH/BPE_ENCODE.md has measured numbers)."""
+    import heapq
+
+    lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+    n = int(lens.sum())
+    if n < 2 or n_merges <= 0:
+        return []
+    flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in arrs])
+    row = np.repeat(np.arange(len(arrs), dtype=np.int64), lens)
+    nxt = np.arange(1, n + 1, dtype=np.int64)
+    prv = np.arange(-1, n - 1, dtype=np.int64)
+    alive = np.ones(n, dtype=bool)
+
+    # initial pair counts + per-pair occurrence positions (vectorized:
+    # stable argsort groups equal pairs; group boundaries by flag diff)
+    same = np.flatnonzero(row[:-1] == row[1:])
+    counts: dict[tuple[int, int], int] = {}
+    occ: dict[tuple[int, int], list[int]] = {}
+    if same.size:
+        p1, p2 = flat[same], flat[same + 1]
+        order = np.lexsort((p2, p1))
+        sp1, sp2, spos = p1[order], p2[order], same[order]
+        boundary = np.flatnonzero(
+            np.concatenate(([True], (sp1[1:] != sp1[:-1]) | (sp2[1:] != sp2[:-1])))
+        )
+        grp_ends = np.concatenate((boundary[1:], [sp1.size]))
+        for s, e in zip(boundary.tolist(), grp_ends.tolist()):
+            pair = (int(sp1[s]), int(sp2[s]))
+            counts[pair] = e - s
+            occ[pair] = spos[s:e].tolist()
+    heap = [(-c, a, b) for (a, b), c in counts.items()]
+    heapq.heapify(heap)
+
+    merges: list[dict] = []
+    for r in range(n_merges):
+        # pop until the top entry matches the CURRENT count (lazy deletion)
+        while heap:
+            negc, a, b = heap[0]
+            if counts.get((a, b), 0) == -negc and -negc >= 2:
+                break
+            heapq.heappop(heap)
+            cur = counts.get((a, b), 0)
+            if cur >= 2 and cur < -negc:
+                heapq.heappush(heap, (-cur, a, b))
+        else:
+            break
+        if not heap:
+            break
+        negc, a, b = heap[0]
+        best_cnt = -negc
+        if best_cnt < 2:
+            break
+        nid = new_id_start + r
+        merges.append(
+            {"rank": r + 1, "t1": a, "t2": b, "new_id": nid, "pair_count": best_cnt}
+        )
+        changed: set[tuple[int, int]] = set()
+        positions = sorted(occ.pop((a, b), ()))
+        for p in positions:  # left-to-right, overlaps die via validation
+            if not alive[p] or flat[p] != a:
+                continue
+            j = nxt[p]
+            if j >= n or row[j] != row[p] or flat[j] != b:
+                continue
+            counts[(a, b)] -= 1
+            flat[p] = nid
+            alive[j] = False
+            k = nxt[j]
+            nxt[p] = k
+            if k < n:
+                prv[k] = p
+            i = prv[p]
+            if i >= 0 and row[i] == row[p]:
+                x = int(flat[i])
+                old = (x, a)
+                counts[old] = counts.get(old, 0) - 1
+                changed.add(old)
+                new = (x, nid)
+                counts[new] = counts.get(new, 0) + 1
+                occ.setdefault(new, []).append(int(i))
+                changed.add(new)
+            if k < n and row[k] == row[p]:
+                y = int(flat[k])
+                old = (b, y)
+                counts[old] = counts.get(old, 0) - 1
+                changed.add(old)
+                new = (nid, y)
+                counts[new] = counts.get(new, 0) + 1
+                occ.setdefault(new, []).append(int(p))
+                changed.add(new)
+        if counts.get((a, b), 0) <= 0:
+            counts.pop((a, b), None)
+        for pair in changed:
+            c = counts.get(pair, 0)
+            if c <= 0:
+                counts.pop(pair, None)
+                occ.pop(pair, None)
+            elif c >= 2:
+                heapq.heappush(heap, (-c, pair[0], pair[1]))
+    return merges
+
+
 def bpe_train_sampled(
     df: DataFrame,
     tokens_col: str = "tokens",
@@ -950,7 +1071,10 @@ def bpe_train_sampled(
     LIMIT n — a pure function of the data, reproducible across cluster
     sizes) is collected to the driver: sample_docs * mean_tokens int64s
     (10k docs x 1k tokens = 80 MB) — size ``sample_docs`` to the driver
-    heap; the FULL corpus never leaves the executors.
+    heap; the FULL corpus never leaves the executors.  Training uses the
+    incremental trainer (``bpe_train_local_fast``: pair-count deltas +
+    lazy max-heap, cost independent of n_merges — 32k ranks in ~1s on a
+    100k-token sample; exact parity with the per-round rescan trainer).
 
     ``encoder``: "apply" (rank-order rule loop — fine to a few hundred
     merges, O(n_merges) sweeps per batch) or "encode" (``bpe_encode``:
@@ -968,7 +1092,7 @@ def bpe_train_sampled(
         for r in sample.collect()
         if r[tokens_col] is not None
     ]
-    merges = bpe_train_local(arrs, n_merges, new_id_start)
+    merges = bpe_train_local_fast(arrs, n_merges, new_id_start)
     spark = df.sparkSession
     table = spark.createDataFrame(
         [(m["rank"], m["t1"], m["t2"], m["new_id"], m["pair_count"]) for m in merges]

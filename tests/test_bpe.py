@@ -233,3 +233,53 @@ def test_bpe_encode_accepts_table_dataframe(spark):
     want = {r["doc_id"]: list(r["tokens"]) for r in merged_df.collect()}
     got = {r["doc_id"]: list(r["tokens"]) for r in bpe_encode(df, table).collect()}
     assert got == want
+
+
+def test_bpe_train_local_deep_cascade_no_overflow():
+    """Regression: _merge_pair_batch returns int32 rows, and the rescan
+    trainer's scalar pair key (p1*kmax+p2) silently overflowed int32 once
+    merged ids (~1e6) entered kmax — corrupting the argmax decode for any
+    round whose best pair involved a new id (observed: rule t1=-708).
+    Train deep enough that new-id pairs become the argmax and check both
+    trainers against the pure-python sequential oracle."""
+    from esa_pfa_spark.operators.tokens import bpe_train_local, bpe_train_local_fast
+
+    rng = np.random.default_rng(1)
+    arrs = [rng.integers(0, 5, rng.integers(0, 40)).astype("int64").tolist()
+            for _ in range(150)]
+    want, _ = _seq_bpe(arrs, 40)
+    for trainer in (bpe_train_local, bpe_train_local_fast):
+        got = [
+            (m["rank"], m["t1"], m["t2"], m["new_id"], m["pair_count"])
+            for m in trainer(arrs, 40)
+        ]
+        assert got == want, trainer.__name__
+    # every trained rule must reference ids that exist at its rank
+    assert all(t1 >= 0 and t2 >= 0 for _, t1, t2, _, _ in want)
+
+
+def test_bpe_train_local_fast_matches_rescan_random():
+    """Incremental (delta-count heap) trainer == per-round rescan trainer,
+    across vocab sizes and depths incl. saturation (train until no pair
+    repeats)."""
+    from esa_pfa_spark.operators.tokens import bpe_train_local, bpe_train_local_fast
+
+    for seed, vocab, nm in [(2, 8, 100), (9, 50, 300), (13, 6, 1000), (21, 2, 64)]:
+        rng = np.random.default_rng(seed)
+        arrs = [
+            rng.integers(0, vocab, rng.integers(0, 40)).astype("int64")
+            for _ in range(300)
+        ]
+        a = bpe_train_local(arrs, nm)
+        b = bpe_train_local_fast(arrs, nm)
+        assert a == b, f"seed {seed}"
+
+
+def test_bpe_train_local_fast_edges():
+    from esa_pfa_spark.operators.tokens import bpe_train_local_fast
+
+    assert bpe_train_local_fast([], 5) == []
+    assert bpe_train_local_fast([[1]], 5) == []
+    assert bpe_train_local_fast([[1, 2], [3, 4]], 5) == []  # no pair repeats
+    got = bpe_train_local_fast([[1, 2], [1, 2]], 5)
+    assert [(m["t1"], m["t2"], m["pair_count"]) for m in got] == [(1, 2, 2)]
