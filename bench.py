@@ -90,6 +90,7 @@ HEADLINE = [
     "most_ambiguous_pick",
     "diversity_pick_farthest",
     "bpe_sampled_apply_256",
+    "bpe_encode_sampled_512",
     "scd2_feature_intervals",
     "interval_lookup_tiers",
     "ewma_by_user",

@@ -5,12 +5,20 @@ Usage (the --py-files flow the north rule requires)::
     # package the engine
     python -m esa_pfa_spark.cli package --out /tmp/esa_pfa_spark.zip
 
+    # spark-submit takes a primary .py file; the 3-line launcher below
+    # dispatches into the zipped package that --py-files put on the path
+    # (tests/test_spark_submit.py runs this exact flow end-to-end):
+    #   # launch.py
+    #   import sys
+    #   from esa_pfa_spark.cli import main
+    #   main(sys.argv[1:])
+
     # generate a synthetic tokens table (distributed)
-    spark-submit --py-files /tmp/esa_pfa_spark.zip -m esa_pfa_spark.cli \\
+    spark-submit --master yarn --py-files /tmp/esa_pfa_spark.zip launch.py \\
         synth --entities 100000 --out /data/tokens
 
     # run the flagship as-of + window feature build
-    spark-submit --py-files /tmp/esa_pfa_spark.zip -m esa_pfa_spark.cli \\
+    spark-submit --master yarn --py-files /tmp/esa_pfa_spark.zip launch.py \\
         run --tokens /data/tokens --probes /data/probes --out /data/features \\
         --resume --partitions 64
 

@@ -45,8 +45,17 @@ def get_spark(
     same code path serves pytest, bench.py and spark-submit.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    master = master or f"local[{cpus}]"
-    builder = SparkSession.builder.master(master).appName(app_name)
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        # explicit caller choice (tests, bench) always wins
+        builder = builder.master(master)
+    elif "PYSPARK_GATEWAY_PORT" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
+    # else: the driver was launched by spark-submit (its PythonRunner sets
+    # PYSPARK_GATEWAY_PORT/SECRET for the driver process) and the cluster
+    # manager was chosen on the command line (--master yarn/k8s/...);
+    # forcing local[N] here would silently turn a cluster job into a
+    # driver-local one.  Leave master to the submit-time JVM conf.
     for k, v in DEFAULT_CONFS.items():
         builder = builder.config(k, v)
     nshuffle = shuffle_partitions if shuffle_partitions is not None else cpus
