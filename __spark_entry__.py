@@ -2729,6 +2729,53 @@ FROM j GROUP BY doc_id
 """
 
 
+def q_decontaminate_bloom(spark, sf_dir):
+    """Bloom-filter decontamination (tokens.decontaminate_bloom): the
+    fixed-size-broadcast variant — one m/8-byte bitmap regardless of eval
+    corpus size, k=3 portable double-hash positions, no false negatives.
+    The oracle reproduces the SAME Bloom semantics (position-set join), so
+    even false positives match exactly."""
+    from esa_pfa_spark.operators.tokens import decontaminate_bloom
+
+    docs = _tokenized_docs(spark, sf_dir)
+    is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    return decontaminate_bloom(
+        docs.filter(~is_eval), docs.filter(is_eval), n=8, m_bits=1 << 20, k=3
+    )
+
+
+SQL_DECON_BLOOM = f"""
+WITH tok AS (SELECT doc_id, {_TOK_SQL} AS toks,
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_eval
+             FROM documents),
+w AS (SELECT doc_id, is_eval, len(toks) AS n_tok,
+             unnest(generate_series(0, len(toks) - 8)) AS s, toks
+      FROM tok WHERE len(toks) >= 8),
+f AS (SELECT doc_id, is_eval, n_tok, s,
+             md5(array_to_string(list_slice(toks, s + 1, s + 8), ',')) AS fp
+      FROM w),
+h AS (SELECT doc_id, is_eval, n_tok, s,
+             CAST(('0x' || substr(fp, 1, 15)) AS UBIGINT) % 1048576 AS hm,
+             (CAST(('0x' || substr(fp, 16, 15)) AS UBIGINT) * 2 + 1) % 1048576 AS st
+      FROM f),
+pos AS (SELECT doc_id, is_eval, n_tok, s,
+               unnest([hm, (hm + st) % 1048576, (hm + 2 * st) % 1048576]) AS p
+        FROM h),
+ev AS (SELECT DISTINCT p FROM pos WHERE is_eval),
+perwin AS (SELECT pos.doc_id, pos.n_tok, pos.s,
+                  CASE WHEN bool_and(ev.p IS NOT NULL) THEN 1 ELSE 0 END AS hit
+           FROM pos LEFT JOIN ev ON pos.p = ev.p
+           WHERE NOT pos.is_eval GROUP BY 1, 2, 3)
+SELECT doc_id,
+       CAST(max(n_tok) AS BIGINT) AS n_tok,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(hit) AS BIGINT) AS n_bloom_hits,
+       round(sum(hit) * 1.0 / count(*), 6) AS contamination_frac,
+       sum(hit) > 0 AS contaminated
+FROM perwin GROUP BY doc_id
+"""
+
+
 def q_curation_decontaminated(spark, sf_dir):
     """Curation chain with the benchmark-hygiene tail: quality gate ->
     exact dedup -> near-dup removal -> drop any survivor sharing an 8-gram
@@ -3947,6 +3994,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "token_chunk_windows": (q_token_chunks, SQL_TOKEN_CHUNKS),
     "token_pack_capacity": (q_token_packing, SQL_TOKEN_PACKING),
     "length_bucket_padding": (q_length_buckets, SQL_LENGTH_BUCKETS),
+    "decontaminate_bloom_8g": (q_decontaminate_bloom, SQL_DECON_BLOOM),
     "token_pack_manifest": (q_pack_manifest, SQL_PACK_MANIFEST),
     "token_vocab_topk": (q_token_vocab, SQL_TOKEN_VOCAB),
     "token_bigrams_topk": (q_token_bigrams, SQL_TOKEN_BIGRAMS),

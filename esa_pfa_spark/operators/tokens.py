@@ -39,6 +39,7 @@ per-patch statistics (AbstractApplicationDescriptor feature vectors).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark import TaskContext
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -375,6 +376,115 @@ def decontaminate(
         F.first("__n_tok").cast("long").alias("n_tok"),
         n_win.cast("long").alias("n_windows"),
         n_hits.cast("long").alias("n_eval_hits"),
+        F.round(n_hits / n_win, 6).alias("contamination_frac"),
+        (n_hits > 0).alias("contaminated"),
+    )
+
+
+def _bloom_positions(fp_col, m_bits: int, k: int):
+    """``k`` Bloom bit positions from an md5-hex fingerprint column, via
+    standard double hashing (Kirsch & Mitzenmacher, "Less Hashing, Same
+    Performance"): p_i = (h1 + i*(2*h2+1)) mod m with h1/h2 the first/second
+    15 hex chars as 60-bit ints.  Every step is portable int64 arithmetic
+    (no unsigned wraparound anywhere: h1 < 2^60, the second term is reduced
+    mod m first), so the DuckDB oracle reproduces the positions exactly."""
+    h1 = F.conv(F.substring(fp_col, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(fp_col, 16, 15), 16, 10).cast("long")
+    step = (h2 * 2 + 1) % m_bits
+    return [((h1 % m_bits) + i * step) % m_bits for i in range(k)]
+
+
+def eval_bloom_bitmap(
+    eval_df: DataFrame,
+    n: int = 8,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+):
+    """Build the eval-set Bloom bitmap as a packed numpy uint8 array.
+
+    Distributed shape: positions -> byte-index groupBy with a JVM
+    ``bit_or`` partial aggregation (map-side combine), so the driver
+    receives at most ``m_bits/8`` (word, byte) rows no matter how large
+    the eval corpus is — the collect is bounded by the FILTER size, never
+    the data size."""
+    wins = ngram_fps(eval_df, n=n, tokens_col=tokens_col, id_col=id_col)
+    pos = wins.select(
+        F.explode(F.array(*_bloom_positions(F.col("fp"), m_bits, k))).alias("p")
+    )
+    words = (
+        pos.select(
+            (F.col("p") / 8).cast("long").alias("w"),
+            F.expr("shiftleft(1, cast(p % 8 as int))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("byte"))
+        .collect()
+    )
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    for r in words:
+        bits[r["w"]] = np.uint8(r["byte"])
+    return bits
+
+
+def decontaminate_bloom(
+    df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``decontaminate`` with a FIXED-SIZE broadcast: instead of shipping
+    every distinct eval fingerprint string (32+ bytes each — grows with the
+    eval corpus), ship one ``m_bits/8``-byte Bloom bitmap and test each
+    training window's ``k`` positions against it.  No false negatives —
+    every truly contaminated window is flagged — and false positives only
+    over-remove at rate ~(1-e^{-kn/m})^k, the safe direction for hygiene.
+
+    At 100 TB the difference is material: a 10M-window eval suite is a
+    ~400 MB exact-fp broadcast vs a fixed 16 MB bitmap at m=2^27, and the
+    bitmap build itself is distributed (byte-indexed bit_or aggregation,
+    driver receives <= m/8 rows).
+
+    The per-window membership test is a vectorized Arrow-batched pandas
+    UDF over the broadcast numpy bitmap (three aligned gather/shift ops
+    per batch — no per-row Python); positions are computed JVM-side so the
+    test is the only Python stage.  Output schema matches ``decontaminate``
+    with ``n_eval_hits`` -> ``n_bloom_hits``.
+
+    Exactly oracle-able: the DuckDB oracle reproduces the SAME Bloom
+    semantics (k portable double-hash positions, hit iff all k in the
+    eval position set), so even the false positives match bit-for-bit.
+    Reference analog: the query-index membership gates of
+    pfa-database/.../db/LucenePatchQuery.java:64-93."""
+    spark = df.sparkSession
+    bits = eval_bloom_bitmap(
+        eval_df, n=n, m_bits=m_bits, k=k, tokens_col=tokens_col, id_col=id_col
+    )
+    bc = spark.sparkContext.broadcast(bits)
+
+    @F.pandas_udf("boolean")
+    def bloom_all(ps: pd.DataFrame) -> pd.Series:
+        b = bc.value
+        acc = np.ones(len(ps), dtype=bool)
+        for c in ps.columns:
+            p = ps[c].to_numpy()
+            acc &= ((b[p >> 3] >> (p & 7)) & 1).astype(bool)
+        return pd.Series(acc)
+
+    wins = ngram_fps(df, n=n, tokens_col=tokens_col, id_col=id_col)
+    pos_cols = _bloom_positions(F.col("fp"), m_bits, k)
+    hit = bloom_all(F.struct(*[p.alias(f"p{i}") for i, p in enumerate(pos_cols)]))
+    scored = wins.withColumn("__hit", hit.cast("int"))
+    n_hits = F.sum("__hit")
+    n_win = F.count(F.lit(1))
+    return scored.groupBy(id_col).agg(
+        F.first("__n_tok").cast("long").alias("n_tok"),
+        n_win.cast("long").alias("n_windows"),
+        n_hits.cast("long").alias("n_bloom_hits"),
         F.round(n_hits / n_win, 6).alias("contamination_frac"),
         (n_hits > 0).alias("contaminated"),
     )

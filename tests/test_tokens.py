@@ -264,6 +264,51 @@ def test_decontaminate_plan_broadcasts_eval(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_decontaminate_bloom_superset_and_bigm_exact(spark):
+    """Bloom contract: NO false negatives at any m (per-doc bloom hits >=
+    exact hits window-for-window), and a generously sized bitmap reproduces
+    the exact pass (false-positive rate ~(kn/m)^k -> ~0 here)."""
+    import random
+
+    rng = random.Random(7)
+    train = spark.createDataFrame(
+        [(f"t{i}", [rng.randrange(50) for _ in range(rng.randrange(4, 40))])
+         for i in range(60)],
+        "doc_id string, tokens array<int>",
+    )
+    ev = spark.createDataFrame(
+        [(f"e{i}", [rng.randrange(50) for _ in range(20)]) for i in range(8)],
+        "doc_id string, tokens array<int>",
+    )
+    exact = {r["doc_id"]: r["n_eval_hits"]
+             for r in TK.decontaminate(train, ev, n=4).collect()}
+    for m_bits in (1 << 10, 1 << 22):
+        got = {r["doc_id"]: r["n_bloom_hits"]
+               for r in TK.decontaminate_bloom(train, ev, n=4, m_bits=m_bits, k=3).collect()}
+        assert sorted(got) == sorted(exact)
+        assert all(got[d] >= exact[d] for d in exact), "false negative"
+    assert got == exact  # m = 2^22 vs ~100 set bits: collisions ~0
+
+
+def test_decontaminate_bloom_bitmap_is_fixed_size(spark):
+    """The broadcast payload is m/8 bytes regardless of eval-corpus size,
+    and the bitmap build aggregates BYTES (bit_or groupBy), so the driver
+    collect is bounded by m/8 rows."""
+    ev_small = spark.createDataFrame(
+        [("e0", list(range(10)))], "doc_id string, tokens array<int>"
+    )
+    ev_big = spark.createDataFrame(
+        [(f"e{i}", [i * 37 + j for j in range(30)]) for i in range(50)],
+        "doc_id string, tokens array<int>",
+    )
+    m = 1 << 14
+    b_small = TK.eval_bloom_bitmap(ev_small, n=4, m_bits=m, k=3)
+    b_big = TK.eval_bloom_bitmap(ev_big, n=4, m_bits=m, k=3)
+    assert b_small.nbytes == b_big.nbytes == m // 8
+    # more eval windows -> more set bits, never fewer
+    assert np.unpackbits(b_big).sum() >= np.unpackbits(b_small).sum()
+
+
 def test_tfidf_topk_hand_computed(spark):
     df = spark.createDataFrame(
         [("d1", [1, 1, 2]), ("d2", [2, 3])], "doc_id string, tokens array<int>"
