@@ -2776,6 +2776,102 @@ FROM perwin GROUP BY doc_id
 """
 
 
+def q_incremental_asof_features(spark, sf_dir):
+    """Incremental feature-table maintenance (plans/incremental.py): the
+    Spark side computes features for the post-cut probe window from ONLY
+    the per-entity state (bootstrapped at cut 2024-01-13) + the delta
+    observations — while the DuckDB oracle performs the FULL-history
+    recompute.  A hash match therefore PROVES incremental == full, the
+    module's central claim (never rescan history at 10^12 scale)."""
+    import datetime as dt
+
+    from esa_pfa_spark.plans.incremental import entity_state, incremental_fill
+
+    cut = dt.datetime(2024, 1, 13)
+    tol = dt.timedelta(days=7)
+    gap = dt.timedelta(days=1)
+    ev = _ld(spark, sf_dir, "events").select("user_id", "ts", "value")
+    state = entity_state(ev, cut, gap=gap, entity="user_id", value_col="value")
+    delta = ev.filter(F.col("ts") >= F.lit(cut))
+    probes = (
+        _ld(spark, sf_dir, "events")
+        .select("user_id", (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("query_ts"))
+        .filter(F.col("query_ts") >= F.lit(cut + tol))
+    )
+    return incremental_fill(
+        delta, probes, state, tolerance=tol, gap=gap,
+        entity="user_id", value_col="value",
+    )
+
+
+SQL_INCREMENTAL_ASOF = """
+WITH o AS (SELECT user_id, ts, value,
+             lag(value) OVER w AS lag_1_value,
+             lead(value) OVER w AS lead_1_value,
+             lag(ts) OVER w AS prev_ts
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+b AS (SELECT *, CASE WHEN prev_ts IS NULL
+                       OR date_diff('microsecond', prev_ts, ts) <= 86400000000
+                     THEN 0 ELSE 1 END AS brk FROM o),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id FROM b),
+sl AS (SELECT *, count(*) OVER (PARTITION BY user_id, session_id) AS session_len
+       FROM s),
+probes AS (SELECT event_id, user_id, ts + INTERVAL 2 HOUR AS query_ts FROM events
+           WHERE ts + INTERVAL 2 HOUR >= TIMESTAMP '2024-01-20 00:00:00'),
+m AS (SELECT p.event_id, p.user_id, p.query_ts, max(sl.ts) AS matched_ts
+      FROM probes p LEFT JOIN sl ON sl.user_id = p.user_id
+        AND sl.ts <= p.query_ts AND sl.ts >= p.query_ts - INTERVAL 7 DAY
+      GROUP BY 1, 2, 3)
+SELECT m.user_id, m.query_ts, m.matched_ts,
+       sl.value, sl.lag_1_value, sl.lead_1_value,
+       CAST(sl.session_id AS BIGINT) AS session_id,
+       CAST(sl.session_len AS INTEGER) AS session_len
+FROM m LEFT JOIN sl ON sl.user_id = m.user_id AND sl.ts = m.matched_ts
+"""
+
+
+def q_incremental_state_roll(spark, sf_dir):
+    """roll_state driver proof: Spark bootstraps the per-entity state at
+    2024-01-10, advances it over the [01-10, 01-20) window WITHOUT
+    rereading history; the oracle computes the state at 2024-01-20 from
+    the FULL history.  Hash match == the state algebra is exact."""
+    import datetime as dt
+
+    from esa_pfa_spark.plans.incremental import entity_state, roll_state
+
+    cut1, cut2 = dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 20)
+    gap = dt.timedelta(days=1)
+    ev = _ld(spark, sf_dir, "events").select("user_id", "ts", "value")
+    s1 = entity_state(ev, cut1, gap=gap, entity="user_id", value_col="value")
+    window = ev.filter((F.col("ts") >= F.lit(cut1)) & (F.col("ts") < F.lit(cut2)))
+    return roll_state(s1, window, gap=gap, entity="user_id", value_col="value")
+
+
+SQL_INCREMENTAL_ROLL = """
+WITH o AS (SELECT user_id, ts, value,
+             lag(ts) OVER w AS prev_ts,
+             row_number() OVER w AS oidx
+           FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+b AS (SELECT *, CASE WHEN prev_ts IS NULL
+                       OR date_diff('microsecond', prev_ts, ts) <= 86400000000
+                     THEN 0 ELSE 1 END AS brk FROM o),
+s AS (SELECT *,
+        sum(brk) OVER cum AS session_id,
+        max(CASE WHEN brk = 1 OR oidx = 1 THEN oidx END) OVER cum AS sess_start
+      FROM b WINDOW cum AS (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING))
+SELECT user_id,
+       max(ts) AS last_ts,
+       arg_max(value, ts) AS last_value,
+       CAST(count(*) AS BIGINT) AS obs_before,
+       CAST(max(session_id) AS BIGINT) AS sessions_before,
+       CAST(max(sess_start) AS BIGINT) AS last_sess_start
+FROM s GROUP BY user_id
+"""
+
+
 def q_curation_decontaminated(spark, sf_dir):
     """Curation chain with the benchmark-hygiene tail: quality gate ->
     exact dedup -> near-dup removal -> drop any survivor sharing an 8-gram
@@ -3995,6 +4091,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "token_pack_capacity": (q_token_packing, SQL_TOKEN_PACKING),
     "length_bucket_padding": (q_length_buckets, SQL_LENGTH_BUCKETS),
     "decontaminate_bloom_8g": (q_decontaminate_bloom, SQL_DECON_BLOOM),
+    "incremental_asof_features": (q_incremental_asof_features, SQL_INCREMENTAL_ASOF),
+    "incremental_state_roll": (q_incremental_state_roll, SQL_INCREMENTAL_ROLL),
     "token_pack_manifest": (q_pack_manifest, SQL_PACK_MANIFEST),
     "token_vocab_topk": (q_token_vocab, SQL_TOKEN_VOCAB),
     "token_bigrams_topk": (q_token_bigrams, SQL_TOKEN_BIGRAMS),
