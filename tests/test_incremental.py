@@ -203,3 +203,22 @@ def test_incremental_fill_single_exchange(spark, handmade):
         "Exchange rangepartitioning"
     )
     assert n_ex == 1, plan
+
+
+def test_delta_scan_prunes_dated_partitions(spark, handmade, tmp_path):
+    """The production delta read: observations stored in the dated y/m/d
+    layout, the incremental run's ts-range filter must reach the scan as
+    PartitionFilters (directories outside the window are never opened)."""
+    from esa_pfa_spark.sources.sinks import write_dated
+
+    obs, _, cut = handmade
+    path = str(tmp_path / "dated_obs")
+    write_dated(obs, path)
+    delta = spark.read.parquet(path).filter(
+        (F.col("y") > 2024) | ((F.col("y") == 2024) & (F.col("m") >= 2))
+    )
+    plan = delta._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the pruned scan reads only the 6 February rows, never the January dirs
+    assert delta.count() == 6
+    assert all(r["m"] == 2 for r in delta.select("m").distinct().collect())
