@@ -89,6 +89,56 @@ def cmd_run(args) -> None:
         print(f"wrote {args.out}")
 
 
+def cmd_run_incremental(args) -> None:
+    """The steady-state production loop: consume the per-entity state +
+    this window's observation delta + probe batch, emit features and
+    (optionally) the advanced state for the next run — history is never
+    rescanned.  First run: ``--bootstrap-from <history> --cut <ISO>``
+    builds the state; later runs pass ``--state`` from the previous
+    ``--state-out``.  Features are row-identical to a full-history
+    recompute at the same horizon (plans/incremental.py contract)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from esa_pfa_spark.operators.features import token_stats_arrow
+    from esa_pfa_spark.plans.incremental import (
+        STAT_PAYLOAD,
+        flagship_entity_state,
+        incremental_fill,
+        roll_state,
+    )
+    from esa_pfa_spark.plans.pipeline import FEATURE_PAYLOAD
+    from esa_pfa_spark.session import get_spark
+
+    spark = get_spark(app_name="esa_pfa_run_incremental")
+    delta = spark.read.parquet(args.tokens)
+    probes = spark.read.parquet(args.probes)
+    if args.state:
+        state = spark.read.parquet(args.state)
+    elif args.bootstrap_from and args.cut:
+        hist = spark.read.parquet(args.bootstrap_from)
+        state = flagship_entity_state(hist, dt.datetime.fromisoformat(args.cut))
+    else:
+        raise SystemExit("need --state, or --bootstrap-from with --cut")
+
+    enriched = token_stats_arrow(delta, "tokens")
+    out = incremental_fill(
+        enriched, probes, state, value_col="mean", payload=STAT_PAYLOAD
+    ).select("entity_id", "query_ts", "matched_ts", *FEATURE_PAYLOAD)
+    out.write.mode("overwrite").parquet(args.out)
+    print(f"wrote {args.out}")
+
+    if args.state_out:
+        window = enriched.select("entity_id", "ts", "mean")
+        if args.next_cut:
+            window = window.filter(
+                F.col("ts") < F.lit(dt.datetime.fromisoformat(args.next_cut))
+            )
+        roll_state(state, window).write.mode("overwrite").parquet(args.state_out)
+        print(f"advanced state -> {args.state_out}")
+
+
 def cmd_dataset(args) -> None:
     """Dataset assembly: deterministic split + seeded export-shuffle order
     over a documents/tokens table, written partitioned by split.  Input
@@ -171,6 +221,21 @@ def main(argv=None) -> None:
     p.add_argument("--resume", action="store_true", help="manifest-checkpointed run")
     p.add_argument("--partitions", type=int, default=64)
     p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser(
+        "run-incremental",
+        help="state + delta feature build (never rescans history); "
+             "emits features and optionally the advanced state",
+    )
+    p.add_argument("--tokens", required=True, help="this window's observation delta")
+    p.add_argument("--probes", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--state", default=None, help="state parquet from the previous run's --state-out")
+    p.add_argument("--bootstrap-from", default=None, help="history parquet (first run only)")
+    p.add_argument("--cut", default=None, help="ISO ts the bootstrap state summarizes up to")
+    p.add_argument("--state-out", default=None, help="write the advanced state here")
+    p.add_argument("--next-cut", default=None, help="ISO ts the advanced state should stop at")
+    p.set_defaults(fn=cmd_run_incremental)
 
     p = sub.add_parser("curate", help="quality/dedup/decontamination curation over a documents table")
     p.add_argument("--input", required=True)

@@ -222,3 +222,37 @@ def test_delta_scan_prunes_dated_partitions(spark, handmade, tmp_path):
     # the pruned scan reads only the 6 February rows, never the January dirs
     assert delta.count() == 6
     assert all(r["m"] == 2 for r in delta.select("m").distinct().collect())
+
+
+def test_cli_run_incremental_loop(spark, handmade, tmp_path):
+    """The production CLI loop end-to-end: bootstrap run writes features +
+    advanced state; the next run consumes that state; the two runs' parquet
+    output together equals the full recompute."""
+    from esa_pfa_spark import cli
+
+    obs, probes, cut = handmade
+    cut2 = T("2024-02-14T00:00:00")
+    w1 = (F.col("query_ts") >= F.lit(cut) + F.expr("INTERVAL 7 DAYS")) & (
+        F.col("query_ts") < F.lit(cut2) + F.expr("INTERVAL 7 DAYS")
+    )
+    w2 = F.col("query_ts") >= F.lit(cut2) + F.expr("INTERVAL 7 DAYS")
+    p = lambda name: str(tmp_path / name)
+    obs.write.parquet(p("hist"))
+    obs.filter(F.col("ts") >= F.lit(cut)).write.parquet(p("delta1"))
+    obs.filter(F.col("ts") >= F.lit(cut2)).write.parquet(p("delta2"))
+    probes.filter(w1).write.parquet(p("probes1"))
+    probes.filter(w2).write.parquet(p("probes2"))
+
+    cli.main([
+        "run-incremental", "--tokens", p("delta1"), "--probes", p("probes1"),
+        "--out", p("feat1"), "--bootstrap-from", p("hist"),
+        "--cut", "2024-02-01T00:00:00",
+        "--state-out", p("state2"), "--next-cut", "2024-02-14T00:00:00",
+    ])
+    cli.main([
+        "run-incremental", "--tokens", p("delta2"), "--probes", p("probes2"),
+        "--out", p("feat2"), "--state", p("state2"),
+    ])
+    got = spark.read.parquet(p("feat1")).unionByName(spark.read.parquet(p("feat2")))
+    full = feature_table_fused(obs, probes).filter(w1 | w2)
+    assert _canon(got) == _canon(full)
