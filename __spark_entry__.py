@@ -4032,6 +4032,98 @@ FROM embeddings em LEFT JOIN comp c ON c.id = em.vec_id
 )
 
 
+
+
+def q_pit_decay_features(spark, sf_dir):
+    """Exponential time-decay PIT aggregates (pit.decayed_pit_features):
+    recency-weighted sum / weight / mean of each user's purchases at click
+    time, tau=1 day, support window (query_ts - 30*tau, query_ts].
+    Bucketed band join (no BNLJ, hot-key-bounded tasks); per-term decimal
+    rounding makes the sums order-independent exact — the oracle witness."""
+    from esa_pfa_spark.operators.pit import decayed_pit_features
+
+    ev = _ld(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("query_ts")
+    )
+    obs = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return decayed_pit_features(
+        probes, obs, on="user_id", probe_ts="query_ts", obs_ts="ts",
+        value="value", tau=dt.timedelta(days=1), cutoff=30.0,
+    ).select("user_id", "event_id", "query_ts", "n_win",
+             "decay_sum", "decay_wt", "decay_mean")
+
+
+SQL_PIT_DECAY = f"""
+WITH c AS (SELECT event_id, user_id, ts AS query_ts FROM events WHERE event_type='click'),
+     p AS (SELECT user_id, ts, value FROM events WHERE event_type='purchase'),
+     j AS (
+       SELECT c.event_id, c.user_id, c.query_ts,
+              CAST(round(exp(-(CAST(epoch_us(c.query_ts)-epoch_us(p.ts) AS DOUBLE)/1e6)/{DAY}.0) * p.value, 6)
+                   AS DECIMAL(18,6)) AS t_sum,
+              CAST(round(exp(-(CAST(epoch_us(c.query_ts)-epoch_us(p.ts) AS DOUBLE)/1e6)/{DAY}.0), 6)
+                   AS DECIMAL(18,6)) AS t_wt
+       FROM c JOIN p ON p.user_id = c.user_id
+        AND epoch_us(c.query_ts)-epoch_us(p.ts) >= 0
+        AND epoch_us(c.query_ts)-epoch_us(p.ts) < {30 * DAY} * CAST(1e6 AS BIGINT)),
+     a AS (SELECT event_id, user_id, query_ts, count(*) AS n_win,
+                  sum(t_sum) AS ds, sum(t_wt) AS dw
+           FROM j GROUP BY 1, 2, 3)
+SELECT c.user_id, c.event_id, c.query_ts,
+       CAST(coalesce(a.n_win, 0) AS BIGINT) AS n_win,
+       round(CAST(a.ds AS DOUBLE), 6) AS decay_sum,
+       round(CAST(a.dw AS DOUBLE), 6) AS decay_wt,
+       round(CASE WHEN CAST(a.dw AS DOUBLE) > 0
+             THEN CAST(a.ds AS DOUBLE) / CAST(a.dw AS DOUBLE) END, 6) AS decay_mean
+FROM c LEFT JOIN a USING (event_id, user_id, query_ts)
+"""
+
+
+
+
+def q_purged_time_folds(spark, sf_dir):
+    """Purged k-fold time-series CV with embargo (dataset.purged_time_folds):
+    5 equal-width time folds over events, 1-day embargo; summary counts per
+    fold.  The evaluation-protocol side of leakage safety — rows inside the
+    embargo band around a test fold are purged from that fold's train set."""
+    from esa_pfa_spark.operators.dataset import purged_time_folds
+
+    ev = _ld(spark, sf_dir, "events").select("event_id", "ts")
+    x = purged_time_folds(ev, ts="ts", k=5, embargo=dt.timedelta(days=1))
+    return x.groupBy("fold").agg(
+        F.count(F.when(F.col("role") == "test", 1)).alias("n_test"),
+        F.count(F.when(F.col("role") == "train", 1)).alias("n_train"),
+        F.count(F.when(F.col("role") == "purged", 1)).alias("n_purged"),
+    ).orderBy("fold")
+
+
+SQL_PURGED_FOLDS = f"""
+WITH b AS (SELECT min(epoch_us(ts)) AS min_eus,
+                  max(epoch_us(ts)) - min(epoch_us(ts)) + 1 AS span1 FROM events),
+r AS (SELECT epoch_us(e.ts) AS eus,
+             CAST(((epoch_us(e.ts) - b.min_eus) * 5) // b.span1 AS INT) AS rf,
+             b.min_eus, b.span1
+      FROM events e CROSS JOIN b),
+x AS (SELECT r.eus, r.rf, CAST(f.fold AS INT) AS fold,
+             r.min_eus + (f.fold * r.span1 + 4) // 5 AS lo,
+             r.min_eus + ((f.fold + 1) * r.span1 + 4) // 5 - 1 AS hi
+      FROM r CROSS JOIN (SELECT unnest(range(5)) AS fold) f),
+a AS (SELECT fold,
+             CASE WHEN rf = fold THEN 'test'
+                  WHEN eus >= lo - {DAY} * CAST(1e6 AS BIGINT)
+                   AND eus <= hi + {DAY} * CAST(1e6 AS BIGINT) THEN 'purged'
+                  ELSE 'train' END AS role
+      FROM x)
+SELECT fold,
+       count(*) FILTER (role = 'test') AS n_test,
+       count(*) FILTER (role = 'train') AS n_train,
+       count(*) FILTER (role = 'purged') AS n_purged
+FROM a GROUP BY fold ORDER BY fold
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -4172,6 +4264,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ann_lsh_topk": (q_ann_lsh_topk, _ann_lsh_sql()),
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, _neardup_lsh_sql()),
     "nan_validity_filter": (q_nan_validity, SQL_NAN_VALIDITY),
+    "pit_decay_features_1d": (q_pit_decay_features, SQL_PIT_DECAY),
+    "purged_time_folds_5": (q_purged_time_folds, SQL_PURGED_FOLDS),
 }
 
 

@@ -289,3 +289,71 @@ def mixture_by_token_budget(
         .filter(F.col("__budget").isNotNull() & (F.col("__cum") <= F.col("__budget")))
         .select(id_col, group_col, F.col(ntok_col), F.col("__cum").cast("long").alias("cum_tok"))
     )
+
+
+def purged_time_folds(
+    df: DataFrame,
+    ts: str = "ts",
+    k: int = 5,
+    embargo=None,
+) -> DataFrame:
+    """Purged k-fold time-series cross-validation assignment with embargo
+    (the leakage-safe CV scheme for serially-correlated labels, de Prado
+    2018 ch.7): the corpus time span is cut into ``k`` contiguous folds;
+    for each test fold, candidate TRAINING rows whose timestamp falls
+    within ``embargo`` of the fold's range are PURGED — features built
+    near the test window cannot bleed label information across the
+    boundary.  The companion of the engine's PIT as-of core: as-of joins
+    keep features leakage-free *within* a row, purged folds keep the
+    *evaluation protocol* leakage-free across rows.
+
+    Returns ``df`` exploded k-fold-wise: every input row appears once per
+    fold with ``(fold int, role string)`` appended, role in
+    {'test','train','purged'}.
+
+    Fold geometry is integer-exact and engine-portable: with ``eus`` =
+    epoch microseconds, ``span1 = max_eus - min_eus + 1``, a row belongs
+    to fold ``floor((eus - min_eus) * k / span1)`` (equal-width slices,
+    every row in [0, k)), and fold f covers
+    ``[min_eus + ceil(f*span1/k), min_eus + ceil((f+1)*span1/k) - 1]``.
+    No driver collect: the two-scalar bounds row rides a broadcast cross
+    join.  Everything else is map-only column math — the k-way explode is
+    the output contract (one evaluation copy per fold), not a shuffle.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    import datetime as _dt
+    e_s = embargo.total_seconds() if isinstance(embargo, _dt.timedelta) else float(embargo or 0.0)
+    if e_s < 0:
+        raise ValueError("embargo must be >= 0")
+    e_us = int(round(e_s * 1e6))
+
+    # Integer arithmetic throughout (DIV, not float /): epoch-microsecond
+    # products exceed double's 53-bit exactness, and a boundary row
+    # misassigned by one ulp would silently swap test<->purged.
+    eus = F.unix_micros(F.col(ts).cast("timestamp_ltz"))
+    bounds = df.agg(
+        F.min(eus).alias("__min_eus"),
+        (F.max(eus) - F.min(eus) + F.lit(1)).alias("__span1"),
+    )
+    x = (
+        df.withColumn("__eus", eus)
+        .crossJoin(F.broadcast(bounds))
+        .withColumn("__num", (F.col("__eus") - F.col("__min_eus")) * k)
+        .withColumn("__rf", F.expr("__num DIV __span1").cast("int"))
+        .select("*", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("fold"))
+        .withColumn("__lo", F.col("__min_eus")
+                    + F.expr(f"(fold * __span1 + {k - 1}) DIV {k}"))
+        .withColumn("__hi", F.col("__min_eus")
+                    + F.expr(f"((fold + 1) * __span1 + {k - 1}) DIV {k}") - 1)
+    )
+    role = (
+        F.when(F.col("__rf") == F.col("fold"), F.lit("test"))
+        .when(
+            (F.col("__eus") >= F.col("__lo") - e_us)
+            & (F.col("__eus") <= F.col("__hi") + e_us),
+            F.lit("purged"),
+        )
+        .otherwise(F.lit("train"))
+    )
+    return x.select(*df.columns, "fold", role.alias("role"))

@@ -298,3 +298,96 @@ def pit_multi_window_agg(
         out_cols.append(F.when(n_c > 0, s_c).alias(f"sum_{nme}"))
         out_cols.append(F.when(n_c > 0, s_c / n_c).alias(f"mean_{nme}"))
     return picked.select(*out_cols)
+
+
+def decayed_pit_features(
+    probes: DataFrame,
+    observations: DataFrame,
+    on: str = "entity_id",
+    probe_ts: str = "query_ts",
+    obs_ts: str = "ts",
+    value: str = "value",
+    tau=_dt.timedelta(days=7),
+    cutoff: float = 30.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exponential time-decay PIT aggregates: for each probe row,
+
+        decay_sum  = sum_j  exp(-(query_ts - ts_j)/tau) * value_j
+        decay_wt   = sum_j  exp(-(query_ts - ts_j)/tau)
+        decay_mean = decay_sum / decay_wt
+
+    over observations in the half-open support window
+    ``(query_ts - cutoff*tau, query_ts]`` — recency-weighted feature-store
+    aggregates ("time-decayed counts/sums") with zero temporal leakage.
+    Truncating at ``cutoff`` tau (default 30 => relative truncation error
+    < e^-30 ~ 1e-13, below the published rounding) is what bounds both the
+    numerics and the join: unlike plain windowed sums, per-term-rounded
+    decayed sums are NOT subtractable aggregates, so the
+    difference-of-cumulatives fill (pit_window_agg) cannot carry them
+    exactly; the honest plan is the bounded interval join.
+
+    Physical plan — bucketed band join (pairing.interval_pairs_bucketed's
+    decomposition): both sides bucket by ``floor(epoch/horizon)``; the
+    probe side explodes into (b, b-1) so every in-horizon pair meets on
+    exactly one equi-key (on, bucket).  Per-task work is
+    O(rows-per-bucket^2) regardless of hot keys; no BroadcastNestedLoop.
+    The closing per-probe aggregation groups by the SAME keys the join
+    shuffled on.  Probes with no in-horizon observation come back via a
+    final left join (count 0, null sums).
+
+    Exactness contract (the oracle witness): each pair term is rounded to
+    ``round_to`` decimals and accumulated as decimal(18,6) — an
+    order-independent exact sum, bit-reproducible across engines (same
+    trick as textstats.unigram_logprob), so the result hash-matches a
+    direct per-probe SQL sum at any parallelism."""
+    from esa_pfa_spark.functions.time import epoch_s, ts_diff_us
+
+    tau_s = _seconds(tau)
+    if tau_s <= 0:
+        raise ValueError("tau must be positive")
+    horizon_us = int(round(cutoff * tau_s * 1e6))
+    if horizon_us <= 0:
+        raise ValueError("cutoff*tau must be positive")
+    w = max(int(-(-horizon_us // 1_000_000)), 1)  # ceil seconds
+
+    keys = [on] if isinstance(on, str) else list(on)
+    probe_cols = [c for c in probes.columns if c not in keys + [probe_ts]]
+
+    bp = F.floor(epoch_s(F.col(probe_ts)) / w)
+    p = probes.select(
+        *keys, probe_ts, *probe_cols,
+        F.explode(F.array(bp, bp - 1)).alias("__bk"),
+    )
+    o = observations.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        F.col(obs_ts).alias("__ots"),
+        F.col(value).cast("double").alias("__ov"),
+        F.floor(epoch_s(F.col(obs_ts)) / w).alias("__obk"),
+    )
+    dt_us = ts_diff_us(probe_ts, "__ots")
+    cond = F.col("__bk") == F.col("__obk")
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"__ok_{k}"))
+    pairs = p.join(o, cond & (dt_us >= 0) & (dt_us < horizon_us))
+
+    decay = F.exp(-(dt_us.cast("double") / F.lit(1e6)) / F.lit(tau_s))
+    term_sum = F.round(decay * F.col("__ov"), round_to).cast("decimal(18,6)")
+    term_wt = F.round(decay, round_to).cast("decimal(18,6)")
+    agg = pairs.groupBy(*keys, probe_ts, *probe_cols).agg(
+        F.count(F.lit(1)).alias("n_win"),
+        F.sum(term_sum).alias("__ds"),
+        F.sum(term_wt).alias("__dw"),
+    )
+    out = probes.join(agg, keys + [probe_ts] + probe_cols, "left")
+    ds = F.col("__ds").cast("double")
+    dw = F.col("__dw").cast("double")
+    return out.select(
+        *keys, *probe_cols, probe_ts,
+        F.coalesce(F.col("n_win"), F.lit(0)).cast("long").alias("n_win"),
+        F.round(ds, round_to).alias("decay_sum"),
+        F.round(dw, round_to).alias("decay_wt"),
+        F.round(
+            F.when(dw > 0, ds / dw), round_to
+        ).alias("decay_mean"),
+    )

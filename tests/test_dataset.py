@@ -137,3 +137,50 @@ def test_token_budget_mix_never_over_and_deterministic(docs):
         for r in DS.mixture_by_token_budget(tok.repartition(13), budgets).collect()
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# purged_time_folds
+# ---------------------------------------------------------------------------
+
+def test_purged_time_folds_semantics(spark):
+    """Hand-built timeline, k=2, embargo=10s: every row appears exactly k
+    times; the row's own fold is 'test'; rows within the embargo band of
+    the OTHER fold are 'purged'; the rest are 'train'.  Brute-force mirror
+    of the integer fold geometry."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from esa_pfa_spark.operators.dataset import purged_time_folds
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [(i, t0 + dt.timedelta(seconds=s))
+            for i, s in enumerate([0, 5, 30, 49, 50, 60, 95, 99])]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["rid", "ts"]))
+    out = purged_time_folds(df, ts="ts", k=2, embargo=dt.timedelta(seconds=10))
+    got = {(r["rid"], r["fold"]): r["role"] for r in out.collect()}
+    assert len(got) == len(rows) * 2
+
+    min_us = int(t0.timestamp() * 1e6)
+    span1 = 99_000_000 + 1
+    e_us = 10_000_000
+    for rid, ts in rows:
+        eus = int(ts.timestamp() * 1e6)
+        rf = ((eus - min_us) * 2) // span1
+        for fold in (0, 1):
+            lo = min_us + (fold * span1 + 1) // 2
+            hi = min_us + ((fold + 1) * span1 + 1) // 2 - 1
+            if rf == fold:
+                want = "test"
+            elif lo - e_us <= eus <= hi + e_us:
+                want = "purged"
+            else:
+                want = "train"
+            assert got[(rid, fold)] == want, (rid, fold)
+
+    # spot-check the shape: every fold has its own rows as test, and rows
+    # just across the midpoint boundary are purged, not train
+    assert got[(3, 1)] == "purged"   # s=49 is within 10s of fold 1's start
+    assert got[(4, 0)] == "purged"   # s=50 is within 10s of fold 0's end
+    assert got[(0, 1)] == "train"    # s=0 is far from fold 1

@@ -214,3 +214,104 @@ def test_multi_window_matches_single_per_horizon(spark):
     )
     assert n_exchanges(plan) == 1, plan
     assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# decayed_pit_features
+# ---------------------------------------------------------------------------
+
+def _decay_brute(probes, obs, tau_s, horizon_s):
+    """Per-probe decayed aggregates, per-term 6dp rounding, direct sum."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x):
+        # Spark's F.round on double: HALF_UP over the shortest decimal repr
+        return Decimal(repr(float(x))).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+
+    out = {}
+    for pid, k, qts in probes:
+        terms = []
+        for ok, ots, v, _oid in obs:
+            d = (qts - ots).total_seconds()
+            if ok == k and 0 <= d < horizon_s:
+                w = float(np.exp(-d / tau_s))
+                terms.append((r6(w * v), r6(w)))
+        if terms:
+            ds = float(sum(t[0] for t in terms))
+            dw = float(sum(t[1] for t in terms))
+            out[pid] = (len(terms), float(r6(ds)), float(r6(dw)),
+                        float(r6(ds / dw)) if dw > 0 else None)
+        else:
+            out[pid] = (0, None, None, None)
+    return out
+
+
+def test_decayed_pit_boundaries_and_nulls(spark):
+    """dt=0 counts with weight 1.0; dt exactly at the horizon is excluded;
+    a probe with nothing in the support window comes back with n_win=0 and
+    null aggregates; values at bucket boundaries are not dropped."""
+    from esa_pfa_spark.operators.pit import decayed_pit_features
+
+    tau = dt.timedelta(hours=1)
+    horizon_s = 2 * 3600.0  # cutoff=2
+    probes = [
+        (1, "a", T0),
+        (2, "a", T0 + dt.timedelta(hours=5)),   # nothing within 2h
+        (3, "b", T0 + dt.timedelta(seconds=7199)),  # obs at dt=7199s in; 7200 out
+    ]
+    obs = [
+        ("a", T0, 10.0, 1),                               # dt=0 -> weight 1
+        ("a", T0 - dt.timedelta(hours=1), 4.0, 2),        # dt=1h -> e^-1
+        ("a", T0 - dt.timedelta(hours=2), 99.0, 3),       # dt=2h -> excluded
+        ("b", T0, 5.0, 4),                                # dt=7199s for probe 3
+        ("b", T0 + dt.timedelta(seconds=-1), 7.0, 5),     # dt=7200s -> excluded
+    ]
+    p, o = _mk(spark, probes, obs)
+    got = {
+        r["pid"]: (r["n_win"], r["decay_sum"], r["decay_wt"], r["decay_mean"])
+        for r in decayed_pit_features(
+            p, o, on="k", probe_ts="query_ts", obs_ts="ts", value="value",
+            tau=tau, cutoff=2.0,
+        ).collect()
+    }
+    want = _decay_brute(probes, obs, 3600.0, horizon_s)
+    assert got == want
+    n, ds, dw, dm = got[1]
+    assert n == 2 and abs(ds - (10.0 + round(float(np.exp(-1.0)) * 4.0, 6))) < 2e-6
+    assert got[2] == (0, None, None, None)
+    assert got[3][0] == 1
+
+
+def test_decayed_pit_matches_brute_random(spark):
+    """Seeded random corpus: the bucketed band-join plan equals the direct
+    per-probe sum everywhere (including probes in different horizon
+    buckets), and no BroadcastNestedLoopJoin appears in the plan."""
+    from esa_pfa_spark.operators.pit import decayed_pit_features
+
+    rng = np.random.default_rng(7)
+    keys = ["a", "b", "c"]
+    obs = [
+        (keys[rng.integers(3)],
+         T0 + dt.timedelta(seconds=int(rng.integers(-40 * 3600, 40 * 3600))),
+         round(float(rng.normal(50, 20)), 3), i)
+        for i in range(300)
+    ]
+    probes = [
+        (i, keys[rng.integers(3)],
+         T0 + dt.timedelta(seconds=int(rng.integers(-40 * 3600, 40 * 3600))))
+        for i in range(80)
+    ]
+    tau_s, cutoff = 3 * 3600.0, 4.0
+    p, o = _mk(spark, probes, obs)
+    out = decayed_pit_features(
+        p, o, on="k", probe_ts="query_ts", obs_ts="ts", value="value",
+        tau=dt.timedelta(seconds=tau_s), cutoff=cutoff,
+    )
+    plan = plan_of(out)
+    assert "BroadcastNestedLoop" not in plan
+    got = {
+        r["pid"]: (r["n_win"], r["decay_sum"], r["decay_wt"], r["decay_mean"])
+        for r in out.collect()
+    }
+    want = _decay_brute(probes, obs, tau_s, cutoff * tau_s)
+    assert got == want
