@@ -4124,6 +4124,66 @@ FROM a GROUP BY fold ORDER BY fold
 """
 
 
+
+
+def q_dsir_sample(spark, sf_dir):
+    """DSIR importance resampling (importance.dsir_topk_sample, Xie et al.
+    2023): hashed unigram+bigram bag models for the target domain (lang=en
+    docs) vs the raw corpus; per-doc log importance weight (decimal-exact
+    sum of 6dp-rounded bucket log-ratios); deterministic Gumbel-top-100
+    sample.  Distributions are m=4096-row broadcasts; the only real shuffle
+    is the per-doc weight sum."""
+    from esa_pfa_spark.operators.importance import dsir_topk_sample
+
+    docs = _ld(spark, sf_dir, "documents")
+    return dsir_topk_sample(
+        docs, docs.filter(F.col("lang") == "en"), k=100,
+        id_col="doc_id", m=4096, seed=1,
+    )
+
+
+SQL_DSIR_SAMPLE = """
+WITH f AS (
+  SELECT doc_id, lang,
+         list_concat(
+           list_transform(string_split(text, ' '),
+             w -> CAST(('0x' || substr(md5(w), 1, 6)) AS INTEGER) % 4096),
+           list_transform(range(greatest(len(string_split(text, ' ')) - 1, 0)),
+             i -> CAST(('0x' || substr(md5(string_split(text, ' ')[i + 1] || ' ' ||
+                                           string_split(text, ' ')[i + 2]), 1, 6))
+                       AS INTEGER) % 4096)
+         ) AS feats
+  FROM documents),
+ex AS (SELECT doc_id, lang, unnest(feats) AS bucket FROM f),
+rc AS (SELECT bucket, count(*) AS cr FROM ex GROUP BY 1),
+tc AS (SELECT bucket, count(*) AS ct FROM ex WHERE lang = 'en' GROUP BY 1),
+nr AS (SELECT sum(cr) AS nr FROM rc),
+nt AS (SELECT sum(ct) AS nt FROM tc),
+lr AS (
+  SELECT b.range AS bucket,
+         round(ln(CAST(coalesce(tc.ct, 0) + 1 AS DOUBLE) / CAST(nt.nt + 4096 AS DOUBLE))
+             - ln(CAST(coalesce(rc.cr, 0) + 1 AS DOUBLE) / CAST(nr.nr + 4096 AS DOUBLE)),
+               6) AS logratio
+  FROM range(4096) b
+  LEFT JOIN rc ON rc.bucket = b.range
+  LEFT JOIN tc ON tc.bucket = b.range
+  CROSS JOIN nr CROSS JOIN nt),
+w AS (
+  SELECT ex.doc_id,
+         CAST(count(*) AS BIGINT) AS n_feat,
+         CAST(sum(CAST(lr.logratio AS DECIMAL(18,6))) AS DOUBLE) AS log_weight
+  FROM ex JOIN lr USING (bucket)
+  GROUP BY ex.doc_id)
+SELECT doc_id, n_feat, log_weight,
+       round(log_weight / 1.0
+             + (-ln(-ln((CAST(('0x' || substr(md5('dsir:1:' || CAST(doc_id AS VARCHAR)), 1, 6))
+                              AS INTEGER) + 0.5) / 16777216.0))), 6) AS gumbel_key
+FROM w
+ORDER BY gumbel_key DESC, doc_id ASC
+LIMIT 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -4266,6 +4326,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "nan_validity_filter": (q_nan_validity, SQL_NAN_VALIDITY),
     "pit_decay_features_1d": (q_pit_decay_features, SQL_PIT_DECAY),
     "purged_time_folds_5": (q_purged_time_folds, SQL_PURGED_FOLDS),
+    "dsir_topk_sample_100": (q_dsir_sample, SQL_DSIR_SAMPLE),
 }
 
 

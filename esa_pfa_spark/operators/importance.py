@@ -1,0 +1,175 @@
+"""Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+arXiv:2302.03169): score every raw document by how target-domain-like its
+hashed n-gram profile is, then resample toward the target distribution.
+The standard pre-training curation move when you have a small high-quality
+target corpus (wiki/books/eval-adjacent) and a huge raw crawl: estimate
+bag-of-hashed-ngrams unigram models p_target and p_raw, weight each doc by
+its log importance ratio, and Gumbel-top-k sample (equivalent to sampling
+without replacement proportionally to the softmax of the weights).
+
+Reference parity note: the reference engine's per-product feature+query
+pipeline has no curation analog — this module is part of the repo's
+LLM-training-data surface (SURVEY.md "beyond the reference" mandate).
+
+Scale shape (100 TB raw corpus):
+  * Feature extraction is map-only column math (split + slice/zip_with +
+    the portable md5 bucket hash) — no Python, no shuffle.
+  * The two distributions are groupBy(bucket) partial aggregations whose
+    result is m rows (m = 4096 buckets) — map-side combine does the work,
+    the reduce side is tiny, and the log-ratio table broadcasts.
+  * Per-doc weights: one groupBy(doc) sum — the only real shuffle, keyed
+    by the natural output key.
+  * Top-k selection: TakeOrderedAndProject on the rounded Gumbel key —
+    no global sort.
+
+Exactness (the oracle witness): the log-ratio per bucket is rounded to 6
+decimals and multiplied by the doc's INTEGER bucket count, accumulated as
+decimal(18,6) — an order-independent exact sum, so weights hash-match a
+direct SQL evaluation at any parallelism (same trick as
+textstats.unigram_logprob).  The Gumbel key derives from md5(doc_id) —
+membership in the sample is a property of the row, not of the run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+M_BUCKETS = 4096
+# 24 hex chars would overflow; 6 hex chars (24 bits) keep the uniform
+# granular enough for a tie-free Gumbel at corpus scale after 6dp rounding.
+_U_DENOM = float(1 << 24)
+
+
+def _bucket(col, m: int):
+    """Portable string -> bucket id (tokens.word_token idiom): md5 is
+    bit-identical across Spark / DuckDB / Python."""
+    return (F.conv(F.substring(F.md5(col), 1, 6), 16, 10).cast("int") % m).cast("int")
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    text_col: str = "text",
+    m: int = M_BUCKETS,
+) -> DataFrame:
+    """Append ``__feat array<int>``: hashed unigram + bigram buckets of the
+    whitespace words (DSIR's feature map).  Map-only."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    feats = F.concat(
+        F.transform(words, lambda w: _bucket(w, m)),
+        F.transform(bigrams, lambda g: _bucket(g, m)),
+    )
+    return df.withColumn("__feat", feats)
+
+
+def _bucket_counts(df: DataFrame, m: int) -> DataFrame:
+    """(bucket, cnt) over the exploded feature stream — m-bounded output,
+    map-side partial agg does the heavy lifting."""
+    return (
+        hashed_ngram_features(df, m=m)
+        .select(F.explode("__feat").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_logratio_table(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    m: int = M_BUCKETS,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-bucket importance log-ratio ``ln p_target(b) - ln p_raw(b)``
+    with Laplace (+1) smoothing over ``m`` buckets: an m-row table meant
+    to be broadcast.  The ratio is rounded to ``round_to`` decimals HERE,
+    once per bucket, so downstream per-doc sums are decimal-exact."""
+    rc = _bucket_counts(raw.select(F.col(text_col).alias("text")), m)
+    tc = _bucket_counts(target.select(F.col(text_col).alias("text")), m)
+    rt = rc.agg(F.sum("cnt").alias("nr"))
+    tt = tc.agg(F.sum("cnt").alias("nt"))
+    full = (
+        raw.sparkSession.range(m).select(F.col("id").cast("int").alias("bucket"))
+        .join(rc.withColumnRenamed("cnt", "cr"), "bucket", "left")
+        .join(tc.withColumnRenamed("cnt", "ct"), "bucket", "left")
+        .crossJoin(F.broadcast(rt))
+        .crossJoin(F.broadcast(tt))
+    )
+    cr = F.coalesce(F.col("cr"), F.lit(0))
+    ct = F.coalesce(F.col("ct"), F.lit(0))
+    logratio = (
+        F.log((ct + 1).cast("double") / (F.col("nt") + m))
+        - F.log((cr + 1).cast("double") / (F.col("nr") + m))
+    )
+    return full.select(
+        "bucket", F.round(logratio, round_to).alias("logratio")
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    logratio: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m: int = M_BUCKETS,
+) -> DataFrame:
+    """Per-document DSIR log importance weight: sum over the doc's hashed
+    n-gram occurrences of the bucket log-ratio.  Returns
+    ``(id_col, n_feat, log_weight)``; decimal-exact accumulation."""
+    ex = (
+        hashed_ngram_features(raw, text_col=text_col, m=m)
+        .select(id_col, F.explode("__feat").alias("bucket"))
+    )
+    j = ex.join(F.broadcast(logratio), "bucket")
+    return j.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_feat"),
+        F.sum(F.col("logratio").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("log_weight"),
+    )
+
+
+def dsir_topk_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m: int = M_BUCKETS,
+    seed: int = 1,
+    temperature: float = 1.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Gumbel-top-k DSIR sample: key = log_weight/temperature + Gumbel
+    noise; the top-``k`` keys are a without-replacement sample with
+    inclusion odds softmax(log_weight/temperature).  The Gumbel uniform
+    comes from md5(seed:doc_id) (deterministic, engine-portable); the key
+    is rounded and tie-broken by ``id_col`` so the cut is stable across
+    engines.  Returns ``(id_col, n_feat, log_weight, gumbel_key)``."""
+    lr = dsir_logratio_table(raw, target, text_col=text_col, m=m, round_to=round_to)
+    w = dsir_weights(raw, lr, text_col=text_col, id_col=id_col, m=m)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"dsir:{seed}:"), F.col(id_col).cast("string"))),
+                1, 6,
+            ),
+            16, 10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(_U_DENOM)
+    gumbel = -F.log(-F.log(u))
+    key = F.round(
+        F.col("log_weight") / F.lit(float(temperature)) + gumbel, round_to
+    )
+    return (
+        w.select(id_col, "n_feat", "log_weight", key.alias("gumbel_key"))
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
