@@ -4184,6 +4184,78 @@ LIMIT 100
 """
 
 
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-20 against a 3-term query (textstats.bm25_topk): corpus
+    stats + df broadcast, query-term filter BEFORE the shuffle, per-term
+    6dp-rounded decimal-exact scores, TakeOrdered top-k."""
+    from esa_pfa_spark.operators.textstats import bm25_topk
+
+    return bm25_topk(
+        _ld(spark, sf_dir, "documents"),
+        ["spark", "shuffle", "join"], k=20,
+    )
+
+
+SQL_BM25_TOPK = """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS w,
+                     len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM base),
+hits AS (SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+         FROM (SELECT doc_id, dl, unnest(w) AS t FROM base)
+         WHERE t IN ('join', 'shuffle', 'spark')
+         GROUP BY 1, 2, 3),
+dfreq AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM hits GROUP BY 1),
+scored AS (
+  SELECT h.doc_id, h.dl,
+         round(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * h.tf * 2.2
+               / (h.tf + 1.2 * (0.25 + 0.75 * CAST(h.dl AS DOUBLE) / s.avgdl)),
+               6) AS term_score
+  FROM hits h JOIN dfreq d USING (t) CROSS JOIN stats s)
+SELECT doc_id, CAST(dl AS INT) AS dl,
+       CAST(count(*) AS BIGINT) AS n_hit,
+       CAST(sum(CAST(term_score AS DECIMAL(18,6))) AS DOUBLE) AS score
+FROM scored
+GROUP BY doc_id, dl
+ORDER BY score DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+def q_token_entropy(spark, sf_dir):
+    """Per-doc token-distribution Shannon entropy + normalized entropy
+    (textstats.token_entropy) over the hash-tokenized documents — the
+    gibberish/boilerplate gate; decimal-exact plogp sums."""
+    from esa_pfa_spark.operators.textstats import token_entropy
+
+    return token_entropy(_tokenized_docs(spark, sf_dir))
+
+
+SQL_TOKEN_ENTROPY = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+           w -> CAST(('0x' || substr(md5(w), 1, 6)) AS INTEGER) % {32768}) AS tokens
+  FROM documents),
+ex AS (SELECT doc_id, len(tokens) AS n_tok, unnest(tokens) AS t FROM toks),
+tf AS (SELECT doc_id, n_tok, t, count(*) AS tf FROM ex GROUP BY 1, 2, 3),
+agg AS (
+  SELECT doc_id, n_tok,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(CAST(round(-(CAST(tf AS DOUBLE) / CAST(n_tok AS DOUBLE))
+                             * ln(CAST(tf AS DOUBLE) / CAST(n_tok AS DOUBLE)), 6)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS entropy
+  FROM tf GROUP BY 1, 2)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, n_distinct,
+       round(entropy, 6) AS entropy,
+       round(CASE WHEN n_distinct > 1
+             THEN entropy / ln(CAST(n_distinct AS DOUBLE)) END, 6) AS entropy_norm
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -4327,6 +4399,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pit_decay_features_1d": (q_pit_decay_features, SQL_PIT_DECAY),
     "purged_time_folds_5": (q_purged_time_folds, SQL_PURGED_FOLDS),
     "dsir_topk_sample_100": (q_dsir_sample, SQL_DSIR_SAMPLE),
+    "bm25_topk_20": (q_bm25_topk, SQL_BM25_TOPK),
+    "token_entropy_stats": (q_token_entropy, SQL_TOKEN_ENTROPY),
 }
 
 

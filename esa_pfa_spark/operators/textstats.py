@@ -278,3 +278,114 @@ def encoding_garbage(df: DataFrame, text_col: str = "text") -> DataFrame:
         "nonascii_ratio",
         F.when(n > 0, F.round((n - n_ascii).cast("double") / n, 6)).otherwise(F.lit(0.0)),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """BM25 ranking of documents against a bag-of-terms query (Robertson &
+    Sparck Jones; the Lucene-default scoring the reference's Lucene query
+    layer ultimately rides, re-expressed relationally):
+
+        score(d) = sum_t idf(t) * tf(t,d)*(k1+1) /
+                                (tf(t,d) + k1*(1 - b + b*dl(d)/avgdl))
+        idf(t)   = ln( (N - df(t) + 0.5) / (df(t) + 0.5) + 1 )
+
+    over whitespace words.  Returns the top-``k`` docs:
+    ``(id_col, dl, n_hit, score)``, ties broken by id.
+
+    Scale shape: the corpus stats (N, avgdl — one tiny agg; df(t) — an
+    aggregation over ONLY rows matching the query terms) are broadcast;
+    per-doc term frequencies filter BEFORE the shuffle, so the exchange
+    carries |query_terms| x matching-docs rows, not the corpus; top-k is
+    TakeOrderedAndProject.  Per-term scores are 6dp-rounded and accumulated
+    as decimal(18,6) — the engine-exact oracle witness."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted(set(query_terms))
+    words = F.split(F.col(text_col), " ")
+    base = df.select(id_col, words.alias("__w"), F.size(words).alias("dl"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    hits = (
+        base.select(id_col, "dl", F.explode("__w").alias("__t"))
+        .filter(F.col("__t").isin(terms))
+        .groupBy(id_col, "dl", "__t")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = hits.groupBy("__t").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    scored = (
+        hits.join(F.broadcast(dfreq), "__t")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    term_score = F.round(idf * F.col("tf") * F.lit(k1 + 1.0) / denom, round_to)
+    return (
+        scored.groupBy(id_col, "dl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hit"),
+            F.sum(term_score.cast("decimal(18,6)")).cast("double").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def token_entropy(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution plus its
+    normalized form — the standard gibberish/boilerplate gate (near-zero
+    entropy = one token repeated; entropy ~ ln(n_distinct) = no reuse
+    structure):
+
+        H(d)    = -sum_v p_v ln p_v ,  p_v = tf(v,d)/n_tok(d)
+        Hnorm   = H / ln(n_distinct)      (null when n_distinct = 1)
+
+    Returns ``(id_col, n_tok, n_distinct, entropy, entropy_norm)``.
+
+    Scale shape: explode -> groupBy(id, token) -> groupBy(id) — both
+    exchanges hash on the doc id, so AQE coalesces them into one effective
+    repartition; no UDF, no driver state.  Per-token plogp terms are
+    6dp-rounded and summed as decimal (engine-exact)."""
+    ex = (
+        df.select(id_col, F.size(F.col(tokens_col)).alias("n_tok"),
+                  F.explode(F.col(tokens_col)).alias("__t"))
+        .groupBy(id_col, "n_tok", "__t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    p = F.col("tf").cast("double") / F.col("n_tok").cast("double")
+    plogp = F.round(-(p * F.log(p)), round_to)
+    agg = ex.groupBy(id_col, "n_tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(plogp.cast("decimal(18,6)")).cast("double").alias("entropy"),
+    )
+    return agg.select(
+        id_col,
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "n_distinct",
+        F.round(F.col("entropy"), round_to).alias("entropy"),
+        F.round(
+            F.when(F.col("n_distinct") > 1,
+                   F.col("entropy") / F.log(F.col("n_distinct").cast("double"))),
+            round_to,
+        ).alias("entropy_norm"),
+    )

@@ -69,3 +69,94 @@ def test_redact_pii_order_and_counts(spark):
     r1 = rows[1]
     assert (r1["n_email"], r1["n_ipv4"], r1["n_phone"]) == (0, 0, 0)
     assert r1["clean_text"] == "nothing here"
+
+
+# ---------------------------------------------------------------------------
+# bm25_topk / token_entropy
+# ---------------------------------------------------------------------------
+
+def test_bm25_mirror_and_plan(spark):
+    """Hand corpus vs a pure-python BM25; the df/stats tables ride
+    broadcasts and the explode filters to query terms before any shuffle."""
+    import math
+
+    import pandas as pd
+
+    from esa_pfa_spark.operators.textstats import bm25_topk
+    from tests.test_plans import plan_of
+
+    corpus = [
+        (0, "cat sat on the mat"),
+        (1, "dog and cat"),
+        (2, "dog dog dog kennel"),
+        (3, "fish swim"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(corpus, columns=["doc_id", "text"]))
+    out = bm25_topk(df, ["cat", "dog"], k=4)
+    got = {r["doc_id"]: (r["dl"], r["n_hit"], r["score"]) for r in out.collect()}
+
+    N = len(corpus)
+    dls = {i: len(t.split(" ")) for i, t in corpus}
+    avgdl = sum(dls.values()) / N
+    tf = {(i, w): t.split(" ").count(w) for i, t in corpus for w in ("cat", "dog")}
+    dfreq = {w: sum(1 for i, _ in corpus if tf[(i, w)] > 0) for w in ("cat", "dog")}
+    want = {}
+    for i, _ in corpus:
+        s = 0.0
+        hits = 0
+        for w in ("cat", "dog"):
+            if tf[(i, w)] == 0:
+                continue
+            hits += 1
+            idf = math.log((N - dfreq[w] + 0.5) / (dfreq[w] + 0.5) + 1.0)
+            s += round(idf * tf[(i, w)] * 2.2
+                       / (tf[(i, w)] + 1.2 * (0.25 + 0.75 * dls[i] / avgdl)), 6)
+        if hits:
+            want[i] = (dls[i], hits, round(s, 6))
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0] and got[i][1] == want[i][1]
+        assert abs(got[i][2] - want[i][2]) < 2e-6
+    # the no-hit fish doc is absent; the two-term doc scores its two hits
+    assert 3 not in got and got[1][1] == 2
+    assert "BroadcastHashJoin" in plan_of(out)
+
+
+def test_token_entropy_mirror(spark):
+    """Entropy of hand-built token arrays: uniform -> ln(k), constant -> 0
+    (entropy_norm null), mixed checked against numpy."""
+    import numpy as np
+    import pandas as pd
+
+    from esa_pfa_spark.operators.textstats import token_entropy
+
+    rows = [
+        (0, [1, 2, 3, 4]),          # uniform over 4 -> ln 4
+        (1, [7, 7, 7, 7, 7]),       # constant -> 0, norm null
+        (2, [1, 1, 2, 3]),          # mixed
+        (3, [5]),                   # singleton -> 0, norm null
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "tokens"]))
+    got = {r["doc_id"]: r.asDict() for r in token_entropy(df).collect()}
+
+    def ent(toks):
+        _, c = np.unique(toks, return_counts=True)
+        p = c / c.sum()
+        return float(sum(round(float(-x * np.log(x)), 6) for x in p * 1.0)), len(c)
+
+    for i, toks in rows:
+        h_terms = 0.0
+        vals, cnts = np.unique(toks, return_counts=True)
+        for c in cnts:
+            p = c / len(toks)
+            h_terms += round(float(-p * np.log(p)), 6)
+        h_terms = round(h_terms, 6)
+        g = got[i]
+        assert g["n_tok"] == len(toks) and g["n_distinct"] == len(vals)
+        assert abs(g["entropy"] - h_terms) < 2e-6
+        if len(vals) > 1:
+            assert abs(g["entropy_norm"] - round(h_terms / float(np.log(len(vals))), 6)) < 2e-6
+        else:
+            assert g["entropy_norm"] is None
+    assert abs(got[0]["entropy"] - float(np.log(4))) < 1e-5
+    assert got[1]["entropy"] == 0.0
