@@ -4256,6 +4256,55 @@ FROM agg
 """
 
 
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher/MassiveText document-shape gates (textstats.gopher_rules):
+    word-count band, mean-word-length band, symbol ratio, alpha-word
+    fraction, required-stopword hits — per-rule violation flags + keep.
+    Map-only JVM column math."""
+    from esa_pfa_spark.operators.textstats import gopher_rules
+
+    return gopher_rules(_ld(spark, sf_dir, "documents"))
+
+
+_GOPHER_STOPS = "'the','be','to','of','and','that','have','with'"
+SQL_GOPHER_RULES = f"""
+WITH b AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n_words,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS mean_len,
+         (length(text) - length(replace(text, '#', '')))
+           + CAST(floor((length(text) - length(replace(text, '...', ''))) / 3) AS BIGINT) AS symbols,
+         CAST(len(list_filter(string_split(text, ' '), x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS alpha_frac,
+         len(list_filter([{_GOPHER_STOPS}], s -> list_contains(string_split(text, ' '), s))) AS stop_hits
+  FROM documents)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(mean_len, 6) AS mean_word_len,
+       round(alpha_frac, 6) AS alpha_frac,
+       CAST(stop_hits AS INT) AS stop_hits,
+       CAST(n_words < 50 OR n_words > 100000 AS INT) AS fail_word_count,
+       CAST(mean_len < 3.0 OR mean_len > 10.0 AS INT) AS fail_mean_len,
+       CAST(CAST(symbols AS DOUBLE) / n_words > 0.1 AS INT) AS fail_symbol_ratio,
+       CAST(alpha_frac < 0.8 AS INT) AS fail_alpha,
+       CAST(stop_hits < 2 AS INT) AS fail_stopwords,
+       CAST(CAST(n_words < 50 OR n_words > 100000 AS INT)
+          + CAST(mean_len < 3.0 OR mean_len > 10.0 AS INT)
+          + CAST(CAST(symbols AS DOUBLE) / n_words > 0.1 AS INT)
+          + CAST(alpha_frac < 0.8 AS INT)
+          + CAST(stop_hits < 2 AS INT) AS INT) AS n_failed,
+       CAST(CAST(n_words < 50 OR n_words > 100000 AS INT)
+          + CAST(mean_len < 3.0 OR mean_len > 10.0 AS INT)
+          + CAST(CAST(symbols AS DOUBLE) / n_words > 0.1 AS INT)
+          + CAST(alpha_frac < 0.8 AS INT)
+          + CAST(stop_hits < 2 AS INT) = 0 AS INT) AS keep
+FROM b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -4401,6 +4450,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dsir_topk_sample_100": (q_dsir_sample, SQL_DSIR_SAMPLE),
     "bm25_topk_20": (q_bm25_topk, SQL_BM25_TOPK),
     "token_entropy_stats": (q_token_entropy, SQL_TOKEN_ENTROPY),
+    "gopher_quality_rules": (q_gopher_rules, SQL_GOPHER_RULES),
 }
 
 

@@ -389,3 +389,62 @@ def token_entropy(
             round_to,
         ).alias("entropy_norm"),
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher/MassiveText repetition-independent document gates (Rae et
+    al. 2021 Table A1) as one composed rule vector: word-count bounds,
+    mean-word-length band, symbol-to-word ratio (# and ellipsis), fraction
+    of words with an alphabetic character, and required-stopword hits.
+    Returns per-doc rule flags (1 = violation), ``n_failed`` and ``keep`` —
+    downstream filters read the flags, audits read the counts.  (The
+    repetition gates — dup line/para fractions, top-ngram char share —
+    live in tokens.repetition_stats / dup_ngram_summary; this is the
+    document-shape half.)  Map-only JVM column math, no shuffle."""
+    w = _words(text_col)
+    n_words = F.size(w)
+    mean_len = F.length(F.regexp_replace(F.col(text_col), " ", "")) / n_words
+    symbols = (
+        F.regexp_count(F.col(text_col), F.lit(r"#"))
+        + F.regexp_count(F.col(text_col), F.lit(r"\.\.\."))
+    )
+    alpha_frac = (
+        F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]"))) / n_words
+    )
+    stops = ",".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    stop_hits = F.expr(
+        f"size(filter(array({stops}), s -> array_contains(split({text_col}, ' '), s)))"
+    )
+    r_count = ((n_words < min_words) | (n_words > max_words)).cast("int")
+    r_len = ((mean_len < min_mean_len) | (mean_len > max_mean_len)).cast("int")
+    r_sym = (symbols / n_words > max_symbol_ratio).cast("int")
+    r_alpha = (alpha_frac < min_alpha_frac).cast("int")
+    r_stop = (stop_hits < min_stop_hits).cast("int")
+    n_failed = r_count + r_len + r_sym + r_alpha + r_stop
+    return df.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        stop_hits.cast("int").alias("stop_hits"),
+        r_count.alias("fail_word_count"),
+        r_len.alias("fail_mean_len"),
+        r_sym.alias("fail_symbol_ratio"),
+        r_alpha.alias("fail_alpha"),
+        r_stop.alias("fail_stopwords"),
+        n_failed.cast("int").alias("n_failed"),
+        (n_failed == 0).cast("int").alias("keep"),
+    )

@@ -160,3 +160,30 @@ def test_token_entropy_mirror(spark):
             assert g["entropy_norm"] is None
     assert abs(got[0]["entropy"] - float(np.log(4))) < 1e-5
     assert got[1]["entropy"] == 0.0
+
+
+def test_gopher_rules_semantics(spark):
+    """Each rule trips on a purpose-built doc and the clean doc passes."""
+    import pandas as pd
+
+    from esa_pfa_spark.operators.textstats import gopher_rules
+
+    clean = "the cat and the dog have fun with every single word " * 5  # 60 words
+    rows = [
+        (0, clean.strip()),
+        (1, "too short of the and"),                       # < 50 words
+        (2, ("hypercomplicated " * 60).strip()),           # mean len > 10
+        (3, ("the of " + "# " * 20 + "word " * 50).strip()),  # symbol ratio
+        (4, ("123 456 " * 30 + "the of").strip()),          # alpha frac < 0.8
+        (5, ("cat dog bird fish " * 15).strip()),           # no required stopwords
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
+    assert got[0]["keep"] == 1 and got[0]["n_failed"] == 0
+    assert got[1]["fail_word_count"] == 1
+    assert got[2]["fail_mean_len"] == 1
+    assert got[3]["fail_symbol_ratio"] == 1
+    assert got[4]["fail_alpha"] == 1
+    assert got[5]["fail_stopwords"] == 1
+    for i in range(1, 6):
+        assert got[i]["keep"] == 0
