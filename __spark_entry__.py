@@ -4305,6 +4305,55 @@ FROM b
 """
 
 
+
+
+def q_asof_lag3(spark, sf_dir):
+    """Lag-k as-of features (asof.asof_lagk_join, k=3, 7-day tolerance):
+    per click, the 3 most recent purchase values/timestamps of the same
+    user — rank algebra (row_number + union-fill as-of rank + k-exploded
+    equi-join), bounded k x |probes| shuffle, probes never dropped,
+    out-of-tolerance lags nulled in place."""
+    from esa_pfa_spark.operators.asof import asof_lagk_join
+
+    ev = _ld(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("query_ts")
+    )
+    obs = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", F.col("event_id").alias("obs_id")
+    )
+    return asof_lagk_join(
+        probes, obs, k=3, on="user_id", probe_ts="query_ts", obs_ts="ts",
+        value="value", tiebreak="obs_id", tolerance=dt.timedelta(days=7),
+    )
+
+
+SQL_ASOF_LAG3 = """
+WITH c AS (SELECT event_id, user_id, ts AS query_ts FROM events WHERE event_type='click'),
+     p AS (SELECT user_id, ts, value, event_id AS obs_id FROM events WHERE event_type='purchase')
+SELECT c.user_id, c.event_id, c.query_ts,
+  (SELECT CASE WHEN epoch(c.query_ts)-epoch(ts) <= 604800 THEN value END FROM p
+    WHERE p.user_id=c.user_id AND p.ts<=c.query_ts
+    ORDER BY p.ts DESC, p.obs_id DESC LIMIT 1 OFFSET 0) AS lag1_val,
+  (SELECT CASE WHEN epoch(c.query_ts)-epoch(ts) <= 604800 THEN ts END FROM p
+    WHERE p.user_id=c.user_id AND p.ts<=c.query_ts
+    ORDER BY p.ts DESC, p.obs_id DESC LIMIT 1 OFFSET 0) AS lag1_ts,
+  (SELECT CASE WHEN epoch(c.query_ts)-epoch(ts) <= 604800 THEN value END FROM p
+    WHERE p.user_id=c.user_id AND p.ts<=c.query_ts
+    ORDER BY p.ts DESC, p.obs_id DESC LIMIT 1 OFFSET 1) AS lag2_val,
+  (SELECT CASE WHEN epoch(c.query_ts)-epoch(ts) <= 604800 THEN ts END FROM p
+    WHERE p.user_id=c.user_id AND p.ts<=c.query_ts
+    ORDER BY p.ts DESC, p.obs_id DESC LIMIT 1 OFFSET 1) AS lag2_ts,
+  (SELECT CASE WHEN epoch(c.query_ts)-epoch(ts) <= 604800 THEN value END FROM p
+    WHERE p.user_id=c.user_id AND p.ts<=c.query_ts
+    ORDER BY p.ts DESC, p.obs_id DESC LIMIT 1 OFFSET 2) AS lag3_val,
+  (SELECT CASE WHEN epoch(c.query_ts)-epoch(ts) <= 604800 THEN ts END FROM p
+    WHERE p.user_id=c.user_id AND p.ts<=c.query_ts
+    ORDER BY p.ts DESC, p.obs_id DESC LIMIT 1 OFFSET 2) AS lag3_ts
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -4451,6 +4500,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "bm25_topk_20": (q_bm25_topk, SQL_BM25_TOPK),
     "token_entropy_stats": (q_token_entropy, SQL_TOKEN_ENTROPY),
     "gopher_quality_rules": (q_gopher_rules, SQL_GOPHER_RULES),
+    "asof_lag3_features": (q_asof_lag3, SQL_ASOF_LAG3),
 }
 
 

@@ -109,6 +109,14 @@ HEADLINE = [
     #    incremental state+delta feature build (oracle = FULL recompute) --
     "decontaminate_bloom_8g",
     "incremental_asof_features",
+    # -- r4 operator wave: decayed PIT, purged CV folds, DSIR, BM25,
+    #    entropy gate, Gopher document-shape gates --
+    "pit_decay_features_1d",
+    "purged_time_folds_5",
+    "dsir_topk_sample_100",
+    "bm25_topk_20",
+    "token_entropy_stats",
+    "gopher_quality_rules",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",

@@ -353,3 +353,61 @@ def test_asof_auto_bad_key_counts_raises(spark):
             prb, obs, tolerance=dt.timedelta(days=2), hot_rows=30,
             key_counts=bad,
         )
+
+
+# ---------------------------------------------------------------------------
+# asof_lagk_join
+# ---------------------------------------------------------------------------
+
+def test_asof_lagk_matches_brute(spark):
+    """Seeded random timeline, k=3: every (probe, lag j) equals the j-th
+    most recent at-or-before observation computed by brute force; probes
+    are never dropped; ties at probe_ts match inclusively; tolerance nulls
+    old lags without dropping rows."""
+    import numpy as np
+    import pandas as pd
+
+    from esa_pfa_spark.operators.asof import asof_lagk_join
+
+    rng = np.random.default_rng(11)
+    t0 = dt.datetime(2024, 1, 1)
+    obs_rows = [
+        (["a", "b"][rng.integers(2)],
+         t0 + dt.timedelta(minutes=int(rng.integers(0, 500))),
+         float(rng.integers(1, 100)), i)
+        for i in range(60)
+    ]
+    probe_rows = [
+        (i, ["a", "b"][rng.integers(2)],
+         t0 + dt.timedelta(minutes=int(rng.integers(0, 500))))
+        for i in range(25)
+    ]
+    # force an exact-tie case
+    probe_rows.append((98, "a", obs_rows[0][1]))
+    obs = spark.createDataFrame(pd.DataFrame(obs_rows, columns=["k", "ts", "value", "oid"]))
+    probes = spark.createDataFrame(pd.DataFrame(probe_rows, columns=["pid", "k", "query_ts"]))
+
+    for tol in (None, dt.timedelta(minutes=60)):
+        out = asof_lagk_join(
+            probes, obs, k=3, on="k", probe_ts="query_ts", obs_ts="ts",
+            value="value", tiebreak="oid", tolerance=tol,
+        )
+        got = {r["pid"]: r.asDict() for r in out.collect()}
+        assert set(got) == {p[0] for p in probe_rows}  # never drops probes
+        for pid, key, qts in probe_rows:
+            hist = sorted(
+                [o for o in obs_rows if o[0] == key and o[1] <= qts],
+                key=lambda o: (o[1], o[3]),
+            )
+            for j in (1, 2, 3):
+                want = hist[-j] if len(hist) >= j else None
+                if want is not None and tol is not None and (
+                    (qts - want[1]).total_seconds() > tol.total_seconds()
+                ):
+                    want = None
+                g_v = got[pid][f"lag{j}_val"]
+                g_t = got[pid][f"lag{j}_ts"]
+                if want is None:
+                    assert g_v is None and g_t is None, (pid, j, tol)
+                else:
+                    assert g_v == want[2] and g_t == want[1], (pid, j, tol)
