@@ -4354,6 +4354,58 @@ FROM c
 """
 
 
+
+
+def q_dedup_best_survivors(spark, sf_dir):
+    """Quality-aware survivor selection (dedup.dedup_survivors_by_score):
+    same MinHash-LSH candidate clusters as minhash_dedup_survivors, but
+    each cluster keeps its LONGEST member (n_chars, ties to min id) — the
+    keep-the-best-copy policy a production curation pipeline ships.
+    Argmax rides a struct-max partial agg, no window/sort."""
+    docs = _ld(spark, sf_dir, "documents")
+    return DD.dedup_survivors_by_score(
+        docs, DD.minhash_band_candidates(docs), score="n_chars"
+    )
+
+
+SQL_DEDUP_BEST_SURVIVORS = """
+WITH RECURSIVE
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(
+         list_transform(generate_series(1, len(ws)-2),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+       FROM w WHERE len(ws) >= 3),
+sig AS (SELECT doc_id,
+        min(md5('s0:' || shingle)) AS mh0, min(md5('s1:' || shingle)) AS mh1,
+        min(md5('s2:' || shingle)) AS mh2, min(md5('s3:' || shingle)) AS mh3,
+        min(md5('s4:' || shingle)) AS mh4, min(md5('s5:' || shingle)) AS mh5
+        FROM sh GROUP BY doc_id),
+cand AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+         FROM sig a JOIN sig b
+           ON a.doc_id < b.doc_id
+          AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.mh2 = b.mh2)
+            OR (a.mh3 = b.mh3 AND a.mh4 = b.mh4 AND a.mh5 = b.mh5))),
+e AS (SELECT u, v FROM cand UNION SELECT v, u FROM cand),
+nodes AS (SELECT DISTINCT u AS id FROM e),
+reach(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN e ON e.u = r.id WHERE r.lbl < e.v),
+comp AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY 1),
+best AS (SELECT comp, id AS canon FROM (
+           SELECT c.id, c.comp, d.n_chars,
+                  row_number() OVER (PARTITION BY c.comp
+                                     ORDER BY d.n_chars DESC, c.id ASC) AS rn
+           FROM comp c JOIN documents d ON d.doc_id = c.id)
+         WHERE rn = 1),
+m AS (SELECT c.id, b.canon FROM comp c JOIN best b USING (comp))
+SELECT d.doc_id, d.n_chars,
+       coalesce(m.canon, d.doc_id) AS canonical_doc_id,
+       coalesce(m.canon, d.doc_id) = d.doc_id AS survives
+FROM documents d LEFT JOIN m ON m.id = d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -4501,6 +4553,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "token_entropy_stats": (q_token_entropy, SQL_TOKEN_ENTROPY),
     "gopher_quality_rules": (q_gopher_rules, SQL_GOPHER_RULES),
     "asof_lag3_features": (q_asof_lag3, SQL_ASOF_LAG3),
+    "minhash_dedup_best_survivors": (q_dedup_best_survivors, SQL_DEDUP_BEST_SURVIVORS),
 }
 
 

@@ -457,3 +457,54 @@ def minhash_jaccard_estimates(
             F.round(matches * 1.0 / n_hashes, 6).alias("est_jaccard"),
         )
     )
+
+
+def dedup_survivors_by_score(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware survivor selection: like ``dedup_survivors`` but each
+    duplicate cluster keeps its BEST-``score`` member (ties broken by min
+    id) instead of the min id — what a production curation pipeline
+    actually ships, since the lowest doc id is rarely the best copy of the
+    boilerplate.  ``docs`` must carry ``score`` (any orderable numeric:
+    quality_scores output, token entropy, a model score...).  Returns
+    every doc with (canonical id, survives); docs in no pair survive as
+    themselves.
+
+    Scale shape: CC labels only the docs that appear in pairs; the argmax
+    per component is a struct-max aggregation over that same small set
+    (max of (score, -id) picks highest score then lowest id — one
+    partial-aggregated groupBy, no window/sort); the corpus-wide left
+    join against the |docs-in-pairs|-row map broadcasts under AQE."""
+    comp = graph_components(pairs, src=f"{id_col}_a", dst=f"{id_col}_b").select(
+        F.col("id").alias(id_col), F.col("component").alias("__comp")
+    )
+    scored = comp.join(docs.select(id_col, score), id_col, "left")
+    best = (
+        scored.groupBy("__comp")
+        .agg(
+            F.max(
+                F.struct(
+                    F.coalesce(F.col(score).cast("double"), F.lit(float("-inf"))).alias("s"),
+                    (-F.col(id_col)).alias("negid"),
+                )
+            ).alias("__b")
+        )
+        .select("__comp", (-F.col("__b.negid")).alias("__canon"))
+    )
+    mapped = comp.join(best, "__comp").select(
+        id_col, F.col("__canon").alias("canonical_doc_id")
+    )
+    return (
+        docs.select(id_col, score)
+        .join(mapped, id_col, "left")
+        .select(
+            id_col,
+            score,
+            F.coalesce("canonical_doc_id", F.col(id_col)).alias("canonical_doc_id"),
+        )
+        .withColumn("survives", F.col(id_col) == F.col("canonical_doc_id"))
+    )

@@ -174,3 +174,27 @@ def test_minhash_estimate_within_band_of_exact(spark):
     errs = [abs(v - exact.get(k, 0.0)) for k, v in est.items()]
     assert max(errs) <= 0.45, sorted(errs)[-3:]
     assert sum(errs) / len(errs) <= 0.25
+
+
+def test_dedup_survivors_by_score(spark):
+    """Two clusters + an isolated doc: the best-score member survives,
+    ties break to min id, docs in no pair survive as themselves."""
+    import pandas as pd
+
+    from esa_pfa_spark.operators.dedup import dedup_survivors_by_score
+
+    docs = spark.createDataFrame(pd.DataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (4, 1.0), (5, 3.0), (9, 0.0)],
+        columns=["doc_id", "q"],
+    ))
+    pairs = spark.createDataFrame(pd.DataFrame(
+        [(1, 2), (2, 3), (4, 5)], columns=["doc_id_a", "doc_id_b"],
+    ))
+    got = {r["doc_id"]: (r["canonical_doc_id"], r["survives"])
+           for r in dedup_survivors_by_score(docs, pairs, score="q").collect()}
+    # cluster {1,2,3}: 2 and 3 tie at q=9 -> min id 2 wins
+    assert got[1] == (2, False) and got[2] == (2, True) and got[3] == (2, False)
+    # cluster {4,5}: 5 has the higher score
+    assert got[4] == (5, False) and got[5] == (5, True)
+    # isolated doc survives as itself
+    assert got[9] == (9, True)
