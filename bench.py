@@ -117,6 +117,8 @@ HEADLINE = [
     "bm25_topk_20",
     "token_entropy_stats",
     "gopher_quality_rules",
+    "asof_lag3_features",
+    "minhash_dedup_best_survivors",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",
