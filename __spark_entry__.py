@@ -4406,6 +4406,41 @@ FROM documents d LEFT JOIN m ON m.id = d.doc_id
 """
 
 
+
+
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-flattened mixture resampling (dataset.
+    temperature_mixture_sample, alpha=0.5, budget 0.5N, grouped by lang):
+    tail languages get boosted toward p^alpha shares; rates derive from
+    corpus counts in-plan (no collect), membership via the md5 bucket."""
+    from esa_pfa_spark.operators.dataset import temperature_mixture_sample
+
+    out = temperature_mixture_sample(
+        _ld(spark, sf_dir, "documents").select("doc_id", "lang"),
+        alpha=0.5, keep_frac=0.5, group_col="lang",
+    )
+    return out.select("doc_id", "lang", _r6(F.col("rate")).alias("rate"), "thr")
+
+
+SQL_TEMPERATURE_MIXTURE = """
+WITH c AS (SELECT lang, count(*) AS ns FROM documents GROUP BY 1),
+n AS (SELECT sum(ns) AS n FROM c),
+z AS (SELECT CAST(sum(CAST(round(pow(CAST(c.ns AS DOUBLE) / n.n, 0.5), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS z
+      FROM c CROSS JOIN n),
+r AS (SELECT c.lang,
+             least(1.0,
+                   0.5 * n.n * (round(pow(CAST(c.ns AS DOUBLE) / n.n, 0.5), 6) / z.z)
+                   / c.ns) AS rate
+      FROM c CROSS JOIN n CROSS JOIN z)
+SELECT d.doc_id, d.lang, round(r.rate, 6) AS rate,
+       CAST(floor(r.rate * 10000) AS INT) AS thr
+FROM documents d JOIN r USING (lang)
+WHERE CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS INTEGER)
+      % 10000 < CAST(floor(r.rate * 10000) AS INT)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -4554,6 +4589,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "gopher_quality_rules": (q_gopher_rules, SQL_GOPHER_RULES),
     "asof_lag3_features": (q_asof_lag3, SQL_ASOF_LAG3),
     "minhash_dedup_best_survivors": (q_dedup_best_survivors, SQL_DEDUP_BEST_SURVIVORS),
+    "temperature_mixture_half": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
 }
 
 

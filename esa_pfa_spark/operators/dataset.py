@@ -357,3 +357,68 @@ def purged_time_folds(
         .otherwise(F.lit("train"))
     )
     return x.select(*df.columns, "fold", role.alias("role"))
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    keep_frac: float = 0.5,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-flattened mixture resampling (the multilingual/domain
+    re-weighting of mBERT/XLM-R/LLaMA: sample sources proportionally to
+    ``p_s^alpha`` instead of their natural share ``p_s``, boosting the
+    tail): with ``p_s = n_s/N``, target share ``q_s = p_s^alpha /
+    sum_t p_t^alpha`` and overall budget ``keep_frac*N`` rows, group s
+    keeps ``rate_s = min(1, keep_frac*N*q_s/n_s)`` of its rows via the
+    deterministic md5 bucket (membership is a property of the row).
+
+    Unlike ``mixture_sample`` (rates given by the caller, thresholds as
+    plan literals) the rates here DERIVE from corpus counts, so they ride
+    the plan: one |sources|-row groupBy + two tiny broadcasts — no
+    collect, recomputed consistently on any engine.
+
+    Exactness: ``sum_t p_t^alpha`` accumulates 6dp-rounded decimal terms
+    (order-independent — a plain double sum would make ``q_s`` depend on
+    which engine summed the sources in what order, and a 1-ulp wobble
+    through floor(rate*B) flips bucket membership).  Returns the kept
+    rows with ``rate`` and ``thr`` attached for auditability."""
+    if not 0 < keep_frac <= 1:
+        raise ValueError("keep_frac must be in (0, 1]")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__ns"))
+    n_tot = counts.agg(F.sum("__ns").alias("__n"))
+    counts = counts.crossJoin(F.broadcast(n_tot))
+    z = counts.agg(
+        F.sum(
+            F.round(
+                F.pow(F.col("__ns").cast("double") / F.col("__n"), F.lit(float(alpha))),
+                6,
+            ).cast("decimal(18,6)")
+        ).cast("double").alias("__z")
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(z))
+        .withColumn(
+            "__q",
+            F.round(
+                F.pow(F.col("__ns").cast("double") / F.col("__n"), F.lit(float(alpha))), 6
+            ) / F.col("__z"),
+        )
+        .withColumn(
+            "rate",
+            F.least(
+                F.lit(1.0),
+                F.lit(float(keep_frac)) * F.col("__n") * F.col("__q") / F.col("__ns"),
+            ),
+        )
+        .withColumn("thr", F.floor(F.col("rate") * BUCKETS).cast("int"))
+        .select(group_col, "rate", "thr")
+    )
+    b = _hash_bucket(id_col, seed)
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(b < F.col("thr"))
+        .select(*df.columns, "rate", "thr")
+    )

@@ -184,3 +184,38 @@ def test_purged_time_folds_semantics(spark):
     assert got[(3, 1)] == "purged"   # s=49 is within 10s of fold 1's start
     assert got[(4, 0)] == "purged"   # s=50 is within 10s of fold 0's end
     assert got[(0, 1)] == "train"    # s=0 is far from fold 1
+
+
+def test_temperature_mixture_flattens(spark):
+    """alpha<1 boosts tail groups: the minority group's keep rate must
+    exceed the majority's; alpha=1 reduces to uniform keep_frac; expected
+    kept counts track rate*n within hash noise; determinism across runs."""
+    import pandas as pd
+
+    from esa_pfa_spark.operators.dataset import temperature_mixture_sample
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "source"]))
+
+    out = temperature_mixture_sample(df, alpha=0.5, keep_frac=0.5)
+    rates = {r["source"]: r["rate"] for r in out.select("source", "rate").distinct().collect()}
+    assert rates["small"] > rates["big"]
+    # p_small^0.5 share grows: q_small = sqrt(.1)/(sqrt(.9)+sqrt(.1)) ~ .25
+    # rate_small = .5*1000*.25/100 > 1 -> capped at 1
+    assert rates["small"] == 1.0
+    assert 0.3 < rates["big"] < 0.5
+
+    kept = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert kept["small"] == 100  # rate 1 keeps everything
+    assert abs(kept["big"] - rates["big"] * 900) < 60
+
+    # alpha=1: q_s == p_s -> every group keeps exactly keep_frac
+    flat = temperature_mixture_sample(df, alpha=1.0, keep_frac=0.4)
+    fr = {r["source"]: r["rate"] for r in flat.select("source", "rate").distinct().collect()}
+    assert abs(fr["big"] - 0.4) < 1e-6 and abs(fr["small"] - 0.4) < 1e-6
+
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in temperature_mixture_sample(
+        df, alpha=0.5, keep_frac=0.5).collect())
+    assert a == b
