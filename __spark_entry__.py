@@ -4441,6 +4441,60 @@ WHERE CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS INTEG
 """
 
 
+
+
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum export order (dataset.curriculum_order): stage documents
+    by entropy-free proxy difficulty (n_chars quantile quartiles), shuffle
+    within stage by the md5 key; summary = per-stage count + first 3 doc
+    ids in export order (the deterministic witness of the full ordering)."""
+    from esa_pfa_spark.operators.dataset import curriculum_order
+
+    out = curriculum_order(
+        _ld(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        score="n_chars", n_stages=4,
+    )
+    w = Window.partitionBy("stage").orderBy("sort_key", "doc_id")
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("__rn") <= 3,
+                               F.format_string("%02d|%s", F.col("__rn"), F.col("doc_id")))
+                    )
+                ),
+            ).alias("head_ids"),
+        )
+        .orderBy("stage")
+    )
+
+
+SQL_CURRICULUM_ORDER = """
+WITH e AS (SELECT quantile_cont(CAST(n_chars AS DOUBLE), [0.25, 0.5, 0.75]) AS ed
+           FROM documents),
+s AS (SELECT d.doc_id, d.n_chars,
+             CAST(len(list_filter(e.ed, x -> CAST(d.n_chars AS DOUBLE) >= x)) AS INT) AS stage,
+             md5('cur0:' || CAST(d.doc_id AS VARCHAR)) AS sort_key
+      FROM documents d CROSS JOIN e),
+r AS (SELECT *, row_number() OVER (PARTITION BY stage ORDER BY sort_key, doc_id) AS rn
+      FROM s)
+SELECT stage,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       string_agg(CASE WHEN rn <= 3 THEN printf('%02d|%d', rn, doc_id) END, ','
+                  ORDER BY CASE WHEN rn <= 3 THEN printf('%02d|%d', rn, doc_id) END) AS head_ids
+FROM r GROUP BY stage ORDER BY stage
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -4590,6 +4644,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "asof_lag3_features": (q_asof_lag3, SQL_ASOF_LAG3),
     "minhash_dedup_best_survivors": (q_dedup_best_survivors, SQL_DEDUP_BEST_SURVIVORS),
     "temperature_mixture_half": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
+    "curriculum_order_4": (q_curriculum_order, SQL_CURRICULUM_ORDER),
 }
 
 

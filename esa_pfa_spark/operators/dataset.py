@@ -422,3 +422,36 @@ def temperature_mixture_sample(
         .filter(b < F.col("thr"))
         .select(*df.columns, "rate", "thr")
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score: str,
+    n_stages: int = 4,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    ascending: bool = True,
+) -> DataFrame:
+    """Curriculum ordering for training export (easy-to-hard scheduling,
+    Bengio et al. 2009): rows are staged by equal-frequency quantile bins
+    of ``score`` (stage 0 = lowest scores when ``ascending``) and shuffled
+    WITHIN each stage by the deterministic md5 key — the export reads
+    ``ORDER BY stage, sort_key, id``: difficulty ramps across stages,
+    order within a stage is an unbiased reproducible shuffle (no
+    score-rank artifacts like all-shortest-first inside a stage).
+
+    Returns ``df`` + ``(stage int, sort_key string)``.  Scale shape:
+    staging reuses encode.quantile_bins (one percentile aggregate, edge
+    array as plan literal, map-only assignment); the key is map-only md5;
+    NO global ordering is materialized here — a sink that needs explicit
+    positions feeds (stage, sort_key) through deterministic_shuffle's
+    bucket-offset numbering instead of a partition-less window."""
+    from esa_pfa_spark.operators.encode import quantile_bins
+
+    staged = quantile_bins(df, value=score, n_bins=n_stages, out_col="stage")
+    if not ascending:
+        staged = staged.withColumn(
+            "stage", (F.lit(n_stages - 1) - F.col("stage")).cast("int")
+        )
+    key = F.md5(F.concat(F.lit(f"cur{seed}:"), F.col(id_col).cast("string")))
+    return staged.withColumn("sort_key", key)

@@ -219,3 +219,32 @@ def test_temperature_mixture_flattens(spark):
     b = sorted(r["doc_id"] for r in temperature_mixture_sample(
         df, alpha=0.5, keep_frac=0.5).collect())
     assert a == b
+
+
+def test_curriculum_order(spark):
+    """Stages are equal-frequency score quartiles (easy first; descending
+    flips), stage boundaries respect score order, and the within-stage key
+    is the deterministic md5 shuffle."""
+    import hashlib
+
+    import pandas as pd
+
+    from esa_pfa_spark.operators.dataset import curriculum_order
+
+    df = spark.createDataFrame(pd.DataFrame(
+        [(i, float(i)) for i in range(40)], columns=["doc_id", "difficulty"]
+    ))
+    out = curriculum_order(df, score="difficulty", n_stages=4).collect()
+    stages = {r["doc_id"]: r["stage"] for r in out}
+    # equal-frequency quartiles over 0..39: max score of stage s < min of s+1
+    for s in range(3):
+        lo = [d for d, st in stages.items() if st == s]
+        hi = [d for d, st in stages.items() if st == s + 1]
+        assert lo and hi and max(lo) < min(hi)
+    assert sorted({r["stage"] for r in out}) == [0, 1, 2, 3]
+    for r in out:
+        assert r["sort_key"] == hashlib.md5(f"cur0:{r['doc_id']}".encode()).hexdigest()
+
+    desc = curriculum_order(df, score="difficulty", n_stages=4, ascending=False)
+    dstages = {r["doc_id"]: r["stage"] for r in desc.collect()}
+    assert all(dstages[d] == 3 - stages[d] for d in stages)
