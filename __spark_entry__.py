@@ -4137,8 +4137,8 @@ def q_dsir_sample(spark, sf_dir):
 
     docs = _ld(spark, sf_dir, "documents")
     return dsir_topk_sample(
-        docs, docs.filter(F.col("lang") == "en"), k=100,
-        id_col="doc_id", m=4096, seed=1,
+        docs, k=100, id_col="doc_id", m=4096, seed=1,
+        target_predicate=F.col("lang") == "en",
     )
 
 

@@ -81,17 +81,44 @@ def _bucket_counts(df: DataFrame, m: int) -> DataFrame:
 
 def dsir_logratio_table(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame = None,
     text_col: str = "text",
     m: int = M_BUCKETS,
     round_to: int = 6,
+    target_predicate=None,
 ) -> DataFrame:
     """Per-bucket importance log-ratio ``ln p_target(b) - ln p_raw(b)``
     with Laplace (+1) smoothing over ``m`` buckets: an m-row table meant
     to be broadcast.  The ratio is rounded to ``round_to`` decimals HERE,
-    once per bucket, so downstream per-doc sums are decimal-exact."""
-    rc = _bucket_counts(raw.select(F.col(text_col).alias("text")), m)
-    tc = _bucket_counts(target.select(F.col(text_col).alias("text")), m)
+    once per bucket, so downstream per-doc sums are decimal-exact.
+
+    When the target corpus is a SUBSET of ``raw`` selected by a boolean
+    column expression, pass ``target_predicate`` instead of ``target``:
+    both distributions then come out of ONE feature-extraction pass
+    (explode once, conditional count for the target side) — at 100 TB the
+    n-gram explode over the raw corpus is the dominant cost and this
+    halves it."""
+    if (target is None) == (target_predicate is None):
+        raise ValueError("pass exactly one of target / target_predicate")
+    if target_predicate is not None:
+        both = (
+            hashed_ngram_features(
+                raw.select(F.col(text_col).alias("text"),
+                           target_predicate.alias("__is_t")),
+                m=m,
+            )
+            .select(F.col("__is_t"), F.explode("__feat").alias("bucket"))
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.count(F.when(F.col("__is_t"), 1)).alias("tcnt"),
+            )
+        )
+        rc = both.select("bucket", "cnt")
+        tc = both.select("bucket", F.col("tcnt").alias("cnt")).filter(F.col("cnt") > 0)
+    else:
+        rc = _bucket_counts(raw.select(F.col(text_col).alias("text")), m)
+        tc = _bucket_counts(target.select(F.col(text_col).alias("text")), m)
     rt = rc.agg(F.sum("cnt").alias("nr"))
     tt = tc.agg(F.sum("cnt").alias("nt"))
     full = (
@@ -137,22 +164,28 @@ def dsir_weights(
 
 def dsir_topk_sample(
     raw: DataFrame,
-    target: DataFrame,
-    k: int,
+    target: DataFrame = None,
+    k: int = 100,
     text_col: str = "text",
     id_col: str = "doc_id",
     m: int = M_BUCKETS,
     seed: int = 1,
     temperature: float = 1.0,
     round_to: int = 6,
+    target_predicate=None,
 ) -> DataFrame:
     """Gumbel-top-k DSIR sample: key = log_weight/temperature + Gumbel
     noise; the top-``k`` keys are a without-replacement sample with
     inclusion odds softmax(log_weight/temperature).  The Gumbel uniform
     comes from md5(seed:doc_id) (deterministic, engine-portable); the key
     is rounded and tie-broken by ``id_col`` so the cut is stable across
-    engines.  Returns ``(id_col, n_feat, log_weight, gumbel_key)``."""
-    lr = dsir_logratio_table(raw, target, text_col=text_col, m=m, round_to=round_to)
+    engines.  Returns ``(id_col, n_feat, log_weight, gumbel_key)``.
+    ``target_predicate`` (target-as-subset fast path) is forwarded to
+    ``dsir_logratio_table`` — one corpus explode instead of two."""
+    lr = dsir_logratio_table(
+        raw, target, text_col=text_col, m=m, round_to=round_to,
+        target_predicate=target_predicate,
+    )
     w = dsir_weights(raw, lr, text_col=text_col, id_col=id_col, m=m)
     u = (
         F.conv(

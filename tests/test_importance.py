@@ -116,3 +116,24 @@ def test_dsir_topk_deterministic_and_broadcast(spark, docs):
     # the m-row log-ratio table must ride a broadcast, not a sort-merge join
     plan = plan_of(dsir_weights(docs, dsir_logratio_table(docs, target)))
     assert "BroadcastHashJoin" in plan
+
+
+def test_dsir_predicate_fast_path_equals_two_corpus(spark, docs):
+    """target_predicate (one corpus explode) produces the identical
+    log-ratio table and top-k sample as the explicit-target form."""
+    from esa_pfa_spark.operators.dedup import graph_components  # noqa: F401  (env warm)
+
+    lr_two = dsir_logratio_table(docs, docs.filter(docs.lang == "en"))
+    lr_one = dsir_logratio_table(docs, target_predicate=docs.lang == "en")
+    assert lr_two.exceptAll(lr_one).count() == 0
+    assert lr_one.exceptAll(lr_two).count() == 0
+
+    s_two = dsir_topk_sample(docs, docs.filter(docs.lang == "en"), k=4)
+    s_one = dsir_topk_sample(docs, k=4, target_predicate=docs.lang == "en")
+    assert s_two.collect() == s_one.collect()
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dsir_logratio_table(docs)
+    with _pytest.raises(ValueError):
+        dsir_logratio_table(docs, docs, target_predicate=docs.lang == "en")
