@@ -4495,6 +4495,41 @@ FROM r GROUP BY stage ORDER BY stage
 """
 
 
+
+
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet perplexity bucketing (textstats.ccnet_ppl_buckets): per-source
+    head/middle/tail terciles of the unigram-LM quality score; per-group
+    edges broadcast, assignment map-only."""
+    from esa_pfa_spark.operators.textstats import ccnet_ppl_buckets
+
+    return ccnet_ppl_buckets(_ld(spark, sf_dir, "documents"))
+
+
+SQL_CCNET_BUCKETS = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+freq AS (SELECT w, count(*) AS wc FROM w GROUP BY 1),
+tot AS (SELECT count(*) AS n_total FROM w),
+sc AS (SELECT doc_id,
+              count(*) AS n_words,
+              round(CAST(sum(CAST(ln(wc * 1.0 / n_total) AS DECIMAL(18,6))) AS DOUBLE)
+                    / count(*), 6) AS avg_logprob
+       FROM w JOIN freq USING (w) CROSS JOIN tot
+       GROUP BY doc_id),
+j AS (SELECT sc.doc_id, d.source, sc.n_words, sc.avg_logprob
+      FROM sc JOIN documents d USING (doc_id)),
+e AS (SELECT source,
+             quantile_cont(avg_logprob, 1.0/3) AS e1,
+             quantile_cont(avg_logprob, 2.0/3) AS e2
+      FROM j GROUP BY source)
+SELECT j.doc_id, j.source, j.n_words, j.avg_logprob,
+       CASE WHEN j.avg_logprob >= e.e2 THEN 'head'
+            WHEN j.avg_logprob >= e.e1 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM j JOIN e USING (source)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -4645,6 +4680,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "minhash_dedup_best_survivors": (q_dedup_best_survivors, SQL_DEDUP_BEST_SURVIVORS),
     "temperature_mixture_half": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
     "curriculum_order_4": (q_curriculum_order, SQL_CURRICULUM_ORDER),
+    "ccnet_ppl_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
 }
 
 

@@ -119,6 +119,9 @@ HEADLINE = [
     "gopher_quality_rules",
     "asof_lag3_features",
     "minhash_dedup_best_survivors",
+    "temperature_mixture_half",
+    "curriculum_order_4",
+    "ccnet_ppl_buckets",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",

@@ -448,3 +448,41 @@ def gopher_rules(
         n_failed.cast("int").alias("n_failed"),
         (n_failed == 0).cast("int").alias("keep"),
     )
+
+
+def ccnet_ppl_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): within each
+    ``group_col`` slice, split documents into head / middle / tail thirds
+    by LM quality score — head = the best-scoring third (kept outright in
+    CCNet), middle = kept-or-LM-filtered, tail = usually dropped.  Score
+    is ``unigram_logprob``'s per-doc mean ln p(word) (higher = more
+    corpus-typical, the perplexity-lite proxy); bucketing PER group keeps
+    a hard domain from being wholly condemned by a global threshold.
+
+    Returns ``(doc_id, group, n_words, avg_logprob, ppl_bucket)``.
+
+    Scale shape: the score pass is unigram_logprob's (vocab-bounded
+    broadcast); the per-group tercile edges are ONE tiny agg
+    (|groups| x 2 values) broadcast back; assignment is map-only.  Ties
+    sit in the better bucket (score >= edge), mirroring quantile_bins."""
+    scored = unigram_logprob(df, text_col=text_col).join(
+        df.select("doc_id", group_col), "doc_id"
+    )
+    edges = scored.groupBy(group_col).agg(
+        F.percentile(F.col("avg_logprob"), F.lit(1.0 / 3)).alias("__e1"),
+        F.percentile(F.col("avg_logprob"), F.lit(2.0 / 3)).alias("__e2"),
+    )
+    bucket = (
+        F.when(F.col("avg_logprob") >= F.col("__e2"), F.lit("head"))
+        .when(F.col("avg_logprob") >= F.col("__e1"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.join(F.broadcast(edges), group_col)
+        .select("doc_id", group_col, "n_words", "avg_logprob",
+                bucket.alias("ppl_bucket"))
+    )

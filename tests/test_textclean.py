@@ -187,3 +187,34 @@ def test_gopher_rules_semantics(spark):
     assert got[5]["fail_stopwords"] == 1
     for i in range(1, 6):
         assert got[i]["keep"] == 0
+
+
+def test_ccnet_ppl_buckets(spark):
+    """Within each source the thirds are (near-)balanced, head scores
+    dominate tail scores, and every doc is bucketed exactly once."""
+    import pandas as pd
+
+    from esa_pfa_spark.operators.textstats import ccnet_ppl_buckets
+
+    # source A: 9 docs of graded typicality (common words repeat corpus-wide)
+    rows = []
+    for i in range(9):
+        common = "the cat sat " * (9 - i)
+        rare = f"zxq{i}a wvu{i}b " * (i + 1)
+        rows.append((i, (common + rare).strip(), "A"))
+    rows.append((100, "the cat sat on the mat", "B"))
+    rows.append((101, "qqq www eee", "B"))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "source"]))
+    got = {r["doc_id"]: r for r in ccnet_ppl_buckets(df).collect()}
+    assert len(got) == len(rows)
+    a = [got[i] for i in range(9)]
+    n_by = {"head": 0, "middle": 0, "tail": 0}
+    for r in a:
+        n_by[r["ppl_bucket"]] += 1
+    assert min(n_by.values()) >= 2  # terciles of 9 are 3/3/3
+
+    heads = [r["avg_logprob"] for r in a if r["ppl_bucket"] == "head"]
+    tails = [r["avg_logprob"] for r in a if r["ppl_bucket"] == "tail"]
+    assert min(heads) > max(tails)
+    # source B buckets independently of A
+    assert got[100]["ppl_bucket"] == "head" and got[101]["ppl_bucket"] == "tail"
