@@ -384,3 +384,51 @@ def test_minhash_signatures_partial_agg_and_parity(spark):
         docs.select("doc_id", *minhash_signature_cols())
         .filter(F.col("mh0").isNotNull()).collect()))
     assert a == b
+
+
+def test_r4_wave_plan_shapes(spark):
+    """Plan assertions for the round-4 operator wave: purged folds stay
+    map-only after the broadcast bounds; temperature mixture broadcasts
+    its rate table (no corpus sort-merge); the decayed PIT band join is an
+    equi-hash join, not a BroadcastNestedLoop; lag-k's obs join is an
+    equi-join on (key, rank)."""
+    import datetime as dtm
+
+    from pyspark.sql import functions as F
+
+    from esa_pfa_spark.operators.asof import asof_lagk_join
+    from esa_pfa_spark.operators.dataset import (
+        purged_time_folds,
+        temperature_mixture_sample,
+    )
+    from esa_pfa_spark.operators.pit import decayed_pit_features
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    # purged folds: the only exchange feeds the 2-scalar bounds aggregate;
+    # the row-side path is a broadcast nested-loop of ONE row + explode
+    p = plan_of(purged_time_folds(ev.select("event_id", "ts"), ts="ts", k=5,
+                                  embargo=dtm.timedelta(days=1)))
+    assert n_exchanges(p) <= 1, p
+    assert "SortMergeJoin" not in p
+
+    # temperature mixture: rate table joins via broadcast, corpus never sorts
+    t = plan_of(temperature_mixture_sample(
+        docs.select("doc_id", "lang"), alpha=0.5, keep_frac=0.5, group_col="lang"))
+    assert "BroadcastHashJoin" in t and "SortMergeJoin" not in t
+
+    probes = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("query_ts"))
+    obs = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+
+    d = plan_of(decayed_pit_features(
+        probes, obs, on="user_id", probe_ts="query_ts", obs_ts="ts",
+        value="value", tau=dtm.timedelta(days=1)))
+    assert "BroadcastNestedLoop" not in d, d
+
+    l = plan_of(asof_lagk_join(
+        probes, obs.withColumn("oid", F.monotonically_increasing_id()),
+        k=3, on="user_id", probe_ts="query_ts", obs_ts="ts",
+        value="value", tiebreak="oid"))
+    assert "BroadcastNestedLoop" not in l and "CartesianProduct" not in l, l
