@@ -4530,6 +4530,44 @@ FROM j JOIN e USING (source)
 """
 
 
+
+
+def q_ngram_containment(spark, sf_dir):
+    """Directed containment near-dup pairs (dedup.ngram_containment_pairs):
+    |small ∩ big| / |small| over capped 3-shingle sets — catches
+    quote-inclusion that symmetric Jaccard misses; same one-df-pass +
+    shingle equi-join skeleton as ngram_jaccard_pairs."""
+    return DD.ngram_containment_pairs(
+        _ld(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+SQL_NGRAM_CONTAINMENT = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh0 AS (SELECT doc_id, unnest(list_distinct(
+         list_transform(generate_series(1, len(ws)-2),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+       FROM w WHERE len(ws) >= 3),
+capped AS (SELECT shingle FROM sh0 GROUP BY shingle
+           HAVING count(*) <= {DD.MAX_SHINGLE_FREQ}),
+sh AS (SELECT doc_id, sh0.shingle FROM sh0 JOIN capped ON sh0.shingle = capped.shingle),
+sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+sc AS (SELECT da, db, i, sa.s AS sa, sb.s AS sb,
+              CASE WHEN sa.s < sb.s OR (sa.s = sb.s AND da < db) THEN da ELSE db END AS small_id,
+              CASE WHEN sa.s < sb.s OR (sa.s = sb.s AND da < db) THEN db ELSE da END AS big_id,
+              least(sa.s, sb.s) AS ss
+       FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db)
+SELECT small_id AS doc_id_small, big_id AS doc_id_big,
+       round(i*1.0/ss, 6) AS containment,
+       round(i*1.0/(sa + sb - i), 6) AS jaccard
+FROM sc
+WHERE i*1.0/ss >= 0.5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -4681,6 +4719,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "temperature_mixture_half": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
     "curriculum_order_4": (q_curriculum_order, SQL_CURRICULUM_ORDER),
     "ccnet_ppl_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
+    "ngram_containment_pairs": (q_ngram_containment, SQL_NGRAM_CONTAINMENT),
 }
 
 

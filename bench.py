@@ -122,6 +122,7 @@ HEADLINE = [
     "temperature_mixture_half",
     "curriculum_order_4",
     "ccnet_ppl_buckets",
+    "ngram_containment_pairs",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",

@@ -508,3 +508,61 @@ def dedup_survivors_by_score(
         )
         .withColumn("survives", F.col(id_col) == F.col("canonical_doc_id"))
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = MAX_SHINGLE_FREQ,
+) -> DataFrame:
+    """ASYMMETRIC near-duplication: directed containment
+    ``|S_a ∩ S_b| / |S_a|`` over k-shingle sets — the measure that catches
+    quote-inclusion and page-wrapping (a press release embedded in a news
+    page scores Jaccard ~ |A|/|B| << 1 but containment(A→B) ~ 1, so
+    symmetric Jaccard dedup misses it; Broder 1997 distinguishes exactly
+    these two resemblance measures).  Emits BOTH directions of every
+    shingle-sharing pair that clears ``threshold``:
+    ``(doc_id_small, doc_id_big, containment, jaccard)`` where containment
+    is of the SMALL (capped-set) side in the big one — the direction that
+    detects inclusion; ties in size keep doc_id_small < doc_id_big.
+
+    Same plan skeleton and stop-shingle cap semantics as
+    ``ngram_jaccard_pairs`` (ONE df pass fusing cap + singleton prune,
+    shingle equi-join, size join back); the cap applies to both the
+    intersection and the denominators, documented not silent."""
+    sh = shingles(df, text_col)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    if max_shingle_freq is not None:
+        freq = freq.filter(F.col("__df") <= max_shingle_freq)
+    shj = sh.join(freq, "shingle")
+    sizes = shj.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
+    core = shj.filter(F.col("__df") >= 2).select("doc_id", "shingle")
+    a = core.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+    b = core.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("s").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("s").alias("sb"))
+    j = inter.join(sa, "doc_id_a").join(sb, "doc_id_b")
+    small_is_a = (F.col("sa") < F.col("sb")) | (
+        (F.col("sa") == F.col("sb")) & (F.col("doc_id_a") < F.col("doc_id_b"))
+    )
+    small_id = F.when(small_is_a, F.col("doc_id_a")).otherwise(F.col("doc_id_b"))
+    big_id = F.when(small_is_a, F.col("doc_id_b")).otherwise(F.col("doc_id_a"))
+    small_s = F.least(F.col("sa"), F.col("sb"))
+    containment = F.col("i") * 1.0 / small_s
+    jac = F.col("i") * 1.0 / (F.col("sa") + F.col("sb") - F.col("i"))
+    return (
+        j.filter(containment >= threshold)
+        .select(
+            small_id.alias("doc_id_small"),
+            big_id.alias("doc_id_big"),
+            F.round(containment, 6).alias("containment"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )

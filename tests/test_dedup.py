@@ -198,3 +198,31 @@ def test_dedup_survivors_by_score(spark):
     assert got[4] == (5, False) and got[5] == (5, True)
     # isolated doc survives as itself
     assert got[9] == (9, True)
+
+
+def test_ngram_containment_directed(spark):
+    """A short doc fully quoted inside a long one: containment ~ 1 while
+    Jaccard is small — the asymmetric measure finds it, and the direction
+    (small contained in big) is reported; unrelated docs emit nothing."""
+    import pandas as pd
+
+    from esa_pfa_spark.operators.dedup import ngram_containment_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"filler{i} word{i} pad{i}" for i in range(30))
+    docs = spark.createDataFrame(pd.DataFrame(
+        [
+            (1, quote),
+            (2, filler + " " + quote + " " + filler.replace("filler", "tail")),
+            (3, "completely different content about spark plans and shuffles"),
+        ],
+        columns=["doc_id", "text"],
+    ))
+    rows = ngram_containment_pairs(docs, threshold=0.5).collect()
+    got = {(r["doc_id_small"], r["doc_id_big"]): (r["containment"], r["jaccard"])
+           for r in rows}
+    assert (1, 2) in got
+    c, j = got[(1, 2)]
+    assert c >= 0.8          # nearly all of doc 1's shingles appear in doc 2
+    assert j < 0.2           # symmetric Jaccard would have missed it
+    assert all(3 not in k for k in got)
