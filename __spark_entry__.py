@@ -4568,6 +4568,49 @@ WHERE i*1.0/ss >= 0.5
 """
 
 
+
+
+def q_asof_staleness(spark, sf_dir):
+    """Feature-freshness audit (asof.asof_staleness_profile): per
+    hour-of-day, match rate and staleness p50/p95/max of the 7-day
+    backward as-of between clicks and purchases — the diurnal serving
+    health view; 1-Exchange fill + one tiny-cardinality hash agg."""
+    from esa_pfa_spark.operators.asof import asof_staleness_profile
+
+    ev = _ld(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("query_ts")
+    )
+    obs = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    return asof_staleness_profile(
+        probes, obs, on="user_id", probe_ts="query_ts", obs_ts="ts",
+        tolerance=dt.timedelta(days=7), group_name="hour_of_day",
+    )
+
+
+SQL_ASOF_STALENESS = f"""
+WITH c AS (SELECT event_id, user_id, ts AS query_ts FROM events WHERE event_type='click'),
+     p AS (SELECT user_id, ts FROM events WHERE event_type='purchase'),
+     m AS (SELECT c.event_id, c.user_id, c.query_ts,
+                  (SELECT max(p.ts) FROM p
+                    WHERE p.user_id=c.user_id AND p.ts<=c.query_ts
+                      AND epoch(c.query_ts)-epoch(p.ts) <= {7*DAY}) AS matched_ts
+           FROM c),
+     g AS (SELECT hour(query_ts) AS hour_of_day,
+                  CASE WHEN matched_ts IS NOT NULL THEN 1 ELSE 0 END AS hit,
+                  epoch(query_ts) - epoch(matched_ts) AS stale
+           FROM m)
+SELECT hour_of_day,
+       CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(sum(hit) AS BIGINT) AS n_matched,
+       round(sum(hit) * 1.0 / count(*), 6) AS match_rate,
+       round(quantile_cont(stale, 0.5), 6) AS stale_p50_s,
+       round(quantile_cont(stale, 0.95), 6) AS stale_p95_s,
+       round(max(stale), 6) AS stale_max_s
+FROM g GROUP BY hour_of_day ORDER BY hour_of_day
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -4720,6 +4763,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "curriculum_order_4": (q_curriculum_order, SQL_CURRICULUM_ORDER),
     "ccnet_ppl_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "ngram_containment_pairs": (q_ngram_containment, SQL_NGRAM_CONTAINMENT),
+    "asof_staleness_profile": (q_asof_staleness, SQL_ASOF_STALENESS),
 }
 
 

@@ -123,6 +123,7 @@ HEADLINE = [
     "curriculum_order_4",
     "ccnet_ppl_buckets",
     "ngram_containment_pairs",
+    "asof_staleness_profile",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",

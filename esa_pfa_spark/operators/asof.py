@@ -578,3 +578,53 @@ def asof_lagk_join(
                 *[c for i in range(1, k + 1)
                   for c in (f"lag{i}_val", f"lag{i}_ts")])
     )
+
+
+def asof_staleness_profile(
+    probes: DataFrame,
+    observations: DataFrame,
+    on: str | list[str] = "entity_id",
+    probe_ts: str = "query_ts",
+    obs_ts: str = "ts",
+    tolerance=None,
+    group_expr=None,
+    group_name: str = "grp",
+) -> DataFrame:
+    """Feature-freshness audit over the as-of core: per ``group_expr``
+    bucket (default: hour-of-day of the probe — the diurnal freshness
+    view an on-call reads), the match rate and the staleness distribution
+    ``query_ts - matched_ts`` (p50 / p95 / max seconds) of the as-of
+    matches.  A serving pipeline whose p95 staleness creeps toward the
+    tolerance is about to start missing matches — this is the operator
+    that says so before the match rate drops.
+
+    Plan: the 1-Exchange as-of fill, then one hash aggregation on the
+    (tiny-cardinality) group key; exact interpolated percentiles ride the
+    agg (no window, no second sort)."""
+    matched = asof_join(
+        probes, observations, on=on, probe_ts=probe_ts, obs_ts=obs_ts,
+        payload=[], direction="backward", tolerance=tolerance,
+    )
+    if group_expr is None:
+        group_expr = F.hour(F.col(probe_ts))
+    stale_s = (
+        F.col(probe_ts).cast("timestamp_ltz").cast("double")
+        - F.col("matched_ts").cast("timestamp_ltz").cast("double")
+    )
+    g = matched.select(
+        group_expr.alias(group_name),
+        F.col("matched_ts").isNotNull().cast("int").alias("__hit"),
+        stale_s.alias("__stale"),
+    )
+    return (
+        g.groupBy(group_name)
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum("__hit").cast("long").alias("n_matched"),
+            F.round(F.sum("__hit") * 1.0 / F.count(F.lit(1)), 6).alias("match_rate"),
+            F.round(F.percentile(F.col("__stale"), F.lit(0.5)), 6).alias("stale_p50_s"),
+            F.round(F.percentile(F.col("__stale"), F.lit(0.95)), 6).alias("stale_p95_s"),
+            F.round(F.max("__stale"), 6).alias("stale_max_s"),
+        )
+        .orderBy(group_name)
+    )

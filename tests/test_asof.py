@@ -411,3 +411,36 @@ def test_asof_lagk_matches_brute(spark):
                     assert g_v is None and g_t is None, (pid, j, tol)
                 else:
                     assert g_v == want[2] and g_t == want[1], (pid, j, tol)
+
+
+def test_asof_staleness_profile(spark):
+    """Hand timeline: match rate and percentile staleness per group check
+    out against direct computation; unmatched probes count in n_probes
+    and match_rate but not in the staleness percentiles."""
+    import numpy as np
+    import pandas as pd
+
+    from esa_pfa_spark.operators.asof import asof_staleness_profile
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 5, 1, 0, 0, 0)
+    probes = [(i, "a", t0 + dt.timedelta(hours=i)) for i in range(4)]
+    obs = [
+        ("a", t0 - dt.timedelta(minutes=30)),   # stale 30m for probe 0
+        ("a", t0 + dt.timedelta(minutes=50)),   # probe 1: 10m, probe 2: 70m
+    ]
+    p = spark.createDataFrame(pd.DataFrame(probes, columns=["pid", "k", "query_ts"]))
+    o = spark.createDataFrame(pd.DataFrame(obs, columns=["k", "ts"]))
+    out = asof_staleness_profile(
+        p, o, on="k", probe_ts="query_ts", obs_ts="ts",
+        tolerance=dt.timedelta(hours=1),
+        group_expr=F.lit(0), group_name="g",
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # probe 3 (obs 130m old, tolerance 60m) misses; probe 2 (70m) misses too
+    assert r["n_probes"] == 4 and r["n_matched"] == 2
+    assert abs(r["match_rate"] - 0.5) < 1e-9
+    stales = [1800.0, 600.0]
+    assert abs(r["stale_p50_s"] - float(np.percentile(stales, 50))) < 1e-6
+    assert r["stale_max_s"] == 1800.0
