@@ -4611,6 +4611,104 @@ FROM g GROUP BY hour_of_day ORDER BY hour_of_day
 """
 
 
+
+
+def q_curation_v2(spark, sf_dir):
+    """The composed 2023-era curation chain (plans.curate_documents_v2):
+    Gopher shape gates -> CCNet per-source tiers (tail dropped) ->
+    best-copy MinHash dedup -> temperature mixture.  Every stage is an
+    independently-oracled operator; this query proves the CHAIN end to
+    end against one full-chain SQL program."""
+    from esa_pfa_spark.plans.curation import curate_documents_v2
+
+    return curate_documents_v2(_ld(spark, sf_dir, "documents"))
+
+
+SQL_CURATION_V2 = f"""
+WITH RECURSIVE
+gq AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS mean_len,
+         (length(text) - length(replace(text, '#', '')))
+           + CAST(floor((length(text) - length(replace(text, '...', ''))) / 3) AS BIGINT) AS symbols,
+         CAST(len(list_filter(string_split(text, ' '), x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS alpha_frac,
+         len(list_filter([{_GOPHER_STOPS}], s -> list_contains(string_split(text, ' '), s))) AS stop_hits
+  FROM documents),
+gated AS (
+  SELECT d.* FROM documents d JOIN gq USING (doc_id)
+  WHERE NOT (gq.n_words < 20 OR gq.n_words > 100000)
+    AND NOT (gq.mean_len < 3.0 OR gq.mean_len > 10.0)
+    AND NOT (CAST(gq.symbols AS DOUBLE) / gq.n_words > 0.1)
+    AND NOT (gq.alpha_frac < 0.8)
+    AND NOT (gq.stop_hits < 2)),
+w2 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM gated),
+freq AS (SELECT w, count(*) AS wc FROM w2 GROUP BY 1),
+tot AS (SELECT count(*) AS n_total FROM w2),
+sc AS (SELECT doc_id,
+              round(CAST(sum(CAST(ln(wc * 1.0 / n_total) AS DECIMAL(18,6))) AS DOUBLE)
+                    / count(*), 6) AS avg_logprob
+       FROM w2 JOIN freq USING (w) CROSS JOIN tot GROUP BY doc_id),
+scj AS (SELECT sc.doc_id, g.source, sc.avg_logprob FROM sc JOIN gated g USING (doc_id)),
+edges AS (SELECT source,
+                 quantile_cont(avg_logprob, 1.0/3) AS e1,
+                 quantile_cont(avg_logprob, 2.0/3) AS e2
+          FROM scj GROUP BY source),
+tiered AS (
+  SELECT g.*, CASE WHEN s.avg_logprob >= e.e2 THEN 'head'
+                   WHEN s.avg_logprob >= e.e1 THEN 'middle'
+                   ELSE 'tail' END AS ppl_bucket
+  FROM gated g JOIN scj s USING (doc_id) JOIN edges e ON e.source = g.source),
+kept AS (SELECT * FROM tiered WHERE ppl_bucket <> 'tail'),
+wv AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kept),
+sh AS (SELECT doc_id, unnest(list_distinct(
+         list_transform(generate_series(1, len(ws)-2),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+       FROM wv WHERE len(ws) >= 3),
+sig AS (SELECT doc_id,
+        min(md5('s0:' || shingle)) AS mh0, min(md5('s1:' || shingle)) AS mh1,
+        min(md5('s2:' || shingle)) AS mh2, min(md5('s3:' || shingle)) AS mh3,
+        min(md5('s4:' || shingle)) AS mh4, min(md5('s5:' || shingle)) AS mh5
+        FROM sh GROUP BY doc_id),
+cand AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+         FROM sig a JOIN sig b
+           ON a.doc_id < b.doc_id
+          AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.mh2 = b.mh2)
+            OR (a.mh3 = b.mh3 AND a.mh4 = b.mh4 AND a.mh5 = b.mh5))),
+e2g AS (SELECT u, v FROM cand UNION SELECT v, u FROM cand),
+nodes AS (SELECT DISTINCT u AS id FROM e2g),
+reach(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e2g.v, r.lbl FROM reach r JOIN e2g ON e2g.u = r.id WHERE r.lbl < e2g.v),
+comp AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY 1),
+best AS (SELECT comp, id AS canon FROM (
+           SELECT c.id, c.comp, k.n_chars,
+                  row_number() OVER (PARTITION BY c.comp
+                                     ORDER BY k.n_chars DESC, c.id ASC) AS rn
+           FROM comp c JOIN kept k ON k.doc_id = c.id)
+         WHERE rn = 1),
+mm AS (SELECT c.id, b.canon FROM comp c JOIN best b USING (comp)),
+surv AS (SELECT k.* FROM kept k LEFT JOIN mm ON mm.id = k.doc_id
+         WHERE coalesce(mm.canon, k.doc_id) = k.doc_id),
+cnt AS (SELECT source, count(*) AS ns FROM surv GROUP BY 1),
+ntot AS (SELECT sum(ns) AS n FROM cnt),
+z AS (SELECT CAST(sum(CAST(round(pow(CAST(c.ns AS DOUBLE) / ntot.n, 0.5), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS z
+      FROM cnt c CROSS JOIN ntot),
+rt AS (SELECT c.source,
+              least(1.0,
+                    0.6 * ntot.n * (round(pow(CAST(c.ns AS DOUBLE) / ntot.n, 0.5), 6) / z.z)
+                    / c.ns) AS rate
+       FROM cnt c CROSS JOIN ntot CROSS JOIN z)
+SELECT s.doc_id, s.source, s.ppl_bucket, round(r.rate, 6) AS rate
+FROM surv s JOIN rt r USING (source)
+WHERE CAST(('0x' || substr(md5('0:' || CAST(s.doc_id AS VARCHAR)), 1, 6)) AS INTEGER)
+      % 10000 < CAST(floor(r.rate * 10000) AS INT)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -4764,6 +4862,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ccnet_ppl_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "ngram_containment_pairs": (q_ngram_containment, SQL_NGRAM_CONTAINMENT),
     "asof_staleness_profile": (q_asof_staleness, SQL_ASOF_STALENESS),
+    "curation_v2_survivors": (q_curation_v2, SQL_CURATION_V2),
 }
 
 

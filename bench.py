@@ -124,6 +124,7 @@ HEADLINE = [
     "ccnet_ppl_buckets",
     "ngram_containment_pairs",
     "asof_staleness_profile",
+    "curation_v2_survivors",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",

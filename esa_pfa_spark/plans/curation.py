@@ -92,3 +92,59 @@ def training_windows(
     kept = curate_documents(docs, **curate_kwargs)
     survivors = docs.join(kept.select("doc_id"), "doc_id")
     return pack_offsets(tokenize(survivors), capacity=capacity)
+
+
+def curate_documents_v2(
+    docs: DataFrame,
+    min_words: int = 20,
+    keep_frac: float = 0.6,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """The 2023-era curation chain, composed from the round-4 operator
+    wave — Gopher document-shape gates -> CCNet perplexity tiers (drop the
+    per-source tail) -> MinHash near-dup clusters keeping the BEST copy ->
+    temperature-flattened source mixture:
+
+      1. `textstats.gopher_rules` (word-count bound relaxed to
+         ``min_words`` for the synthetic corpus): keep == structurally
+         publishable documents.  Map-only.
+      2. `textstats.ccnet_ppl_buckets` over the survivors: drop each
+         source's 'tail' third by LM score — a per-source bar, so one hard
+         domain isn't wholly condemned.  Vocab-bounded broadcast + tiny
+         edge agg.
+      3. `dedup.dedup_survivors_by_score(score=n_chars)` over
+         `minhash_band_candidates`: duplicate clusters keep the longest
+         member, not the lowest id.
+      4. `dataset.temperature_mixture_sample(alpha, keep_frac)` by source:
+         the final corpus mix flattened toward p^alpha.
+
+    Returns ``(doc_id, source, ppl_bucket, rate)``.  Each stage runs over
+    the previous stage's (strictly smaller) survivor set — the expensive
+    shingle join sees only gated, tiered docs."""
+    gated = docs.join(
+        TS.gopher_rules(docs, min_words=min_words)
+        .filter(F.col("keep") == 1)
+        .select("doc_id"),
+        "doc_id",
+    )
+    tiered = gated.join(
+        TS.ccnet_ppl_buckets(gated)
+        .filter(F.col("ppl_bucket") != "tail")
+        .select("doc_id", "ppl_bucket"),
+        "doc_id",
+    )
+    surv = tiered.join(
+        DD.dedup_survivors_by_score(
+            tiered, DD.minhash_band_candidates(tiered), score="n_chars"
+        )
+        .filter(F.col("survives"))
+        .select("doc_id"),
+        "doc_id",
+    )
+    from esa_pfa_spark.operators.dataset import temperature_mixture_sample
+
+    mixed = temperature_mixture_sample(
+        surv.select("doc_id", "source", "ppl_bucket"),
+        alpha=alpha, keep_frac=keep_frac, group_col="source",
+    )
+    return mixed.select("doc_id", "source", "ppl_bucket", F.round("rate", 6).alias("rate"))
