@@ -4709,6 +4709,60 @@ WHERE CAST(('0x' || substr(md5('0:' || CAST(s.doc_id AS VARCHAR)), 1, 6)) AS INT
 """
 
 
+
+
+def q_cluster_safe_split(spark, sf_dir):
+    """Leak-free split assignment (dataset.cluster_safe_split): the
+    near-dup cluster canonical, not the raw doc id, feeds the md5 split —
+    every duplicate-cluster member lands in the same split, so
+    split_leakage over the same pairs is zero by construction."""
+    from esa_pfa_spark.operators.dataset import cluster_safe_split
+
+    docs = _ld(spark, sf_dir, "documents")
+    return cluster_safe_split(
+        docs, DD.minhash_band_candidates(docs),
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+
+
+SQL_CLUSTER_SAFE_SPLIT = """
+WITH RECURSIVE
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(
+         list_transform(generate_series(1, len(ws)-2),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+       FROM w WHERE len(ws) >= 3),
+sig AS (SELECT doc_id,
+        min(md5('s0:' || shingle)) AS mh0, min(md5('s1:' || shingle)) AS mh1,
+        min(md5('s2:' || shingle)) AS mh2, min(md5('s3:' || shingle)) AS mh3,
+        min(md5('s4:' || shingle)) AS mh4, min(md5('s5:' || shingle)) AS mh5
+        FROM sh GROUP BY doc_id),
+cand AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+         FROM sig a JOIN sig b
+           ON a.doc_id < b.doc_id
+          AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.mh2 = b.mh2)
+            OR (a.mh3 = b.mh3 AND a.mh4 = b.mh4 AND a.mh5 = b.mh5))),
+e AS (SELECT u, v FROM cand UNION SELECT v, u FROM cand),
+nodes AS (SELECT DISTINCT u AS id FROM e),
+reach(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN e ON e.u = r.id WHERE r.lbl < e.v),
+comp AS (SELECT id, min(lbl) AS canonical FROM reach GROUP BY 1),
+m AS (SELECT d.doc_id, coalesce(c.canonical, d.doc_id) AS canonical_doc_id
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+b AS (SELECT doc_id, canonical_doc_id,
+             CAST(('0x' || substr(md5('0:' || CAST(canonical_doc_id AS VARCHAR)), 1, 6))
+                  AS INTEGER) % 10000 AS bk
+      FROM m)
+SELECT doc_id, canonical_doc_id,
+       CASE WHEN bk < 8000 THEN 'train'
+            WHEN bk < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -4863,6 +4917,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ngram_containment_pairs": (q_ngram_containment, SQL_NGRAM_CONTAINMENT),
     "asof_staleness_profile": (q_asof_staleness, SQL_ASOF_STALENESS),
     "curation_v2_survivors": (q_curation_v2, SQL_CURATION_V2),
+    "cluster_safe_split": (q_cluster_safe_split, SQL_CLUSTER_SAFE_SPLIT),
 }
 
 

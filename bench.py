@@ -125,6 +125,7 @@ HEADLINE = [
     "ngram_containment_pairs",
     "asof_staleness_profile",
     "curation_v2_survivors",
+    "cluster_safe_split",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",

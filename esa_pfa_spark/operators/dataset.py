@@ -455,3 +455,40 @@ def curriculum_order(
         )
     key = F.md5(F.concat(F.lit(f"cur{seed}:"), F.col(id_col).cast("string")))
     return staged.withColumn("sort_key", key)
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Leak-free train/val/test assignment: split by the near-dup CLUSTER
+    canonical id, not the raw doc id — the remedy ``split_leakage``
+    audits for.  Every member of a duplicate cluster lands in the SAME
+    split (hash of the canonical), so a test document can never have a
+    near-duplicate in train by construction; ``split_leakage`` over the
+    same pair list returns zero rows (tested).
+
+    Shape: components over the pair list (graph_components, O(log n)
+    star contraction), the |docs-in-pairs|-row cluster map broadcast-left-
+    joined onto the corpus, then the map-only md5 split on the canonical.
+    Returns ``(id_col, canonical_doc_id, split)``."""
+    from esa_pfa_spark.operators.dedup import graph_components
+
+    comp = graph_components(pairs, src=f"{id_col}_a", dst=f"{id_col}_b").select(
+        F.col("id").alias(id_col), F.col("component").alias("canonical_doc_id")
+    )
+    mapped = (
+        docs.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("canonical_doc_id", F.col(id_col)).alias("canonical_doc_id"),
+        )
+    )
+    return hash_split(
+        mapped, weights, id_col="canonical_doc_id", seed=seed, out_col=out_col
+    ).select(id_col, "canonical_doc_id", out_col)

@@ -248,3 +248,36 @@ def test_curriculum_order(spark):
     desc = curriculum_order(df, score="difficulty", n_stages=4, ascending=False)
     dstages = {r["doc_id"]: r["stage"] for r in desc.collect()}
     assert all(dstages[d] == 3 - stages[d] for d in stages)
+
+
+def test_cluster_safe_split_zero_leakage(spark):
+    """Cluster members share a split; split_leakage over the same pair
+    list is empty by construction (while raw hash_split does leak on the
+    same graph)."""
+    import pandas as pd
+
+    from esa_pfa_spark.operators.dataset import (
+        cluster_safe_split,
+        hash_split,
+        split_leakage,
+    )
+
+    docs = spark.createDataFrame(pd.DataFrame(
+        [(i,) for i in range(200)], columns=["doc_id"]
+    ))
+    pairs = spark.createDataFrame(pd.DataFrame(
+        [(i, i + 100) for i in range(100)], columns=["doc_id_a", "doc_id_b"]
+    ))
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    safe = cluster_safe_split(docs, pairs, weights=w)
+    got = {r["doc_id"]: (r["canonical_doc_id"], r["split"]) for r in safe.collect()}
+    assert len(got) == 200
+    for i in range(100):
+        assert got[i][0] == got[i + 100][0] == i
+        assert got[i][1] == got[i + 100][1]
+    assert split_leakage(pairs, safe.select("doc_id", "split")).count() == 0
+
+    # the raw-id split DOES leak on this graph (sanity that the test bites)
+    raw = hash_split(docs, w)
+    assert split_leakage(pairs, raw.select("doc_id", "split")).count() > 0
