@@ -4763,6 +4763,67 @@ FROM b
 """
 
 
+
+
+def q_pit_decay_multi(spark, sf_dir):
+    """Multi-horizon decayed PIT aggregates (pit.decayed_pit_features_multi,
+    taus 1d + 7d): one bucketed band join bounded by the LARGEST horizon
+    serves every decay constant — adding a faster tau costs two decimal
+    aggregates, not another join."""
+    from esa_pfa_spark.operators.pit import decayed_pit_features_multi
+
+    ev = _ld(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("query_ts")
+    )
+    obs = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return decayed_pit_features_multi(
+        probes, obs, taus={"1d": dt.timedelta(days=1), "7d": dt.timedelta(days=7)},
+        on="user_id", probe_ts="query_ts", obs_ts="ts", value="value", cutoff=30.0,
+    )
+
+
+def _decay_term_sql(tau_s: int, what: str) -> str:
+    d = f"(CAST(epoch_us(c.query_ts)-epoch_us(p.ts) AS DOUBLE)/1e6)/{tau_s}.0"
+    body = f"exp(-{d})" + (" * p.value" if what == "sum" else "")
+    return (
+        f"CASE WHEN epoch_us(c.query_ts)-epoch_us(p.ts) < {30 * tau_s} * CAST(1e6 AS BIGINT) "
+        f"THEN CAST(round({body}, 6) AS DECIMAL(18,6)) ELSE CAST(0.0 AS DECIMAL(18,6)) END"
+    )
+
+
+SQL_PIT_DECAY_MULTI = f"""
+WITH c AS (SELECT event_id, user_id, ts AS query_ts FROM events WHERE event_type='click'),
+     p AS (SELECT user_id, ts, value FROM events WHERE event_type='purchase'),
+     j AS (
+       SELECT c.event_id, c.user_id, c.query_ts,
+              {_decay_term_sql(DAY, "sum")} AS ts1,
+              {_decay_term_sql(DAY, "wt")} AS tw1,
+              {_decay_term_sql(7 * DAY, "sum")} AS ts7,
+              {_decay_term_sql(7 * DAY, "wt")} AS tw7
+       FROM c JOIN p ON p.user_id = c.user_id
+        AND epoch_us(c.query_ts)-epoch_us(p.ts) >= 0
+        AND epoch_us(c.query_ts)-epoch_us(p.ts) < {30 * 7 * DAY} * CAST(1e6 AS BIGINT)),
+     a AS (SELECT event_id, user_id, query_ts, count(*) AS n_win,
+                  sum(ts1) AS ds1, sum(tw1) AS dw1,
+                  sum(ts7) AS ds7, sum(tw7) AS dw7
+           FROM j GROUP BY 1, 2, 3)
+SELECT c.user_id, c.event_id, c.query_ts,
+       CAST(coalesce(a.n_win, 0) AS BIGINT) AS n_win,
+       round(CAST(a.ds1 AS DOUBLE), 6) AS decay_sum_1d,
+       round(CAST(a.dw1 AS DOUBLE), 6) AS decay_wt_1d,
+       round(CASE WHEN CAST(a.dw1 AS DOUBLE) > 0
+             THEN CAST(a.ds1 AS DOUBLE) / CAST(a.dw1 AS DOUBLE) END, 6) AS decay_mean_1d,
+       round(CAST(a.ds7 AS DOUBLE), 6) AS decay_sum_7d,
+       round(CAST(a.dw7 AS DOUBLE), 6) AS decay_wt_7d,
+       round(CASE WHEN CAST(a.dw7 AS DOUBLE) > 0
+             THEN CAST(a.ds7 AS DOUBLE) / CAST(a.dw7 AS DOUBLE) END, 6) AS decay_mean_7d
+FROM c LEFT JOIN a USING (event_id, user_id, query_ts)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -4918,6 +4979,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "asof_staleness_profile": (q_asof_staleness, SQL_ASOF_STALENESS),
     "curation_v2_survivors": (q_curation_v2, SQL_CURATION_V2),
     "cluster_safe_split": (q_cluster_safe_split, SQL_CLUSTER_SAFE_SPLIT),
+    "pit_decay_multi_1d_7d": (q_pit_decay_multi, SQL_PIT_DECAY_MULTI),
 }
 
 

@@ -391,3 +391,84 @@ def decayed_pit_features(
             F.when(dw > 0, ds / dw), round_to
         ).alias("decay_mean"),
     )
+
+
+def decayed_pit_features_multi(
+    probes: DataFrame,
+    observations: DataFrame,
+    taus: dict,
+    on: str = "entity_id",
+    probe_ts: str = "query_ts",
+    obs_ts: str = "ts",
+    value: str = "value",
+    cutoff: float = 30.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Multi-horizon decayed PIT aggregates — the feature-store norm of
+    serving SEVERAL decay constants per probe (fast/medium/slow recency,
+    e.g. taus={'1d':…,'7d':…,'30d':…}) — from ONE bucketed band join: the
+    pair set is bounded by the LARGEST horizon (cutoff * max tau) and each
+    tau's terms zero out beyond its own horizon, so adding a faster decay
+    costs two decimal aggregates, not another join.  Output per probe:
+    ``n_win`` (pairs within the largest horizon) and, per named tau,
+    ``decay_sum_<name> / decay_wt_<name> / decay_mean_<name>``.
+    Same exactness contract as ``decayed_pit_features`` (per-term 6dp
+    decimal accumulation, engine-exact)."""
+    from esa_pfa_spark.functions.time import epoch_s, ts_diff_us
+
+    if not taus:
+        raise ValueError("taus must be non-empty")
+    tau_s = {k: _seconds(v) for k, v in taus.items()}
+    if min(tau_s.values()) <= 0:
+        raise ValueError("all taus must be positive")
+    max_h_us = int(round(cutoff * max(tau_s.values()) * 1e6))
+    w = max(int(-(-max_h_us // 1_000_000)), 1)
+
+    keys = [on] if isinstance(on, str) else list(on)
+    probe_cols = [c for c in probes.columns if c not in keys + [probe_ts]]
+
+    bp = F.floor(epoch_s(F.col(probe_ts)) / w)
+    p = probes.select(
+        *keys, probe_ts, *probe_cols,
+        F.explode(F.array(bp, bp - 1)).alias("__bk"),
+    )
+    o = observations.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        F.col(obs_ts).alias("__ots"),
+        F.col(value).cast("double").alias("__ov"),
+        F.floor(epoch_s(F.col(obs_ts)) / w).alias("__obk"),
+    )
+    dt_us = ts_diff_us(probe_ts, "__ots")
+    cond = F.col("__bk") == F.col("__obk")
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"__ok_{k}"))
+    pairs = p.join(o, cond & (dt_us >= 0) & (dt_us < max_h_us))
+
+    aggs = [F.count(F.lit(1)).alias("n_win")]
+    for name, ts_ in tau_s.items():
+        h_us = int(round(cutoff * ts_ * 1e6))
+        in_h = dt_us < h_us
+        decay = F.exp(-(dt_us.cast("double") / F.lit(1e6)) / F.lit(ts_))
+        t_sum = F.when(in_h, F.round(decay * F.col("__ov"), round_to)).otherwise(
+            F.lit(0.0)
+        ).cast("decimal(18,6)")
+        t_wt = F.when(in_h, F.round(decay, round_to)).otherwise(F.lit(0.0)).cast(
+            "decimal(18,6)"
+        )
+        aggs.append(F.sum(t_sum).alias(f"__ds_{name}"))
+        aggs.append(F.sum(t_wt).alias(f"__dw_{name}"))
+    agg = pairs.groupBy(*keys, probe_ts, *probe_cols).agg(*aggs)
+    out = probes.join(agg, keys + [probe_ts] + probe_cols, "left")
+    cols = [
+        *keys, *probe_cols, probe_ts,
+        F.coalesce(F.col("n_win"), F.lit(0)).cast("long").alias("n_win"),
+    ]
+    for name in tau_s:
+        ds = F.col(f"__ds_{name}").cast("double")
+        dw = F.col(f"__dw_{name}").cast("double")
+        cols.append(F.round(ds, round_to).alias(f"decay_sum_{name}"))
+        cols.append(F.round(dw, round_to).alias(f"decay_wt_{name}"))
+        cols.append(
+            F.round(F.when(dw > 0, ds / dw), round_to).alias(f"decay_mean_{name}")
+        )
+    return out.select(*cols)

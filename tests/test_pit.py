@@ -315,3 +315,58 @@ def test_decayed_pit_matches_brute_random(spark):
     }
     want = _decay_brute(probes, obs, tau_s, cutoff * tau_s)
     assert got == want
+
+
+def test_decayed_multi_matches_singles(spark):
+    """Multi-tau output equals per-tau single runs wherever the single run
+    has in-horizon pairs; probes with pairs only beyond a faster tau's
+    horizon get zero sums (not null) and a null mean; no-pair probes stay
+    null.  One join serves every tau."""
+    from esa_pfa_spark.operators.pit import (
+        decayed_pit_features,
+        decayed_pit_features_multi,
+    )
+
+    rng = np.random.default_rng(3)
+    keys = ["a", "b"]
+    obs = [
+        (keys[rng.integers(2)],
+         T0 + dt.timedelta(seconds=int(rng.integers(-30 * 3600, 30 * 3600))),
+         float(rng.integers(1, 50)), i)
+        for i in range(150)
+    ]
+    probes = [
+        (i, keys[rng.integers(2)],
+         T0 + dt.timedelta(seconds=int(rng.integers(-30 * 3600, 30 * 3600))))
+        for i in range(40)
+    ]
+    p, o = _mk(spark, probes, obs)
+    taus = {"fast": dt.timedelta(minutes=30), "slow": dt.timedelta(hours=6)}
+    multi = {
+        r["pid"]: r.asDict()
+        for r in decayed_pit_features_multi(
+            p, o, taus=taus, on="k", probe_ts="query_ts", obs_ts="ts",
+            value="value", cutoff=3.0,
+        ).collect()
+    }
+    assert len(multi) == len(probes)
+    for name, tau in taus.items():
+        single = {
+            r["pid"]: r.asDict()
+            for r in decayed_pit_features(
+                p, o, on="k", probe_ts="query_ts", obs_ts="ts",
+                value="value", tau=tau, cutoff=3.0,
+            ).collect()
+        }
+        for pid in single:
+            s, m = single[pid], multi[pid]
+            if s["n_win"] > 0:
+                assert m[f"decay_sum_{name}"] == s["decay_sum"], (name, pid)
+                assert m[f"decay_wt_{name}"] == s["decay_wt"]
+                assert m[f"decay_mean_{name}"] == s["decay_mean"]
+            elif m["n_win"] > 0:
+                # pairs exist within the max horizon but not this tau's
+                assert m[f"decay_sum_{name}"] == 0.0
+                assert m[f"decay_mean_{name}"] is None
+            else:
+                assert m[f"decay_sum_{name}"] is None
