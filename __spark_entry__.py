@@ -4824,6 +4824,37 @@ FROM c LEFT JOIN a USING (event_id, user_id, query_ts)
 """
 
 
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Tokenizer-budget curve (tokens.vocab_coverage_curve): corpus
+    coverage of the top-s tokens at s in {100, 1000, 8000} — one corpus
+    scan, vocab-bounded rank, |sizes|-row readoff."""
+    from esa_pfa_spark.operators.tokens import vocab_coverage_curve
+
+    return vocab_coverage_curve(_tokenized_docs(spark, sf_dir), sizes=[100, 1000, 8000])
+
+
+SQL_VOCAB_COVERAGE = f"""
+WITH toks AS (
+  SELECT list_transform(string_split(text, ' '),
+           w -> CAST(('0x' || substr(md5(w), 1, 6)) AS INTEGER) % {32768}) AS tokens
+  FROM documents),
+ex AS (SELECT unnest(tokens) AS t FROM toks),
+freq AS (SELECT t, count(*) AS c FROM ex GROUP BY 1),
+rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, t ASC) AS r FROM freq),
+tot AS (SELECT sum(c) AS n_total FROM rk),
+s AS (SELECT unnest([100, 1000, 8000]) AS vocab_size)
+SELECT CAST(s.vocab_size AS INT) AS vocab_size,
+       CAST(sum(CASE WHEN rk.r <= s.vocab_size THEN rk.c ELSE 0 END) AS BIGINT) AS n_covered,
+       CAST(max(tot.n_total) AS BIGINT) AS n_total,
+       round(sum(CASE WHEN rk.r <= s.vocab_size THEN rk.c ELSE 0 END) * 1.0
+             / max(tot.n_total), 6) AS coverage
+FROM s CROSS JOIN rk CROSS JOIN tot
+GROUP BY s.vocab_size
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -4980,6 +5011,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "curation_v2_survivors": (q_curation_v2, SQL_CURATION_V2),
     "cluster_safe_split": (q_cluster_safe_split, SQL_CLUSTER_SAFE_SPLIT),
     "pit_decay_multi_1d_7d": (q_pit_decay_multi, SQL_PIT_DECAY_MULTI),
+    "vocab_coverage_curve": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
 }
 
 

@@ -1373,3 +1373,54 @@ def token_loss_mask(
         "mask",
         F.md5(F.array_join(F.transform("mask", lambda x: x.cast("string")), "")).alias("mask_fp"),
     )
+
+
+def vocab_coverage_curve(
+    df: DataFrame,
+    sizes: list[int] = (100, 1000, 8000, 32768),
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Tokenizer-budget planning: corpus coverage of the top-``s`` most
+    frequent tokens for each candidate vocab size ``s`` — the curve that
+    decides whether 32k or 50k vocab is worth the embedding-table memory
+    (coverage(s) = share of all token OCCURRENCES whose token ranks in the
+    top s by frequency; ties broken by token id so the rank is total).
+    Returns one row per size: ``(vocab_size, n_covered, n_total,
+    coverage)``.
+
+    Scale shape: ONE explode + frequency aggregation (map-side combine,
+    vocab-bounded result), a rank over the vocab-sized table (windowed,
+    but the partition is the VOCAB, not the corpus — bounded by
+    construction), and a |sizes|-row cross-join readoff via conditional
+    sums.  The corpus is scanned once."""
+    from pyspark.sql import Window as W
+
+    sizes = sorted(set(int(s) for s in sizes))
+    if not sizes or sizes[0] <= 0:
+        raise ValueError("sizes must be positive")
+    freq = (
+        df.select(F.explode(F.col(tokens_col)).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = freq.withColumn(
+        "__rk",
+        F.row_number().over(W.orderBy(F.col("c").desc(), F.col("t").asc())),
+    )
+    aggs = [F.sum("c").alias("n_total")]
+    for s in sizes:
+        aggs.append(
+            F.sum(F.when(F.col("__rk") <= s, F.col("c")).otherwise(F.lit(0)))
+            .alias(f"__cov_{s}")
+        )
+    row = ranked.agg(*aggs)
+    out = None
+    for s in sizes:
+        part = row.select(
+            F.lit(s).cast("int").alias("vocab_size"),
+            F.col(f"__cov_{s}").cast("long").alias("n_covered"),
+            F.col("n_total").cast("long").alias("n_total"),
+            F.round(F.col(f"__cov_{s}") * 1.0 / F.col("n_total"), 6).alias("coverage"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -333,3 +333,28 @@ def test_tfidf_plan_broadcasts_docfreq(spark):
     # the scored per-(doc,token) rows must not shuffle into a merge join
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_vocab_coverage_curve(spark):
+    """Hand corpus: coverage is monotone in vocab size, hits 1.0 once the
+    size covers the distinct vocab, and matches a direct computation with
+    the freq-desc/token-asc tie order."""
+    import pandas as pd
+    from collections import Counter
+
+    from esa_pfa_spark.operators.tokens import vocab_coverage_curve
+
+    rows = [(0, [1, 1, 1, 2, 2, 3]), (1, [1, 2, 4]), (2, [5])]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "tokens"]))
+    got = {r["vocab_size"]: r.asDict()
+           for r in vocab_coverage_curve(df, sizes=[1, 2, 5]).collect()}
+
+    cnt = Counter(t for _, ts in rows for t in ts)
+    order = sorted(cnt, key=lambda t: (-cnt[t], t))
+    total = sum(cnt.values())
+    for s in (1, 2, 5):
+        covered = sum(cnt[t] for t in order[:s])
+        g = got[s]
+        assert g["n_total"] == total and g["n_covered"] == covered
+        assert abs(g["coverage"] - round(covered / total, 6)) < 1e-9
+    assert got[1]["coverage"] < got[2]["coverage"] < got[5]["coverage"] == 1.0
