@@ -4855,6 +4855,43 @@ GROUP BY s.vocab_size
 """
 
 
+
+
+def q_span_corruption(spark, sf_dir):
+    """T5 span-corruption masks (tokens.span_corruption_mask): start rate
+    5% with span lengths 1..5 (mean 3 -> ~15% corruption, the T5 recipe);
+    membership is a pure function of (seed, doc, position) — reproducible
+    pretraining-data generation.  Map-only nested higher-order lambdas."""
+    from esa_pfa_spark.operators.tokens import span_corruption_mask
+
+    return span_corruption_mask(_tokenized_docs(spark, sf_dir)).drop("mask")
+
+
+SQL_SPAN_CORRUPTION = f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents),
+base AS (
+  SELECT doc_id, n_tok,
+         list_transform(range(n_tok), p ->
+           CASE WHEN len(list_filter(range(greatest(p - 4, 0), p + 1), q ->
+                  CAST(('0x' || substr(md5('spanstart0:' || CAST(doc_id AS VARCHAR) || ':' || CAST(q AS VARCHAR)), 1, 6)) AS INTEGER) % 1000 < 50
+                  AND p < q + 1 + CAST(('0x' || substr(md5('spanlen0:' || CAST(doc_id AS VARCHAR) || ':' || CAST(q AS VARCHAR)), 1, 6)) AS INTEGER) % 5
+                )) > 0 THEN 1 ELSE 0 END) AS mask,
+         len(list_filter(range(n_tok), p ->
+           CAST(('0x' || substr(md5('spanstart0:' || CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)), 1, 6)) AS INTEGER) % 1000 < 50
+         )) AS n_spans
+  FROM toks WHERE n_tok > 0)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(n_spans AS BIGINT) AS n_spans,
+       CAST(list_sum(mask) AS BIGINT) AS n_masked,
+       md5(list_aggregate(list_transform(mask, x -> CAST(x AS VARCHAR)), 'string_agg', '')) AS mask_fp
+FROM base
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -5012,6 +5049,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "cluster_safe_split": (q_cluster_safe_split, SQL_CLUSTER_SAFE_SPLIT),
     "pit_decay_multi_1d_7d": (q_pit_decay_multi, SQL_PIT_DECAY_MULTI),
     "vocab_coverage_curve": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
+    "span_corruption_masks": (q_span_corruption, SQL_SPAN_CORRUPTION),
 }
 
 

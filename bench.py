@@ -128,6 +128,7 @@ HEADLINE = [
     "cluster_safe_split",
     "pit_decay_multi_1d_7d",
     "vocab_coverage_curve",
+    "span_corruption_masks",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",

@@ -1424,3 +1424,82 @@ def vocab_coverage_curve(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def span_corruption_mask(
+    df: DataFrame,
+    start_rate: float = 0.05,
+    max_span: int = 5,
+    seed: int = 0,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """T5-style span-corruption masks (Raffel et al. 2020 §3.1.4),
+    deterministic and engine-portable: position ``p`` of a document STARTS
+    a corruption span iff ``md5(seed:doc:p) % 1000 < start_rate*1000``;
+    the span's length is ``1 + md5len(seed:doc:p) % max_span`` (mean
+    (max_span+1)/2, so expected corruption ~= start_rate * mean_len —
+    0.15 at the defaults, the T5 recipe).  Mask: 1 = corrupted (predict
+    this token), 0 = keep.  Overlapping spans union naturally.
+
+    Membership is a pure function of (seed, doc, position) — the same doc
+    gets the same corruption on any engine, run, or partitioning, which
+    is what makes distributed pretraining-data generation reproducible.
+
+    Plan: map-only nested higher-order functions; for each position the
+    covering-start check looks back at most ``max_span - 1`` positions
+    (bounded O(max_span * n_tok) per doc, no span materialization).
+    Output: ``(id, n_tok, n_spans, n_masked, mask, mask_fp)``."""
+    if not 0 < start_rate < 1:
+        raise ValueError("start_rate must be in (0, 1)")
+    thr = int(round(start_rate * 1000))
+
+    def h(prefix, p):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{prefix}{seed}:"),
+                            F.col(id_col).cast("string"),
+                            F.lit(":"),
+                            p.cast("string"),
+                        )
+                    ),
+                    1, 6,
+                ),
+                16, 10,
+            ).cast("int")
+        )
+
+    def is_start(p):
+        return h("spanstart", p) % 1000 < thr
+
+    def span_len(p):
+        return 1 + h("spanlen", p) % max_span
+
+    n = F.size(F.col(tokens_col))
+    pos = F.sequence(F.lit(0), n - 1)
+
+    def covered(p):
+        lookback = F.sequence(F.greatest(p - (max_span - 1), F.lit(0)), p)
+        return F.exists(lookback, lambda q: is_start(q) & (p < q + span_len(q)))
+
+    mask = F.transform(pos, lambda p: F.when(covered(p), 1).otherwise(0))
+    base = df.filter(n > 0).select(
+        id_col,
+        n.cast("long").alias("n_tok"),
+        F.size(F.filter(pos, is_start)).cast("long").alias("n_spans"),
+        mask.alias("mask"),
+    )
+    n_masked = F.aggregate("mask", F.lit(0), lambda a, x: a + x)
+    return base.select(
+        id_col,
+        "n_tok",
+        "n_spans",
+        n_masked.cast("long").alias("n_masked"),
+        "mask",
+        F.md5(
+            F.array_join(F.transform("mask", lambda x: x.cast("string")), "")
+        ).alias("mask_fp"),
+    )

@@ -358,3 +358,43 @@ def test_vocab_coverage_curve(spark):
         assert g["n_total"] == total and g["n_covered"] == covered
         assert abs(g["coverage"] - round(covered / total, 6)) < 1e-9
     assert got[1]["coverage"] < got[2]["coverage"] < got[5]["coverage"] == 1.0
+
+
+def test_span_corruption_mask(spark):
+    """Python mirror of the hash geometry: starts, lengths, overlap union
+    and counts all match; corruption lands near start_rate * mean_len;
+    same doc+seed reproduces, different seed differs."""
+    import hashlib
+
+    import pandas as pd
+
+    from esa_pfa_spark.operators.tokens import span_corruption_mask
+
+    def h(prefix, seed, doc, p):
+        return int(hashlib.md5(f"{prefix}{seed}:{doc}:{p}".encode()).hexdigest()[:6], 16)
+
+    rows = [(d, list(range(200))) for d in range(5)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "tokens"]))
+    out = {r["doc_id"]: r.asDict()
+           for r in span_corruption_mask(df, start_rate=0.05, max_span=5).collect()}
+    total = masked = 0
+    for d, toks in rows:
+        n = len(toks)
+        starts = [p for p in range(n) if h("spanstart", 0, d, p) % 1000 < 50]
+        lens = {p: 1 + h("spanlen", 0, d, p) % 5 for p in starts}
+        want_mask = [
+            1 if any(q <= p < q + lens[q] for q in starts) else 0 for p in range(n)
+        ]
+        g = out[d]
+        assert list(g["mask"]) == want_mask, d
+        assert g["n_spans"] == len(starts) and g["n_masked"] == sum(want_mask)
+        total += n
+        masked += sum(want_mask)
+    assert 0.05 < masked / total < 0.30  # ~ start_rate * mean_len = 0.15
+
+    again = {r["doc_id"]: list(r["mask"])
+             for r in span_corruption_mask(df, start_rate=0.05, max_span=5).collect()}
+    assert all(again[d] == list(out[d]["mask"]) for d, _ in rows)
+    other = {r["doc_id"]: list(r["mask"])
+             for r in span_corruption_mask(df, start_rate=0.05, max_span=5, seed=9).collect()}
+    assert any(other[d] != list(out[d]["mask"]) for d, _ in rows)
