@@ -4900,6 +4900,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # Order matters: the driver correctness gate samples the FIRST 50 entries.
     # Round 4 leads with the two r1 driver-FAILs (fixed r2, oracle-green since,
     # never driver-reconfirmed) then the queries never driver-sampled in r1-r3.
+    # ROUND-5 ROTATION NOTE: the r4 operator wave (pit_decay_features_1d
+    # through span_corruption_masks, appended at the END of this dict) plus
+    # the never-reached middle block (decontaminate_bloom_8g..nonreuse_pairs_
+    # synth, positions 50-68) have no driver row yet — promote them into the
+    # first 50 next round; everything sampled in r1-r4 stays covered by
+    # tests/test_entry_oracle.py locally.
     "grid_adjacency_counts": (q_grid_adjacency, SQL_GRID_ADJACENCY),
     "grid_connectivity": (q_grid_connectivity, SQL_GRID_CONNECTIVITY),
     "zscore_by_user": (q_zscore_by_user, SQL_ZSCORE_BY_USER),
