@@ -4892,6 +4892,37 @@ FROM base
 """
 
 
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (similarity.hard_negatives_topk): for each of
+    the first 10 vectors, the 2 most cosine-similar vectors with a
+    DIFFERENT label — the contrastive-training near-misses; probe batch
+    broadcast, per-probe partitioned rank (no global window)."""
+    emb = _ld(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("q"),
+        F.col("label").alias("probe_label"),
+    )
+    return SIM.hard_negatives_topk(emb, probes, k=2)
+
+
+SQL_HARD_NEGATIVES = """
+WITH p AS (SELECT vec_id AS probe_id, embedding AS qv, label AS probe_label
+           FROM embeddings WHERE vec_id < 10),
+s AS (SELECT p.probe_id, e.vec_id,
+             list_dot_product(e.embedding::DOUBLE[], p.qv::DOUBLE[])
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(p.qv::DOUBLE[], p.qv::DOUBLE[]))) AS cos
+      FROM embeddings e, p WHERE e.label != p.probe_label)
+SELECT probe_id,
+       CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS INT) AS rank,
+       vec_id
+FROM s QUALIFY rank <= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -5056,6 +5087,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pit_decay_multi_1d_7d": (q_pit_decay_multi, SQL_PIT_DECAY_MULTI),
     "vocab_coverage_curve": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "span_corruption_masks": (q_span_corruption, SQL_SPAN_CORRUPTION),
+    "hard_negatives_top2": (q_hard_negatives, SQL_HARD_NEGATIVES),
 }
 
 

@@ -129,6 +129,7 @@ HEADLINE = [
     "pit_decay_multi_1d_7d",
     "vocab_coverage_curve",
     "span_corruption_masks",
+    "hard_negatives_top2",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",

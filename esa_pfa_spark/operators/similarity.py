@@ -495,3 +495,47 @@ def semantic_dedup(
         .filter(F.col("cos") >= threshold)
     )
     return dedup_survivors(emb.select(id_col), pairs, id_col=id_col)
+
+
+def hard_negatives_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    probe_id: str = "probe_id",
+) -> DataFrame:
+    """Hard-negative mining for metric learning / contrastive training:
+    for each probe vector, the ``k`` most cosine-similar corpus vectors
+    whose ``label_col`` DIFFERS from the probe's — the near-miss examples
+    that carry the training signal (random negatives are trivially easy;
+    the hardest non-matching neighbors define the decision boundary).
+    Probes: ``(probe_id, q array, probe_label)``.  Returns
+    ``(probe_id, rank, neg id)`` with rank 1..k per probe.
+
+    Shape: the probe batch is broadcast (bounded, like
+    ``ann_topk_lsh_batch``'s probe side); scoring is map-only JVM fold;
+    per-probe ranking partitions by ``probe_id`` — the shuffle carries the
+    scored stream partitioned across probes, never through one task.  At
+    corpus scale, prune candidates first with the IVF/LSH machinery
+    (``ivf_assign`` / LSH buckets as ``block_col``) exactly as the ANN
+    queries do — this exact form is the correctness baseline the pruned
+    form is measured against."""
+    p = probes.select(
+        F.col(probe_id), F.col("q"), F.col("probe_label"),
+    )
+    j = embeddings.select(
+        F.col(id_col), F.col(vec_col), F.col(label_col)
+    ).crossJoin(F.broadcast(p)).filter(F.col(label_col) != F.col("probe_label"))
+    scored = j.select(
+        probe_id,
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("q")).alias("cos"),
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(probe_id, "rank", id_col)
+    )

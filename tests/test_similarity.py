@@ -250,3 +250,28 @@ def test_lsh_multiprobe_radius1_superset_and_recall(spark):
         data, probe, k=10, n_planes=8, seed=7, dim=64, hamming_radius=1).collect()}
     assert len(r1 & exact) >= len(r0 & exact), (r0, r1)
     assert len(r1) == 10
+
+
+def test_hard_negatives_topk(spark):
+    """Hand vectors: the nearest same-label vector is NEVER returned; the
+    returned negatives are the closest different-label ones in order."""
+    import pandas as pd
+
+    from esa_pfa_spark.operators.similarity import hard_negatives_topk
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.999, 0.04], 0),   # nearest to 0 but SAME label -> excluded
+        (2, [0.95, 0.3], 1),     # closest different-label
+        (3, [0.7, 0.7], 1),      # second
+        (4, [-1.0, 0.0], 1),     # opposite
+    ]
+    emb = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]))
+    probes = emb.filter(emb.vec_id == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("q"),
+        F.col("label").alias("probe_label"),
+    )
+    got = [(r["rank"], r["vec_id"])
+           for r in hard_negatives_topk(emb, probes, k=2).orderBy("rank").collect()]
+    assert got == [(1, 2), (2, 3)]
