@@ -4923,6 +4923,44 @@ FROM s QUALIFY rank <= 2
 """
 
 
+
+
+def q_bigram_pmi(spark, sf_dir):
+    """Collocation mining (tokens.bigram_pmi_topk): top-30 adjacent token
+    pairs by PMI with a min-count floor — the phrase-detection pass;
+    vocab-bounded unigram broadcasts, TakeOrdered top-k."""
+    from esa_pfa_spark.operators.tokens import bigram_pmi_topk
+
+    return bigram_pmi_topk(_tokenized_docs(spark, sf_dir), k=30, min_count=5)
+
+
+SQL_BIGRAM_PMI = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+           w -> CAST(('0x' || substr(md5(w), 1, 6)) AS INTEGER) % {32768}) AS tokens
+  FROM documents),
+bg AS (SELECT unnest(list_zip(tokens[1:-2], tokens[2:-1])) AS p FROM toks
+       WHERE len(tokens) >= 2),
+big AS (SELECT p[1] AS tok_a, p[2] AS tok_b, count(*) AS c_ab
+        FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+uni AS (SELECT unnest(tokens) AS t FROM toks),
+uc AS (SELECT t, count(*) AS c FROM uni GROUP BY 1),
+nu AS (SELECT count(*) AS n_uni FROM uni),
+nb AS (SELECT sum(greatest(len(tokens) - 1, 0)) AS n_big FROM toks)
+SELECT big.tok_a, big.tok_b, CAST(big.c_ab AS BIGINT) AS c_ab,
+       round(ln((CAST(big.c_ab AS DOUBLE) / nb.n_big)
+                / ((CAST(ua.c AS DOUBLE) / nu.n_uni)
+                   * (CAST(ub.c AS DOUBLE) / nu.n_uni))), 6) AS pmi
+FROM big
+JOIN uc ua ON ua.t = big.tok_a
+JOIN uc ub ON ub.t = big.tok_b
+CROSS JOIN nu CROSS JOIN nb
+ORDER BY pmi DESC, big.tok_a ASC, big.tok_b ASC
+LIMIT 30
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -5088,6 +5126,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "vocab_coverage_curve": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "span_corruption_masks": (q_span_corruption, SQL_SPAN_CORRUPTION),
     "hard_negatives_top2": (q_hard_negatives, SQL_HARD_NEGATIVES),
+    "bigram_pmi_top30": (q_bigram_pmi, SQL_BIGRAM_PMI),
 }
 
 

@@ -130,6 +130,7 @@ HEADLINE = [
     "vocab_coverage_curve",
     "span_corruption_masks",
     "hard_negatives_top2",
+    "bigram_pmi_top30",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",

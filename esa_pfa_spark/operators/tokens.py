@@ -1503,3 +1503,73 @@ def span_corruption_mask(
             F.array_join(F.transform("mask", lambda x: x.cast("string")), "")
         ).alias("mask_fp"),
     )
+
+
+def bigram_pmi_topk(
+    df: DataFrame,
+    k: int = 30,
+    min_count: int = 5,
+    tokens_col: str = "tokens",
+    round_to: int = 6,
+) -> DataFrame:
+    """Collocation mining: top-``k`` adjacent token pairs by pointwise
+    mutual information ``PMI(a,b) = ln( p(ab) / (p(a)p(b)) )`` (Church &
+    Hanks 1990) — the phrase-detection pass that decides which bigrams
+    deserve a merged vocab entry (word2phrase / BPE-adjacent), with a
+    ``min_count`` floor because PMI diverges for rare accidental pairs.
+
+    Returns ``(tok_a, tok_b, c_ab, pmi)``, ties broken by (tok_a, tok_b).
+
+    Shape: one bigram explode -> pair counts (map-side combine);
+    unigram counts are vocab-bounded and broadcast back onto the pair
+    table twice; the two corpus totals ride 1-row broadcasts; top-k is
+    TakeOrderedAndProject.  PMI evaluates as
+    ``ln((c_ab/N_big) / ((c_a/N_uni)*(c_b/N_uni)))`` — the same float
+    expression shape in the SQL oracle, rounded once."""
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    big = (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    uni = (
+        df.select(F.explode(toks).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    n_big = (
+        df.select(F.greatest(n - 1, F.lit(0)).alias("nb"))
+        .agg(F.sum("nb").alias("n_big"))
+    )
+    ua = uni.select(F.col("t").alias("tok_a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("t").alias("tok_b"), F.col("c").alias("c_b"))
+    j = (
+        big.join(F.broadcast(ua), "tok_a")
+        .join(F.broadcast(ub), "tok_b")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+    )
+    pmi = F.log(
+        (F.col("c_ab").cast("double") / F.col("n_big"))
+        / (
+            (F.col("c_a").cast("double") / F.col("n_uni"))
+            * (F.col("c_b").cast("double") / F.col("n_uni"))
+        )
+    )
+    return (
+        j.select(
+            "tok_a", "tok_b", F.col("c_ab").cast("long").alias("c_ab"),
+            F.round(pmi, round_to).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("tok_a").asc(), F.col("tok_b").asc())
+        .limit(k)
+    )

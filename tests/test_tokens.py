@@ -398,3 +398,33 @@ def test_span_corruption_mask(spark):
     other = {r["doc_id"]: list(r["mask"])
              for r in span_corruption_mask(df, start_rate=0.05, max_span=5, seed=9).collect()}
     assert any(other[d] != list(out[d]["mask"]) for d, _ in rows)
+
+
+def test_bigram_pmi_topk(spark):
+    """Hand corpus with one true collocation: the inseparable pair tops
+    the ranking; PMI matches the closed form; min_count floors rare
+    accidental pairs out."""
+    import math
+
+    import pandas as pd
+
+    from esa_pfa_spark.operators.tokens import bigram_pmi_topk
+
+    # token 1 and 2 ALWAYS adjacent; 5/6 are frequent but independent
+    docs = []
+    for i in range(10):
+        docs.append((i, [1, 2, 5, 6, 5, 6]))
+        docs.append((100 + i, [6, 5, 6, 5, 1, 2]))
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "tokens"]))
+    out = bigram_pmi_topk(df, k=5, min_count=3).collect()
+    top = out[0]
+    assert (top["tok_a"], top["tok_b"]) == (1, 2)
+
+    n_uni = 6 * 20
+    n_big = 5 * 20
+    c_ab, c_a, c_b = 20, 20, 20
+    want = round(math.log((c_ab / n_big) / ((c_a / n_uni) * (c_b / n_uni))), 6)
+    assert abs(top["pmi"] - want) < 2e-6
+    assert top["c_ab"] == 20
+    # every returned pair clears the floor
+    assert all(r["c_ab"] >= 3 for r in out)
