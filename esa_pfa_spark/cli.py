@@ -172,13 +172,22 @@ def cmd_curate(args) -> None:
 
     spark = get_spark(app_name="esa_pfa_curate")
     docs = spark.read.parquet(args.input)
-    eval_docs = spark.read.parquet(args.eval) if args.eval else None
-    surv = curate_documents(
-        docs,
-        min_words=args.min_words,
-        jaccard_threshold=args.jaccard,
-        eval_docs=eval_docs,
-    )
+    if args.recipe == "v2":
+        # Gopher gates -> CCNet tiers -> best-copy dedup -> temperature mix
+        from esa_pfa_spark.plans.curation import curate_documents_v2
+
+        surv = curate_documents_v2(
+            docs, min_words=args.min_words,
+            keep_frac=args.keep_frac, alpha=args.alpha,
+        )
+    else:
+        eval_docs = spark.read.parquet(args.eval) if args.eval else None
+        surv = curate_documents(
+            docs,
+            min_words=args.min_words,
+            jaccard_threshold=args.jaccard,
+            eval_docs=eval_docs,
+        )
     surv.write.mode("overwrite").parquet(args.out)
     from pyspark.sql import functions as F
 
@@ -243,6 +252,11 @@ def main(argv=None) -> None:
     p.add_argument("--eval", default=None, help="held-out eval corpus parquet for decontamination")
     p.add_argument("--min-words", type=int, default=5)
     p.add_argument("--jaccard", type=float, default=0.2)
+    p.add_argument("--recipe", choices=["v1", "v2"], default="v1",
+                   help="v1: quality/exact-dedup/near-dup(/decontam); "
+                        "v2: Gopher gates -> CCNet tiers -> best-copy dedup -> temperature mix")
+    p.add_argument("--keep-frac", type=float, default=0.6, help="v2 mixture budget")
+    p.add_argument("--alpha", type=float, default=0.5, help="v2 temperature exponent")
     p.set_defaults(fn=cmd_curate)
 
     p = sub.add_parser("dataset", help="split + shuffle a documents/tokens table for training export")

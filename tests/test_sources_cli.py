@@ -161,3 +161,22 @@ def test_cli_curate_end_to_end(spark, tmp_path, capsys):
     kept = {r.doc_id for r in spark.read.parquet(str(out)).collect()}
     assert kept == {0, 3}
     assert "s0: 2/4 survived" in capsys.readouterr().out
+
+
+def test_cli_curate_v2(spark, tmp_path):
+    """curate --recipe v2 runs the composed modern chain end-to-end and
+    writes survivors matching a direct curate_documents_v2 call."""
+    from esa_pfa_spark import cli
+    from esa_pfa_spark.plans.curation import curate_documents_v2
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "curated")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.parquet(src)
+    cli.main(["curate", "--input", src, "--out", out, "--recipe", "v2",
+              "--min-words", "20", "--keep-frac", "0.6", "--alpha", "0.5"])
+    got = spark.read.parquet(out)
+    want = curate_documents_v2(docs, min_words=20, keep_frac=0.6, alpha=0.5)
+    assert sorted(r["doc_id"] for r in got.collect()) == \
+        sorted(r["doc_id"] for r in want.collect())
+    assert set(got.columns) >= {"doc_id", "source", "ppl_bucket", "rate"}
