@@ -4961,6 +4961,42 @@ LIMIT 30
 """
 
 
+
+
+def q_epoch_allocation(spark, sf_dir):
+    """Data-constrained epoch allocation (dataset.epoch_allocation):
+    per-source repeats under a 50k-token budget, alpha=0.5 flattened mix,
+    4-epoch repeat cap — the repeats-per-source plan of the
+    data-constrained scaling regime; one tiny per-source aggregate."""
+    from esa_pfa_spark.operators.dataset import epoch_allocation
+
+    toks = _tokenized_docs(spark, sf_dir).select("source", "n_tok")
+    return epoch_allocation(
+        toks, budget_tokens=50_000, alpha=0.5, max_repeats=4.0
+    )
+
+
+SQL_EPOCH_ALLOCATION = """
+WITH c AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+n AS (SELECT sum(n_tokens) AS n FROM c),
+z AS (SELECT CAST(sum(CAST(round(pow(CAST(c.n_tokens AS DOUBLE) / n.n, 0.5), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS z
+      FROM c CROSS JOIN n),
+r AS (SELECT c.source, c.n_tokens,
+             round(pow(CAST(c.n_tokens AS DOUBLE) / n.n, 0.5), 6) / z.z AS q,
+             least(4.0,
+                   50000.0 * (round(pow(CAST(c.n_tokens AS DOUBLE) / n.n, 0.5), 6) / z.z)
+                   / c.n_tokens) AS repeats
+      FROM c CROSS JOIN n CROSS JOIN z)
+SELECT source, n_tokens,
+       round(q, 6) AS q_share,
+       round(repeats, 6) AS repeats,
+       CAST(round(repeats * n_tokens, 0) AS BIGINT) AS tokens_contributed
+FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -5127,6 +5163,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "span_corruption_masks": (q_span_corruption, SQL_SPAN_CORRUPTION),
     "hard_negatives_top2": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "bigram_pmi_top30": (q_bigram_pmi, SQL_BIGRAM_PMI),
+    "epoch_allocation_50k": (q_epoch_allocation, SQL_EPOCH_ALLOCATION),
 }
 
 

@@ -131,6 +131,7 @@ HEADLINE = [
     "span_corruption_masks",
     "hard_negatives_top2",
     "bigram_pmi_top30",
+    "epoch_allocation_50k",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",

@@ -492,3 +492,71 @@ def cluster_safe_split(
     return hash_split(
         mapped, weights, id_col="canonical_doc_id", seed=seed, out_col=out_col
     ).select(id_col, "canonical_doc_id", out_col)
+
+
+def epoch_allocation(
+    df: DataFrame,
+    budget_tokens: int,
+    alpha: float = 1.0,
+    max_repeats: float = 4.0,
+    group_col: str = "source",
+    n_tok_col: str = "n_tok",
+    round_to: int = 6,
+) -> DataFrame:
+    """Data-constrained epoch allocation (the repeats-per-source plan of
+    Muennighoff et al. 2023, "Scaling Data-Constrained Language Models"):
+    given per-source token inventories, a total training token budget and
+    a temperature-flattened target mix ``q_s ∝ p_s^alpha``, each source
+    contributes ``min(max_repeats, budget*q_s / n_s)`` epochs of its data
+    — repeating scarce high-priority sources up to the cap (beyond ~4
+    epochs repetition stops helping, the paper's headline finding) and
+    letting surplus sources go underfull rather than over-repeating.
+
+    Returns one row per source: ``(group, n_tokens, q_share, repeats,
+    tokens_contributed)`` plus the same columns let callers audit budget
+    utilization (sum(tokens_contributed) <= budget by construction when
+    no source caps; capped sources release budget the caller may
+    re-allocate in a second pass).
+
+    Shape: one |sources|-row aggregate; the p^alpha normalizer is a
+    6dp-rounded decimal sum (engine-exact, same rule as
+    ``temperature_mixture_sample``); everything else is arithmetic over
+    the tiny table."""
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    if max_repeats <= 0:
+        raise ValueError("max_repeats must be positive")
+    counts = df.groupBy(group_col).agg(
+        F.sum(F.col(n_tok_col).cast("long")).alias("n_tokens")
+    )
+    tot = counts.agg(F.sum("n_tokens").alias("__n"))
+    counts = counts.crossJoin(F.broadcast(tot))
+    z = counts.agg(
+        F.sum(
+            F.round(
+                F.pow(F.col("n_tokens").cast("double") / F.col("__n"),
+                      F.lit(float(alpha))),
+                6,
+            ).cast("decimal(18,6)")
+        ).cast("double").alias("__z")
+    )
+    q = (
+        F.round(
+            F.pow(F.col("n_tokens").cast("double") / F.col("__n"),
+                  F.lit(float(alpha))),
+            6,
+        )
+        / F.col("__z")
+    )
+    out = counts.crossJoin(F.broadcast(z)).withColumn("__q", q)
+    repeats = F.least(
+        F.lit(float(max_repeats)),
+        F.lit(float(budget_tokens)) * F.col("__q") / F.col("n_tokens"),
+    )
+    return out.select(
+        group_col,
+        "n_tokens",
+        F.round(F.col("__q"), round_to).alias("q_share"),
+        F.round(repeats, round_to).alias("repeats"),
+        F.round(repeats * F.col("n_tokens"), 0).cast("long").alias("tokens_contributed"),
+    )

@@ -281,3 +281,34 @@ def test_cluster_safe_split_zero_leakage(spark):
     # the raw-id split DOES leak on this graph (sanity that the test bites)
     raw = hash_split(docs, w)
     assert split_leakage(pairs, raw.select("doc_id", "split")).count() > 0
+
+
+def test_epoch_allocation(spark):
+    """Scarce high-priority source hits the repeat cap; abundant source
+    stays under one epoch; alpha=1 with budget == corpus gives ~1 epoch
+    everywhere; contributed tokens never exceed repeats * inventory."""
+    import pandas as pd
+
+    from esa_pfa_spark.operators.dataset import epoch_allocation
+
+    rows = [("big", 1000)] * 90 + [("small", 1000)] * 10
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["source", "n_tok"]))
+
+    out = {r["source"]: r.asDict()
+           for r in epoch_allocation(df, budget_tokens=100_000, alpha=0.5,
+                                     max_repeats=4.0).collect()}
+    # q_small = sqrt(.1)/(sqrt(.9)+sqrt(.1)) ~ .25 -> target 25k over 10k
+    # inventory -> repeats 2.5; big: target 75k / 90k -> ~0.83 epochs
+    assert abs(out["small"]["repeats"] - 2.5) < 0.01
+    assert out["small"]["tokens_contributed"] == int(round(out["small"]["repeats"] * 10_000))
+    assert out["big"]["repeats"] < 1.0
+    # cap binds under a huge budget
+    capped = {r["source"]: r["repeats"]
+              for r in epoch_allocation(df, budget_tokens=10_000_000, alpha=0.5,
+                                        max_repeats=4.0).collect()}
+    assert capped["small"] == 4.0
+    # alpha=1, budget == corpus -> one epoch each
+    flat = {r["source"]: r["repeats"]
+            for r in epoch_allocation(df, budget_tokens=100_000, alpha=1.0,
+                                      max_repeats=4.0).collect()}
+    assert abs(flat["big"] - 1.0) < 1e-4 and abs(flat["small"] - 1.0) < 1e-4
