@@ -4997,6 +4997,50 @@ FROM r
 """
 
 
+
+
+def q_bigram_logprob(spark, sf_dir):
+    """Bigram-LM quality with stupid backoff (textstats.bigram_logprob,
+    Brants et al. 2007): per-doc mean ln p(w|prev) — word order now
+    matters, unlike the unigram proxy; bigram counts equi-join back
+    (never broadcast — the bigram vocab outgrows broadcasts at scale),
+    unigram/total ride broadcasts."""
+    from esa_pfa_spark.operators.textstats import bigram_logprob
+
+    return bigram_logprob(_ld(spark, sf_dir, "documents"))
+
+
+SQL_BIGRAM_LOGPROB = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+uni AS (SELECT unnest(ws) AS t FROM w),
+uc AS (SELECT t, count(*) AS c FROM uni GROUP BY 1),
+nt AS (SELECT count(*) AS n_total FROM uni),
+pr AS (SELECT doc_id, unnest(list_zip(ws[1:-2], ws[2:-1])) AS p FROM w WHERE len(ws) >= 2),
+ex AS (SELECT doc_id, p[1] AS v, p[2] AS wd FROM pr),
+bg AS (SELECT v, wd, count(*) AS c_vw FROM ex GROUP BY 1, 2),
+terms AS (
+  SELECT ex.doc_id,
+         CAST(round(CASE WHEN bg.c_vw IS NOT NULL
+                    THEN ln(CAST(bg.c_vw AS DOUBLE) / cv.c)
+                    ELSE ln(0.4 * CAST(cw.c AS DOUBLE) / nt.n_total) END, 6)
+              AS DECIMAL(18,6)) AS term
+  FROM ex
+  LEFT JOIN bg ON bg.v = ex.v AND bg.wd = ex.wd
+  JOIN uc cv ON cv.t = ex.v
+  JOIN uc cw ON cw.t = ex.wd
+  CROSS JOIN nt),
+pt AS (SELECT doc_id, sum(term) AS s, count(*) AS np FROM terms GROUP BY 1),
+ft AS (SELECT w.doc_id, len(w.ws) AS n_words,
+              CAST(round(ln(CAST(uc.c AS DOUBLE) / nt.n_total), 6) AS DECIMAL(18,6)) AS f
+       FROM w JOIN uc ON uc.t = w.ws[1] CROSS JOIN nt)
+SELECT ft.doc_id,
+       CAST(ft.n_words AS BIGINT) AS n_words,
+       round(CAST(coalesce(pt.s, CAST(0 AS DECIMAL(18,6))) + ft.f AS DOUBLE)
+             / (coalesce(pt.np, 0) + 1), 6) AS avg_logprob
+FROM ft LEFT JOIN pt ON pt.doc_id = ft.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -5164,6 +5208,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "hard_negatives_top2": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "bigram_pmi_top30": (q_bigram_pmi, SQL_BIGRAM_PMI),
     "epoch_allocation_50k": (q_epoch_allocation, SQL_EPOCH_ALLOCATION),
+    "bigram_logprob_quality": (q_bigram_logprob, SQL_BIGRAM_LOGPROB),
 }
 
 

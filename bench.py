@@ -132,6 +132,7 @@ HEADLINE = [
     "hard_negatives_top2",
     "bigram_pmi_top30",
     "epoch_allocation_50k",
+    "bigram_logprob_quality",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",

@@ -486,3 +486,93 @@ def ccnet_ppl_buckets(
         .select("doc_id", group_col, "n_words", "avg_logprob",
                 bucket.alias("ppl_bucket"))
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    backoff: float = 0.4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Bigram-LM quality score with stupid backoff (Brants et al. 2007 —
+    the web-scale LM recipe: no discounting to fit, just
+    ``p(w|v) = c(vw)/c(v)`` when the bigram was seen, else
+    ``0.4 * c(w)/N``): per-doc mean ln-probability under the corpus's own
+    bigram statistics — a strictly sharper quality/typicality proxy than
+    ``unigram_logprob`` (word order now matters: scrambled text scores
+    like unseen bigrams).  The first word scores as its unigram.
+    Returns ``(doc_id, n_words, avg_logprob)``.
+
+    Shape: word pairs built map-side (zip_with over the split — no
+    positional self-join); the bigram count table joins back by EQUI-join
+    on the pair (corpus-sized, hash-partitioned, AQE-splittable — NOT
+    broadcast; at web scale the bigram vocabulary outgrows any broadcast);
+    unigram counts and the corpus total ride vocab-bounded/1-row
+    broadcasts.  Per-term 6dp decimal accumulation (engine-exact)."""
+    words = _words(text_col)
+    n = F.size(words)
+    pairs = F.zip_with(
+        F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("v"), b.alias("w")),
+    )
+    first = F.element_at(words, 1)
+
+    uni = (
+        df.select(F.explode(words).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tot = uni.agg(F.sum("c").alias("n_total"))
+    big = (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.v").alias("v"), F.col("p.w").alias("w"))
+        .groupBy("v", "w").agg(F.count(F.lit(1)).alias("c_vw"))
+    )
+
+    ex = df.select(
+        "doc_id",
+        F.explode(pairs).alias("p"),
+    ).select(
+        "doc_id",
+        F.col("p.v").alias("v"), F.col("p.w").alias("w"),
+    )
+    uv = uni.select(F.col("w").alias("v"), F.col("c").alias("c_v"))
+    uw = uni.select(F.col("w"), F.col("c").alias("c_w"))
+    scored = (
+        ex.join(big, ["v", "w"], "left")
+        .join(F.broadcast(uv), "v")
+        .join(F.broadcast(uw), "w")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    term = F.when(
+        F.col("c_vw").isNotNull(),
+        F.log(F.col("c_vw").cast("double") / F.col("c_v")),
+    ).otherwise(
+        F.log(F.lit(float(backoff)) * F.col("c_w").cast("double") / F.col("n_total"))
+    )
+    pair_terms = scored.groupBy("doc_id").agg(
+        F.sum(F.round(term, round_to).cast("decimal(18,6)")).alias("__s"),
+        F.count(F.lit(1)).alias("__np"),
+    )
+
+    # anchor on the first-word term: it exists for EVERY doc (single-word
+    # docs have no pairs and must not drop out of the output)
+    first_term = (
+        df.select("doc_id", n.alias("__n"), first.alias("w"))
+        .join(F.broadcast(uw), "w")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "doc_id", "__n",
+            F.round(
+                F.log(F.col("c_w").cast("double") / F.col("n_total")), round_to
+            ).cast("decimal(18,6)").alias("__f"),
+        )
+    )
+    out = first_term.join(pair_terms, "doc_id", "left")
+    s_all = F.coalesce(F.col("__s"), F.lit("0").cast("decimal(18,6)")) + F.col("__f")
+    np_all = F.coalesce(F.col("__np"), F.lit(0)) + 1
+    return out.select(
+        "doc_id",
+        F.col("__n").cast("long").alias("n_words"),
+        F.round(s_all.cast("double") / np_all, round_to).alias("avg_logprob"),
+    )

@@ -218,3 +218,48 @@ def test_ccnet_ppl_buckets(spark):
     assert min(heads) > max(tails)
     # source B buckets independently of A
     assert got[100]["ppl_bucket"] == "head" and got[101]["ppl_bucket"] == "tail"
+
+
+def test_bigram_logprob_backoff(spark):
+    """Closed-form mirror on a hand corpus: seen bigrams use c(vw)/c(v),
+    unseen back off to 0.4*c(w)/N, first word is its unigram; scrambled
+    word order scores strictly worse than the canonical order; a
+    single-word doc survives with its unigram score."""
+    import math
+
+    import pandas as pd
+
+    from esa_pfa_spark.operators.textstats import bigram_logprob
+
+    corpus = [
+        (0, "the cat sat"),
+        (1, "the cat sat"),
+        (2, "the cat sat"),
+        (3, "sat cat the"),   # same words, scrambled -> unseen bigrams
+        (4, "cat"),           # single word
+    ]
+    df = spark.createDataFrame(pd.DataFrame(corpus, columns=["doc_id", "text"]))
+    got = {r["doc_id"]: r.asDict() for r in bigram_logprob(df).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+
+    from collections import Counter
+    unic = Counter(w for _, t in corpus for w in t.split(" "))
+    bigc = Counter(
+        (a, b) for _, t in corpus for a, b in zip(t.split(" "), t.split(" ")[1:])
+    )
+    N = sum(unic.values())
+
+    def score(text):
+        ws = text.split(" ")
+        terms = [round(math.log(unic[ws[0]] / N), 6)]
+        for v, w in zip(ws, ws[1:]):
+            if bigc[(v, w)] > 0:
+                terms.append(round(math.log(bigc[(v, w)] / unic[v]), 6))
+            else:
+                terms.append(round(math.log(0.4 * unic[w] / N), 6))
+        return round(sum(terms) / len(terms), 6)
+
+    for d, t in corpus:
+        assert abs(got[d]["avg_logprob"] - score(t)) < 2e-6, d
+        assert got[d]["n_words"] == len(t.split(" "))
+    assert got[3]["avg_logprob"] < got[0]["avg_logprob"]
