@@ -100,3 +100,44 @@ def test_stream_decay_late_row_totals(spark, tmp_path):
     s, w = _closed_form(f1 + f2 + f3, "a", T0 + dt.timedelta(minutes=70), 3600.0)
     assert abs(final.decay_sum - s) < 1e-9
     assert abs(final.decay_wt - w) < 1e-12
+
+
+def test_stream_decay_resumes_from_checkpoint(spark, tmp_path):
+    """Restarting the query on the same checkpoint continues the per-key
+    recurrence from persisted state: rows from a file added AFTER the
+    first run still see the first run's history, and nothing is
+    re-emitted."""
+    src = tmp_path / "in"
+    sink, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    tau = dt.timedelta(hours=2)
+    first = [("a", T0, 10.0), ("a", T0 + dt.timedelta(minutes=30), 6.0)]
+    _write(spark, src, first)
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "k string, ts timestamp, v double"
+        ).parquet(str(src))
+        out = stream_decayed_state(stream, key="k", ts="ts", value="v", tau=tau)
+        q = (
+            out.writeStream.format("parquet").option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    r1 = spark.read.parquet(sink).toPandas()
+    assert len(r1) == 2
+
+    late = [("a", T0 + dt.timedelta(minutes=90), 4.0)]
+    _write(spark, src, late)
+    run_once()
+    r2 = spark.read.parquet(sink).toPandas().sort_values("ts")
+    # no re-emission: 2 rows from run 1 + exactly 1 new row
+    assert len(r2) == 3
+    row = r2.iloc[-1]
+    # ...and the new row's aggregate includes the checkpointed history
+    s, w = _closed_form(first + late, "a", T0 + dt.timedelta(minutes=90), 7200.0)
+    assert row.n_seen == 3
+    assert abs(row.decay_sum - s) < 1e-9
+    assert abs(row.decay_wt - w) < 1e-12
