@@ -227,6 +227,7 @@ def main() -> None:
     ap.add_argument("--skew-asof", action="store_true")
     ap.add_argument("--bpe", action="store_true")
     ap.add_argument("--multimodal", action="store_true")
+    ap.add_argument("--skew-decay", action="store_true")
     ap.add_argument("--flagship-only", action="store_true")
     ap.add_argument("--calibrate", action="store_true",
                     help="pure-CPU parallel-capacity burn: prints effective "
@@ -257,6 +258,10 @@ def main() -> None:
 
     if args.multimodal:
         run_multimodal()
+        return
+
+    if args.skew_decay:
+        run_skew_decay()
         return
 
     from esa_pfa_spark.session import get_spark
@@ -822,6 +827,141 @@ Measured at git SHA `{sha}`.
     }))
     spark.stop()
 
+
+
+
+def run_skew_decay() -> None:
+    """Hot-entity skew in the decayed-PIT band join -> BENCH/SKEW_DECAY.md.
+
+    decayed_pit_features joins probes to observations on (key, horizon
+    bucket); a hot entity dense inside one horizon makes the join OUTPUT
+    quadratic (probes x in-horizon obs) — genuine pair work no AQE skew
+    split can remove.  This measures a corpus where one entity carries
+    ~70% of all observations vs a uniform corpus of the same total size,
+    then the decayed_pit_auto remedy (prefix-sum cogrouped path for the
+    hot key) on the skewed corpus."""
+    import datetime as dtm
+
+    from pyspark.sql import functions as F
+
+    from esa_pfa_spark.operators.pit import (
+        decayed_pit_auto,
+        decayed_pit_features,
+    )
+    from esa_pfa_spark import synth
+    from esa_pfa_spark.session import get_spark
+
+    cores = 16
+    spark = get_spark(master=f"local[{cores}]", app_name="esa_pfa_skew_decay")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_ent, mean_obs = 2000, 20
+    base = F.lit("2024-01-01 00:00:00").cast("timestamp")
+
+    def mk(hot_rows: int, path: str):
+        cold = synth.observations_df(
+            spark, seed=5, n_entities=n_ent, mean_obs=mean_obs, mean_tok=4
+        ).select("entity_id", "ts", F.col("n_tok").cast("double").alias("value"))
+        if hot_rows:
+            # one entity, all rows inside ~25 days (< one 30d horizon bucket)
+            hot = spark.range(hot_rows).select(
+                F.lit("hot_entity").alias("entity_id"),
+                (base + F.make_dt_interval(secs=F.col("id") * 2.0)).alias("ts"),
+                (F.col("id") % 97).cast("double").alias("value"),
+            )
+            cold = cold.unionByName(hot)
+        else:
+            # pad to the same total with extra uniform entities
+            pad = synth.observations_df(
+                spark, seed=6, n_entities=n_ent * 2, mean_obs=mean_obs * 2,
+                mean_tok=4,
+            ).select(
+                F.concat(F.lit("u_"), F.col("entity_id")).alias("entity_id"),
+                "ts", F.col("n_tok").cast("double").alias("value"),
+            )
+            cold = cold.unionByName(pad)
+        cold.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    hot_n = 100_000
+    skewed = mk(hot_n, "/tmp/esa_pfa_skew_decay_hot.parquet")
+    uniform = mk(0, "/tmp/esa_pfa_skew_decay_uni.parquet")
+    n_skew, n_uni = skewed.count(), uniform.count()
+
+    tau = dtm.timedelta(days=1)
+
+    def timed(obs, fn, **extra):
+        probes = obs.select(
+            "entity_id",
+            (F.col("ts") + F.make_dt_interval(mins=F.lit(11))).alias("query_ts"),
+        ).sample(0.02, seed=2).withColumn("probe_id", F.monotonically_increasing_id())
+        out = fn(
+            probes, obs, on="entity_id", probe_ts="query_ts", obs_ts="ts",
+            value="value", tau=tau, cutoff=30.0, **extra,
+        )
+        out.write.format("noop").mode("overwrite").save()  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            out.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        return round(best, 2)
+
+    t_skew = timed(skewed, decayed_pit_features)
+    t_uni = timed(uniform, decayed_pit_features)
+    # the remedy: auto dispatch routes hot_entity through the prefix-sum
+    # cogrouped path (zero pair materialization), cold keys unchanged
+    t_auto = timed(skewed, decayed_pit_auto, hot_rows=50_000)
+
+    sha = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], capture_output=True, text=True,
+        cwd=str(REPO),
+    ).stdout.strip()
+    ratio = round(t_skew / t_uni, 2)
+    speedup = round(t_skew / t_auto, 2)
+    md = f"""# BENCH/SKEW_DECAY — hot-entity skew in the decayed-PIT band join
+
+Skewed input: {n_skew:,} observations; `hot_entity` carries {hot_n:,} of
+them (hot_frac = {hot_n / n_skew:.2f}), ALL inside one 30-day horizon
+bucket — the worst case for the (key, bucket) equi-join.  Uniform
+control: {n_uni:,} observations spread over {n_ent * 3:,} entities.
+Probes = 2% sample of each corpus; tau = 1d, cutoff = 30 (horizon 30d);
+local[{cores}], warm, min-of-2.
+
+| corpus / plan | wall sec |
+|---|---|
+| skewed, band join (`decayed_pit_features`) | {t_skew} |
+| uniform control, band join | {t_uni} |
+| skewed, auto dispatch (`decayed_pit_auto`, prefix-sum hot path) | {t_auto} |
+
+ratio skewed/uniform (band join): **{ratio}** —
+auto-dispatch speedup on the skewed corpus: **{speedup}x**
+
+## Reading
+
+Unlike the as-of hot-key case (one unsplittable window-sort task,
+BENCH/SKEW_ASOF.md), the band join's problem is NOT scheduling: the
+(entity, horizon-bucket) equi-join is a shape AQE's skew split CAN carve
+up, and it does — but the join OUTPUT is still probes x in-horizon
+observations per hot key.  With {hot_n:,} observations dense inside one
+30-day bucket and ~2k probes on the same key, that is ~200M genuine pair
+rows that must exist before the aggregate, which no runtime re-plan can
+remove.  Hence the {ratio}x blow-up vs the uniform control.
+
+The remedy is algorithmic, not adaptive: `decayed_pit_auto` censuses
+per-key counts (or takes a precomputed stats table) and routes Zipf-head
+keys through `decayed_pit_pandas` — per-(key, block) PREFIX SUMS of the
+block-rebased terms `v*exp((ts-block_start)/tau)`, answering each probe
+with two searchsorted lookups: O((n+m) log n) per key, zero pair
+materialization.  Cold keys keep the exact per-term-rounded decimal
+contract; hot-key sums are unrounded float64, agreeing within
+~5e-7 * n_win (parity + null-key tests in tests/test_pit.py).
+
+Measured at git SHA `{sha}`.
+"""
+    (REPO / "BENCH" / "SKEW_DECAY.md").write_text(md)
+    print(md)
+    spark.stop()
 
 
 def run_multimodal() -> None:

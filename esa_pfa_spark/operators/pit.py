@@ -472,3 +472,252 @@ def decayed_pit_features_multi(
             F.round(F.when(dw > 0, ds / dw), round_to).alias(f"decay_mean_{name}")
         )
     return out.select(*cols)
+
+
+def decayed_pit_pandas(
+    probes: DataFrame,
+    observations: DataFrame,
+    on: str = "entity_id",
+    probe_ts: str = "query_ts",
+    obs_ts: str = "ts",
+    value: str = "value",
+    tau=_dt.timedelta(days=7),
+    cutoff: float = 30.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Hot-key decayed PIT aggregates via per-key PREFIX SUMS —
+    O((n_obs + n_probes) log n_obs) per key instead of the band join's
+    O(n_probes x obs-per-horizon) pair materialization.
+
+    Why it exists: ``decayed_pit_features``'s bucketed band join is
+    per-PAIR work.  A hot entity with m observations dense inside one
+    horizon and p probes produces p*m join rows before aggregating — at a
+    Zipf-head key that is quadratic blow-up no AQE skew split can remove
+    (the pairs are genuine work, not scheduling; measured in
+    BENCH/SKEW_DECAY.md).  This path never materializes pairs:
+
+      decay_sum(pt) = exp(-(pt - bL)/tau) * sum_{ots in window, block b}
+                      v * exp((ots - bL)/tau)
+
+    so per (key, horizon-block) a single cumulative of the REBASED terms
+    ``v * exp((ots - block_start)/tau)`` answers every probe with two
+    ``searchsorted`` lookups.  Rebasing per block of length L = cutoff*tau
+    bounds every exponent in [0, cutoff] (no overflow at any timeline
+    span); a probe's half-open support window ``(pt - L, pt]`` intersects
+    at most two blocks, and observations are replicated into (block,
+    block+1) groups so both segments are group-local.  Numerics: the
+    block-(b-1) suffix is total-minus-prefix where the excluded prefix
+    holds only SMALLER rebased terms, so cancellation is bounded by
+    eps * n * (max decayed term) — orders below the published 6dp
+    rounding; the block-b segment is a pure prefix (no subtraction).
+
+    Trade vs the exact band join (documented, tested): terms are
+    accumulated UNROUNDED in float64 and rounded once at the end, whereas
+    the band join rounds every term at 6dp into decimal(18,6) (its
+    order-independent exactness witness).  The two agree within
+    ~5e-7 * n_win per probe.  Corner parity notes: observations with a
+    NULL ``value`` still count toward ``n_win``/``decay_wt`` (as in the
+    band join) but contribute 0.0 (not SQL-NULL) to ``decay_sum``; a
+    probe whose window holds only sub-1e-13 weights gets a tiny positive
+    ``decay_wt`` where per-term rounding would give exactly 0.  Null join
+    keys / null probe timestamps return ``n_win=0`` null aggregates
+    (probes are never dropped); null-key or null-ts observations match
+    nothing — identical to the band join's join-condition semantics.
+
+    Use ``decayed_pit_auto`` to route only Zipf-head keys here and keep
+    the exact decimal contract everywhere else.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if not isinstance(on, str):
+        raise ValueError("decayed_pit_pandas takes a single join key")
+    tau_s = _seconds(tau)
+    if tau_s <= 0:
+        raise ValueError("tau must be positive")
+    if not (0 < cutoff <= 200):
+        # exp(cutoff) must stay far from double overflow AND leave the
+        # suffix-minus-prefix cancellation bound (eps * e^cutoff * n)
+        # below the rounding granularity; beyond that use the band join.
+        raise ValueError("cutoff must be in (0, 200] for the prefix-sum path")
+    horizon_us = int(round(cutoff * tau_s * 1e6))
+    if horizon_us <= 0:
+        raise ValueError("cutoff*tau must be positive")
+    L = horizon_us
+
+    probe_cols = [c for c in probes.columns if c not in (on, probe_ts)]
+
+    p_bad = probes.filter(F.col(on).isNull() | F.col(probe_ts).isNull())
+    p_ok = probes.filter(F.col(on).isNotNull() & F.col(probe_ts).isNotNull())
+    o_ok = observations.filter(F.col(on).isNotNull() & F.col(obs_ts).isNotNull())
+
+    def _blk(col):
+        # exact long block id with floor semantics (um - pmod is the block
+        # start, an exact multiple of L — no double-division boundary flips)
+        um = F.unix_micros(col)
+        return ((um - F.pmod(um, F.lit(L))) / F.lit(L)).cast("long")
+
+    p = p_ok.select(
+        on, *probe_cols, probe_ts,
+        _blk(F.col(probe_ts)).alias("__bk"),
+    )
+    tb = _blk(F.col(obs_ts))
+    o = o_ok.select(
+        F.col(on),
+        F.unix_micros(F.col(obs_ts)).alias("__ots"),
+        F.col(value).cast("double").alias("__ov"),
+        tb.alias("__tb"),
+        F.explode(F.array(tb, tb + 1)).alias("__bk"),
+    )
+
+    out_fields = (
+        [probes.schema[on]]
+        + [probes.schema[c] for c in probe_cols]
+        + [probes.schema[probe_ts]]
+        + [
+            T.StructField("n_win", T.LongType(), False),
+            T.StructField("__ds", T.DoubleType(), True),
+            T.StructField("__dw", T.DoubleType(), True),
+        ]
+    )
+    out_schema = T.StructType(out_fields)
+    out_names = [f.name for f in out_fields]
+
+    def _prefix(cs, i1):
+        # sum over [0, i1) of the array behind cumsum cs
+        if len(cs) == 0:
+            return np.zeros(len(i1), dtype="float64")
+        return np.where(i1 > 0, cs[np.maximum(i1, 1) - 1], 0.0)
+
+    def _suffix(cs, i0):
+        # sum over [i0, len) — total minus an all-smaller-terms prefix
+        if len(cs) == 0:
+            return np.zeros(len(i0), dtype="float64")
+        base = np.where(i0 > 0, cs[np.maximum(i0, 1) - 1], 0.0)
+        return np.where(i0 < len(cs), cs[-1] - base, 0.0)
+
+    def kern(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame(columns=out_names)
+        res = left[[on, *probe_cols, probe_ts]].copy()
+        pt = left[probe_ts].to_numpy(dtype="datetime64[us]").astype("int64")
+        c = int(left["__bk"].iloc[0])
+        if len(right) == 0:
+            res["n_win"] = np.zeros(len(left), dtype="int64")
+            res["__ds"] = np.nan
+            res["__dw"] = np.nan
+            return res
+        right = right.sort_values("__ots", kind="mergesort")
+        ots = right["__ots"].to_numpy(dtype="int64")
+        v = np.nan_to_num(right["__ov"].to_numpy(dtype="float64"), nan=0.0)
+        tblk = right["__tb"].to_numpy(dtype="int64")
+        s = int(np.searchsorted(tblk, c, side="left"))
+        otsA, otsB = ots[:s], ots[s:]
+        ewA = np.exp((otsA - (c - 1) * L) / 1e6 / tau_s)
+        ewB = np.exp((otsB - c * L) / 1e6 / tau_s)
+        csA_w, csA_v = np.cumsum(ewA), np.cumsum(ewA * v[:s])
+        csB_w, csB_v = np.cumsum(ewB), np.cumsum(ewB * v[s:])
+        iA0 = np.searchsorted(otsA, pt - horizon_us, side="right")
+        iB1 = np.searchsorted(otsB, pt, side="right")
+        n = (len(otsA) - iA0) + iB1
+        fA = np.exp(-((pt - (c - 1) * L) / 1e6) / tau_s)
+        fB = np.exp(-((pt - c * L) / 1e6) / tau_s)
+        ds = fA * _suffix(csA_v, iA0) + fB * _prefix(csB_v, iB1)
+        dw = fA * _suffix(csA_w, iA0) + fB * _prefix(csB_w, iB1)
+        res["n_win"] = n
+        res["__ds"] = np.where(n > 0, ds, np.nan)
+        res["__dw"] = np.where(n > 0, dw, np.nan)
+        return res
+
+    core = (
+        p.groupBy(on, "__bk")
+        .cogroup(o.groupBy(on, "__bk"))
+        .applyInPandas(kern, schema=out_schema)
+    )
+    ds = F.col("__ds")
+    dw = F.col("__dw")
+    n_c = F.col("n_win")
+    core_out = core.select(
+        on, *probe_cols, probe_ts,
+        n_c.cast("long").alias("n_win"),
+        F.when(n_c > 0, F.round(ds, round_to)).alias("decay_sum"),
+        F.when(n_c > 0, F.round(dw, round_to)).alias("decay_wt"),
+        F.round(F.when(dw > 0, ds / dw), round_to).alias("decay_mean"),
+    )
+    bad_out = p_bad.select(
+        on, *probe_cols, probe_ts,
+        F.lit(0).cast("long").alias("n_win"),
+        F.lit(None).cast("double").alias("decay_sum"),
+        F.lit(None).cast("double").alias("decay_wt"),
+        F.lit(None).cast("double").alias("decay_mean"),
+    )
+    return core_out.unionByName(bad_out)
+
+
+def decayed_pit_auto(
+    probes: DataFrame,
+    observations: DataFrame,
+    on: str = "entity_id",
+    probe_ts: str = "query_ts",
+    obs_ts: str = "ts",
+    value: str = "value",
+    tau=_dt.timedelta(days=7),
+    cutoff: float = 30.0,
+    round_to: int = 6,
+    hot_rows: int = 1_000_000,
+    key_counts: DataFrame | None = None,
+) -> DataFrame:
+    """Decayed PIT aggregates with AUTOMATIC hot-key dispatch (the decay
+    analog of ``asof_join_auto``): one partial-agg census over
+    ``observations`` (or a precomputed ``key_counts`` table — no census
+    job) finds keys with more than ``hot_rows`` observations; hot keys
+    route through ``decayed_pit_pandas`` (prefix sums, zero pair
+    materialization), everything else through the exact band join
+    ``decayed_pit_features`` (per-term 6dp decimal accumulation, the
+    order-independent oracle contract).  Results union by name.
+
+    The band join's per-task cost is O(probes-per-(key,bucket) x
+    obs-per-(key,bucket)) — genuine pair work, invisible to AQE's skew
+    split because the pairs must exist before the aggregate (measured:
+    BENCH/SKEW_DECAY.md, a 0.7-hot-frac corpus is >100x slower than a
+    uniform control of the same size).  The prefix-sum path removes the
+    quadratic term but gives up per-term rounding: hot-key sums are
+    unrounded float64 accumulations that agree with the exact path within
+    ~5e-7 * n_win.  NULL join keys always ride the cold branch (isin is
+    three-valued; see asof_join_auto) so probes are never dropped.
+
+    ``hot_rows`` default: 1M observations under one key is the point
+    where a dense horizon makes the band join's pair output (probes x
+    obs) dwarf both inputs; tune per probe density.
+    """
+    kw = dict(
+        on=on, probe_ts=probe_ts, obs_ts=obs_ts, value=value,
+        tau=tau, cutoff=cutoff, round_to=round_to,
+    )
+    if key_counts is not None:
+        cnt = [c for c in key_counts.columns if c != on]
+        if len(cnt) != 1:
+            raise ValueError(
+                f"key_counts must have exactly ({on}, <count>) columns, "
+                f"got {key_counts.columns}"
+            )
+        hot_src = key_counts.filter(F.col(cnt[0]) > hot_rows)
+    else:
+        hot_src = (
+            observations.groupBy(on)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > hot_rows)
+        )
+    hot = [r[0] for r in hot_src.select(on).filter(F.col(on).isNotNull()).collect()]
+    if not hot:
+        return decayed_pit_features(probes, observations, **kw)
+    is_cold = F.col(on).isNull() | ~F.col(on).isin(hot)
+    is_hot = F.col(on).isNotNull() & F.col(on).isin(hot)
+    cold_out = decayed_pit_features(
+        probes.filter(is_cold), observations.filter(is_cold), **kw
+    )
+    hot_out = decayed_pit_pandas(
+        probes.filter(is_hot), observations.filter(is_hot), **kw
+    )
+    return cold_out.unionByName(hot_out.select(*cold_out.columns))

@@ -370,3 +370,177 @@ def test_decayed_multi_matches_singles(spark):
                 assert m[f"decay_mean_{name}"] is None
             else:
                 assert m[f"decay_sum_{name}"] is None
+
+
+# ---------------------------------------------------------------------------
+# decayed_pit_pandas (hot-key prefix-sum path) + decayed_pit_auto
+# ---------------------------------------------------------------------------
+
+def _cmp_decay(got, want, tol=5e-5):
+    """Compare two {pid: row-dict} decayed outputs: n_win exact, sum/wt
+    within tol (the pandas path accumulates unrounded float64; the band
+    join rounds per term at 6dp — they agree within ~5e-7*n_win).  The
+    mean is a RATIO, so per-term rounding error amplifies by 1/decay_wt:
+    |d(ds/dw)| <= (|d ds| + |mean|*|d dw|) / dw."""
+    assert set(got) == set(want)
+    for pid in want:
+        g, w = got[pid], want[pid]
+        assert g["n_win"] == w["n_win"], (pid, g, w)
+        for c in ("decay_sum", "decay_wt"):
+            if w[c] is None:
+                assert g[c] is None, (pid, c, g)
+            else:
+                assert g[c] is not None and abs(g[c] - w[c]) < tol, (pid, c, g, w)
+        if w["decay_mean"] is None:
+            assert g["decay_mean"] is None, (pid, g)
+        else:
+            tol_m = tol * (1.0 + abs(w["decay_mean"])) / max(w["decay_wt"], 1e-9)
+            assert g["decay_mean"] is not None
+            assert abs(g["decay_mean"] - w["decay_mean"]) < tol_m, (pid, g, w)
+
+
+def test_decayed_pandas_matches_band_random(spark):
+    """Seeded random corpus spanning many horizon blocks: the prefix-sum
+    cogrouped path agrees with the exact band join everywhere (n_win
+    identical; float sums within the documented tolerance), including
+    probes whose support window straddles a block boundary."""
+    from esa_pfa_spark.operators.pit import (
+        decayed_pit_features,
+        decayed_pit_pandas,
+    )
+
+    rng = np.random.default_rng(11)
+    keys = ["a", "b", "c", "d"]
+    # tau=1h, cutoff=3 -> block L = 3h; timestamps over +-40h span ~27 blocks
+    obs = [
+        (keys[rng.integers(4)],
+         T0 + dt.timedelta(seconds=int(rng.integers(-40 * 3600, 40 * 3600))),
+         round(float(rng.normal(50, 20)), 3), i)
+        for i in range(400)
+    ]
+    probes = [
+        (i, keys[rng.integers(4)],
+         T0 + dt.timedelta(seconds=int(rng.integers(-40 * 3600, 40 * 3600))))
+        for i in range(120)
+    ]
+    # pin some probes exactly AT block-boundary instants (multiples of L
+    # from the epoch) and exactly at obs timestamps (dt=0 in-window edge)
+    probes += [(200, "a", obs[0][1]), (201, "a", obs[1][1])]
+    p, o = _mk(spark, probes, obs)
+    kw = dict(on="k", probe_ts="query_ts", obs_ts="ts", value="value",
+              tau=dt.timedelta(hours=1), cutoff=3.0)
+    want = {r["pid"]: r.asDict()
+            for r in decayed_pit_features(p, o, **kw).collect()}
+    got = {r["pid"]: r.asDict()
+           for r in decayed_pit_pandas(p, o, **kw).collect()}
+    _cmp_decay(got, want)
+
+
+def test_decayed_pandas_boundaries_and_nulls(spark):
+    """Half-open window edges (dt=0 in, dt=horizon out) hold on the
+    prefix-sum path; null-key / null-ts probes come back n_win=0 with null
+    aggregates (never dropped); null-key obs match nothing; null-VALUE obs
+    count toward n_win and decay_wt but add 0 to decay_sum (band-join
+    parity)."""
+    from esa_pfa_spark.operators.pit import (
+        decayed_pit_features,
+        decayed_pit_pandas,
+    )
+
+    tau = dt.timedelta(hours=1)
+    probes = [
+        (1, "a", T0),
+        (2, None, T0),                                  # null key
+        (3, "a", None),                                 # null ts
+        (4, "b", T0),                                   # null-value obs in window
+    ]
+    obs = [
+        ("a", T0, 10.0, 1),                             # dt=0 -> in, w=1
+        ("a", T0 - dt.timedelta(hours=2), 99.0, 2),     # dt=horizon -> out
+        ("a", T0 - dt.timedelta(hours=1), 4.0, 3),      # dt=1h -> e^-1
+        (None, T0, 7.0, 4),                             # null key obs
+        ("b", T0 - dt.timedelta(minutes=5), None, 5),   # null value
+        ("b", T0 - dt.timedelta(minutes=9), 6.0, 6),
+    ]
+    p = spark.createDataFrame(
+        pd.DataFrame(probes, columns=["pid", "k", "query_ts"])
+    )
+    o = spark.createDataFrame(
+        pd.DataFrame(obs, columns=["k", "ts", "value", "oid"])
+    )
+    kw = dict(on="k", probe_ts="query_ts", obs_ts="ts", value="value",
+              tau=tau, cutoff=2.0)
+    got = {r["pid"]: r.asDict()
+           for r in decayed_pit_pandas(p, o, **kw).collect()}
+    assert len(got) == 4                                # no probe dropped
+    assert got[2]["n_win"] == 0 and got[2]["decay_sum"] is None
+    assert got[3]["n_win"] == 0 and got[3]["decay_mean"] is None
+    assert got[1]["n_win"] == 2                         # oid 1 + 3, not 2/4
+    assert abs(got[1]["decay_sum"]
+               - (10.0 + float(np.exp(-1.0)) * 4.0)) < 5e-6
+    # null-value obs: counted, weighted, contributes 0 to the sum
+    assert got[4]["n_win"] == 2
+    w5 = float(np.exp(-300 / 3600.0))
+    w6 = float(np.exp(-540 / 3600.0))
+    assert abs(got[4]["decay_wt"] - (w5 + w6)) < 5e-6
+    assert abs(got[4]["decay_sum"] - w6 * 6.0) < 5e-6
+    # band-join parity on the same corpus
+    want = {r["pid"]: r.asDict()
+            for r in decayed_pit_features(p, o, **kw).collect()}
+    _cmp_decay(got, want)
+
+
+def test_decayed_auto_dispatch_and_null_cold_branch(spark):
+    """hot_rows below one key's count -> that key rides the prefix-sum
+    path, the rest (including NULL keys, which isin() would three-value
+    out of both branches) ride the exact band join; the union agrees with
+    the plain band join on everything.  Supplying key_counts gives the
+    identical result without a census over observations."""
+    from esa_pfa_spark.operators.pit import (
+        decayed_pit_auto,
+        decayed_pit_features,
+    )
+
+    rng = np.random.default_rng(5)
+    obs = (
+        [("hot", T0 + dt.timedelta(seconds=int(rng.integers(0, 7200))),
+          float(rng.integers(1, 9)), i) for i in range(300)]
+        + [("cold", T0 + dt.timedelta(seconds=int(rng.integers(0, 7200))),
+            float(rng.integers(1, 9)), 1000 + i) for i in range(30)]
+    )
+    probes = (
+        [(i, "hot", T0 + dt.timedelta(seconds=int(rng.integers(0, 7200))))
+         for i in range(40)]
+        + [(100 + i, "cold",
+            T0 + dt.timedelta(seconds=int(rng.integers(0, 7200))))
+           for i in range(10)]
+        + [(999, None, T0)]                             # null key probe
+    )
+    p = spark.createDataFrame(
+        pd.DataFrame(probes, columns=["pid", "k", "query_ts"])
+    )
+    o = spark.createDataFrame(
+        pd.DataFrame(obs, columns=["k", "ts", "value", "oid"])
+    )
+    kw = dict(on="k", probe_ts="query_ts", obs_ts="ts", value="value",
+              tau=dt.timedelta(minutes=30), cutoff=4.0)
+    want = {r["pid"]: r.asDict()
+            for r in decayed_pit_features(p, o, **kw).collect()}
+    want[999] = {"pid": 999, "n_win": 0, "decay_sum": None,
+                 "decay_wt": None, "decay_mean": None, "k": None,
+                 "query_ts": T0}
+    got = {r["pid"]: r.asDict()
+           for r in decayed_pit_auto(p, o, hot_rows=100, **kw).collect()}
+    assert 999 in got and got[999]["n_win"] == 0        # not dropped
+    _cmp_decay(got, want)
+    # precomputed stats: same answer, no census
+    kc = o.groupBy("k").count()
+    got2 = {r["pid"]: r.asDict()
+            for r in decayed_pit_auto(
+                p, o, hot_rows=100, key_counts=kc, **kw).collect()}
+    _cmp_decay(got2, want)
+    # no hot key -> byte-identical to the exact band join
+    got3 = {r["pid"]: r.asDict()
+            for r in decayed_pit_auto(
+                p, o, hot_rows=10**9, **kw).collect()}
+    assert got3 == want
