@@ -4081,6 +4081,55 @@ FROM c LEFT JOIN a USING (event_id, user_id, query_ts)
 """
 
 
+def q_pit_decay_prefix(spark, sf_dir):
+    """Hot-key decayed PIT via per-(key, block) PREFIX SUMS
+    (pit.decayed_pit_pandas): same recency-weighted sum / weight / mean as
+    pit_decay_features_1d but computed with zero pair materialization —
+    block-rebased cumulatives answer each probe with two searchsorted
+    lookups, O((n+m) log n) per key instead of the band join's
+    probes x in-horizon-obs output (126x blow-up under a 0.7-hot-frac
+    entity, BENCH/SKEW_DECAY.md; decayed_pit_auto routes Zipf-head keys
+    here).  Contract difference vs the band join, and why this oracle is
+    exact anyway: terms accumulate UNROUNDED in float64 (the band join
+    rounds per term at 6dp into decimal), so the oracle below also sums
+    unrounded doubles; both sides carry ~1e-13 absolute error and are
+    rounded at 5dp — agreement is boundary-safe by ~8 orders."""
+    from esa_pfa_spark.operators.pit import decayed_pit_pandas
+
+    ev = _ld(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("query_ts")
+    )
+    obs = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return decayed_pit_pandas(
+        probes, obs, on="user_id", probe_ts="query_ts", obs_ts="ts",
+        value="value", tau=dt.timedelta(days=1), cutoff=30.0, round_to=5,
+    ).select("user_id", "event_id", "query_ts", "n_win",
+             "decay_sum", "decay_wt", "decay_mean")
+
+
+SQL_PIT_DECAY_PREFIX = f"""
+WITH c AS (SELECT event_id, user_id, ts AS query_ts FROM events WHERE event_type='click'),
+     p AS (SELECT user_id, ts, value FROM events WHERE event_type='purchase'),
+     j AS (
+       SELECT c.event_id, c.user_id, c.query_ts,
+              exp(-(CAST(epoch_us(c.query_ts)-epoch_us(p.ts) AS DOUBLE)/1e6)/{DAY}.0) AS w,
+              coalesce(p.value, 0.0) AS v
+       FROM c JOIN p ON p.user_id = c.user_id
+        AND epoch_us(c.query_ts)-epoch_us(p.ts) >= 0
+        AND epoch_us(c.query_ts)-epoch_us(p.ts) < {30 * DAY} * CAST(1e6 AS BIGINT)),
+     a AS (SELECT event_id, user_id, query_ts, count(*) AS n_win,
+                  sum(w * v) AS ds, sum(w) AS dw
+           FROM j GROUP BY 1, 2, 3)
+SELECT c.user_id, c.event_id, c.query_ts,
+       CAST(coalesce(a.n_win, 0) AS BIGINT) AS n_win,
+       round(a.ds, 5) AS decay_sum,
+       round(a.dw, 5) AS decay_wt,
+       round(CASE WHEN a.dw > 0 THEN a.ds / a.dw END, 5) AS decay_mean
+FROM c LEFT JOIN a USING (event_id, user_id, query_ts)
+"""
 
 
 def q_purged_time_folds(spark, sf_dir):
@@ -5209,6 +5258,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "bigram_pmi_top30": (q_bigram_pmi, SQL_BIGRAM_PMI),
     "epoch_allocation_50k": (q_epoch_allocation, SQL_EPOCH_ALLOCATION),
     "bigram_logprob_quality": (q_bigram_logprob, SQL_BIGRAM_LOGPROB),
+    "pit_decay_prefix_1d": (q_pit_decay_prefix, SQL_PIT_DECAY_PREFIX),
 }
 
 

@@ -554,8 +554,10 @@ def decayed_pit_pandas(
 
     def _blk(col):
         # exact long block id with floor semantics (um - pmod is the block
-        # start, an exact multiple of L — no double-division boundary flips)
-        um = F.unix_micros(col)
+        # start, an exact multiple of L — no double-division boundary flips);
+        # timestamp_ltz cast accepts both TIMESTAMP and TIMESTAMP_NTZ inputs
+        # (parquet sources commonly carry NTZ)
+        um = F.unix_micros(col.cast("timestamp_ltz"))
         return ((um - F.pmod(um, F.lit(L))) / F.lit(L)).cast("long")
 
     p = p_ok.select(
@@ -565,7 +567,7 @@ def decayed_pit_pandas(
     tb = _blk(F.col(obs_ts))
     o = o_ok.select(
         F.col(on),
-        F.unix_micros(F.col(obs_ts)).alias("__ots"),
+        F.unix_micros(F.col(obs_ts).cast("timestamp_ltz")).alias("__ots"),
         F.col(value).cast("double").alias("__ov"),
         tb.alias("__tb"),
         F.explode(F.array(tb, tb + 1)).alias("__bk"),
