@@ -5090,6 +5090,118 @@ FROM ft LEFT JOIN pt ON pt.doc_id = ft.doc_id
 """
 
 
+def q_block_dedup(spark, sf_dir):
+    """Sub-document (paragraph-level) exact dedup (dedup.block_dedup,
+    CCNet sec 3.1 / Dolma line-dedup shape): 16-word blocks, one global
+    keeper per distinct block (min (doc_id, idx)), documents reassembled
+    from surviving blocks.  Segmentation is pure built-ins (split +
+    transform + posexplode of BLOCKS, never words); one fingerprint
+    groupBy with map-side min(struct) partials + one equi-join back +
+    one per-doc reassembly agg — boilerplate-hash skew collapses
+    map-side before the exchange."""
+    from esa_pfa_spark.operators.dedup import block_dedup
+
+    return block_dedup(
+        _ld(spark, sf_dir, "documents"), block_words=16
+    ).select("doc_id", "n_blocks", "n_kept", "clean_text")
+
+
+SQL_BLOCK_DEDUP = """
+WITH w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws FROM documents),
+seg0 AS (SELECT doc_id, ws,
+                CAST(unnest(range(0, CAST(ceil(len(ws)/16.0) AS BIGINT)))
+                     AS INT) AS block_idx
+         FROM w),
+seg AS (SELECT doc_id, block_idx,
+               array_to_string(ws[(block_idx*16+1):(block_idx*16+16)], ' ') AS btxt
+        FROM seg0),
+f AS (SELECT *, substr(md5(btxt), 1, 16) AS fp FROM seg),
+k AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id, block_idx) AS rn
+      FROM f),
+agg AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(btxt, ' ' ORDER BY block_idx) AS clean_text
+        FROM k WHERE rn = 1 GROUP BY doc_id),
+nb AS (SELECT doc_id,
+              CAST(ceil(len(string_split(coalesce(text, ''), ' '))/16.0) AS INT)
+                  AS n_blocks
+       FROM documents)
+SELECT nb.doc_id, nb.n_blocks,
+       CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept, agg.clean_text
+FROM nb LEFT JOIN agg USING (doc_id)
+"""
+
+
+_DD_ALPHA = 0.02
+_DD_GAMMA = (1.0 + _DD_ALPHA) / (1.0 - _DD_ALPHA)
+_DD_LG = __import__("math").log(_DD_GAMMA)
+
+
+def q_ddsketch_quantiles(spark, sf_dir):
+    """Mergeable relative-error quantile sketch (profile.ddsketch_quantiles,
+    DDSketch — Masson et al. VLDB'19): log-spaced bins at alpha=0.02,
+    p50/p90/p99 per event_type answered from bin cumulative counts.  The
+    shuffle carries only (group, bin) partial counts — bounded by
+    log_gamma(vmax/vmin) per group regardless of row count — and sketches
+    merge by adding counts, unlike exact percentiles.  Both engines use
+    the SAME Python-computed ln(gamma) literal and a 9dp-rounded bin
+    quotient, so binning is bit-identical."""
+    from esa_pfa_spark.operators.profile import ddsketch_quantiles
+
+    return ddsketch_quantiles(
+        _ld(spark, sf_dir, "events"),
+        value_col="value",
+        quantiles=[0.5, 0.9, 0.99],
+        group_col="event_type",
+        alpha=_DD_ALPHA,
+    ).select("event_type", "q", "n_pos", "q_est")
+
+
+SQL_DDSKETCH = f"""
+WITH pos AS (
+  SELECT event_type,
+         CAST(-floor(-round(ln(CAST(value AS DOUBLE)) / {_DD_LG!r}, 9)) AS BIGINT) AS b
+  FROM events WHERE value > 0),
+bins AS (SELECT event_type, b, count(*) AS c FROM pos GROUP BY 1, 2),
+cum AS (SELECT event_type, b,
+               sum(c) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+               sum(c) OVER (PARTITION BY event_type) AS n
+        FROM bins),
+q AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+hit AS (SELECT event_type, q.q AS q, min(b) AS b, max(n) AS n_pos
+        FROM cum, q WHERE cum >= ceil(q.q * n) GROUP BY 1, 2)
+SELECT event_type, q, CAST(n_pos AS BIGINT) AS n_pos,
+       round(2 * power({_DD_GAMMA!r}, b) / ({_DD_GAMMA!r} + 1), 6) AS q_est
+FROM hit
+"""
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement as a deterministic top-k
+    (dataset.weighted_sample_topk, Efraimidis-Spirakis A-ES): 50 docs
+    drawn proportionally to n_chars via the md5 exponential race.
+    Priority is map-only column math; the global top-k plans as
+    TakeOrderedAndProject (per-partition heaps, k-sized merge), never a
+    global sort."""
+    from esa_pfa_spark.operators.dataset import weighted_sample_topk
+
+    return weighted_sample_topk(
+        _ld(spark, sf_dir, "documents").select("doc_id", "source", "n_chars"),
+        k=50, weight_col="n_chars", seed=7,
+    ).select("doc_id", "source", "n_chars", "priority")
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id, source, n_chars,
+       round(-ln((CAST(('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 6))
+                       AS INTEGER) + 0.5) / 16777216.0)
+             / CAST(n_chars AS DOUBLE), 9) AS priority
+FROM documents
+WHERE n_chars > 0
+ORDER BY priority, doc_id
+LIMIT 50
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -5259,6 +5371,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "epoch_allocation_50k": (q_epoch_allocation, SQL_EPOCH_ALLOCATION),
     "bigram_logprob_quality": (q_bigram_logprob, SQL_BIGRAM_LOGPROB),
     "pit_decay_prefix_1d": (q_pit_decay_prefix, SQL_PIT_DECAY_PREFIX),
+    "block_dedup_16w": (q_block_dedup, SQL_BLOCK_DEDUP),
+    "ddsketch_p50_p90_p99": (q_ddsketch_quantiles, SQL_DDSKETCH),
+    "weighted_sample_50": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
 }
 
 

@@ -560,3 +560,58 @@ def epoch_allocation(
         F.round(repeats, round_to).alias("repeats"),
         F.round(repeats * F.col("n_tokens"), 0).cast("long").alias("tokens_contributed"),
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    round_to: int = 9,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement as a deterministic top-k:
+    the Efraimidis–Spirakis exponential race (A-ES, IPL 2006).  Each row
+    draws u = (h + 0.5) / 2^24 from the md5 hash primitive and races with
+    priority ``-ln(u) / w`` — the k SMALLEST priorities are exactly a
+    weight-proportional sample without replacement.  Used for
+    token-budget-proportional document picks (w = n_chars / n_tokens):
+    a doc twice as long is twice as likely to be drawn, yet membership
+    is a pure function of (seed, id), reproducible on any engine or
+    partitioning.
+
+    Cross-engine determinism: ln() may differ by 1 ulp between the JVM
+    and other engines, so the priority is rounded to ``round_to`` dp
+    (ties then broken by id) — agreement holds unless a true value sits
+    within ~1e-16 of a rounding boundary, which the oracle gate would
+    surface immediately.
+
+    Scale shape (100 TB): priority is map-only column math; the global
+    top-k is ``ORDER BY ... LIMIT k`` which Catalyst executes as
+    TakeOrderedAndProject — per-partition heap top-k then a k-sized
+    merge on one reducer, never a global sort.  Rows with NULL, zero or
+    negative weight cannot win a race and are filtered out up front
+    (documented contract, matching the A-ES requirement w > 0).
+
+    Reference parity: the reference's weighted reservoir selection over
+    patch candidates (pfa-core RandomSampling task) — re-expressed as a
+    deterministic hash race instead of stateful reservoir mutation.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+            1, 6,
+        ),
+        16, 10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(float(1 << 24))
+    w = F.col(weight_col).cast("double")
+    pri = F.round(-F.log(u) / w, round_to)
+    return (
+        df.filter(w > 0)
+        .withColumn("priority", pri)
+        .orderBy("priority", id_col)
+        .limit(k)
+    )

@@ -98,3 +98,89 @@ def profile_table(
             )
         )
     return one.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def ddsketch_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: list[float],
+    group_col: str | None = None,
+    alpha: float = 0.01,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mergeable relative-error quantile sketch (DDSketch, Masson et al.
+    VLDB'19): bucket every positive value into log-spaced bins
+    ``b = ceil(ln(v) / ln(gamma))`` with ``gamma = (1+alpha)/(1-alpha)``,
+    count per bin, and answer quantile q with the bin whose cumulative
+    count first reaches ``ceil(q * n)`` — the bin midpoint
+    ``2 * gamma^b / (gamma + 1)`` is within relative error alpha of the
+    exact quantile, GUARANTEED, regardless of the distribution.
+
+    Why this beats exact percentiles at 100 TB: exact interpolated
+    percentiles (features.percentiles) need the values co-located and
+    sorted per group; the sketch is a bounded-size bin histogram —
+    partial aggregation combines map-side, the shuffle carries at most
+    O(groups x log_gamma(vmax/vmin)) rows (~1400 bins covering 12 orders
+    of magnitude at alpha=0.01), and sketches for different partitions /
+    days / tables MERGE by adding counts, so it composes with incremental
+    maintenance (operators/incremental.py) where exact quantiles cannot.
+
+    Determinism contract: the bin index is ``floor(round(ln(v)/ln(gamma),
+    9))`` + 1-at-exact-boundary semantics via ceil — engines agree unless
+    a value's log ratio sits within ~1e-16 of the 1e-9 rounding grid
+    (the oracle gate would surface it).  Zero / negative / NULL values
+    are excluded from the sketch (DDSketch's documented domain is
+    v > 0); ``n_pos`` in the output reports how many rows were sketched.
+
+    Returns one row per (group, q) with the bin-midpoint estimate.
+    """
+    if not quantiles:
+        raise ValueError("quantiles must be non-empty")
+    if not (0 < alpha < 1):
+        raise ValueError("alpha must be in (0, 1)")
+    import math
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    lg = math.log(gamma)
+    v = F.col(value_col).cast("double")
+    gcols = [group_col] if group_col else []
+    gexpr = [F.col(group_col)] if group_col else [F.lit("all").alias("grp")]
+    gname = group_col if group_col else "grp"
+
+    pos = df.filter(v > 0).select(
+        *gexpr,
+        # ceil(x) as floor(round(x,9)) + (1 if not integer): implemented
+        # as -floor(-x) on the rounded quotient (exact ceil of the
+        # 9dp-rounded value, no double re-rounding)
+        (-F.floor(-F.round(F.log(v) / F.lit(lg), 9))).cast("long").alias("__b"),
+    )
+    bins = pos.groupBy(gname, "__b").agg(F.count("*").alias("__c"))
+
+    from pyspark.sql import Window
+
+    wcum = Window.partitionBy(gname).orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.partitionBy(gname)
+    cum = bins.select(
+        gname, "__b",
+        F.sum("__c").over(wcum).alias("__cum"),
+        F.sum("__c").over(wtot).alias("__n"),
+    )
+    qlit = F.explode(
+        F.array(*[F.lit(float(q)) for q in quantiles])
+    ).alias("q")
+    hit = (
+        cum.select(gname, "__b", "__cum", "__n")
+        .select("*", qlit)
+        .filter(F.col("__cum") >= F.ceil(F.col("q") * F.col("__n")))
+        .groupBy(gname, "q")
+        .agg(F.min("__b").alias("__b"), F.max("__n").alias("n_pos"))
+    )
+    est = F.lit(2.0) * F.pow(F.lit(gamma), F.col("__b")) / F.lit(gamma + 1.0)
+    return hit.select(
+        gname,
+        F.col("q"),
+        F.col("n_pos"),
+        F.round(est, round_to).alias("q_est"),
+    )

@@ -312,3 +312,47 @@ def test_epoch_allocation(spark):
             for r in epoch_allocation(df, budget_tokens=100_000, alpha=1.0,
                                       max_repeats=4.0).collect()}
     assert abs(flat["big"] - 1.0) < 1e-4 and abs(flat["small"] - 1.0) < 1e-4
+
+
+def test_weighted_sample_topk_is_weight_monotone_and_deterministic(spark):
+    """Same (seed, id) -> same priority on any partitioning; a row's
+    priority strictly decreases as its weight grows (the A-ES race);
+    zero/negative/NULL weights never win."""
+    import pandas as pd
+
+    from esa_pfa_spark.operators.dataset import weighted_sample_topk
+
+    pdf = pd.DataFrame({
+        "doc_id": list(range(10)),
+        "w": [1.0, 2.0, 4.0, 8.0, 1.0, 2.0, 4.0, 8.0, 0.0, -1.0],
+    })
+    df = spark.createDataFrame(pdf)
+    a = weighted_sample_topk(df, k=8, weight_col="w", seed=3).collect()
+    b = weighted_sample_topk(
+        df.repartition(7), k=8, weight_col="w", seed=3
+    ).collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    assert {r["doc_id"] for r in a}.isdisjoint({8, 9})     # w <= 0 filtered
+    # doubling every weight halves each row's -ln(u)/w priority
+    one = {r["doc_id"]: r["priority"] for r in a}
+    c = weighted_sample_topk(
+        df.withColumn("w", df.w * 2), k=8, weight_col="w", seed=3
+    ).collect()
+    two = {r["doc_id"]: r["priority"] for r in c}
+    for d in one:
+        assert two[d] <= one[d]
+
+
+def test_weighted_sample_topk_plans_take_ordered(spark):
+    """The global top-k must plan as TakeOrderedAndProject (per-partition
+    heaps + k-merge), never a global Sort + Exchange."""
+    import pandas as pd
+
+    from esa_pfa_spark.operators.dataset import weighted_sample_topk
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(100), "w": [1.0] * 100})
+    )
+    plan = weighted_sample_topk(df, k=5, weight_col="w")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()

@@ -226,3 +226,31 @@ def test_ngram_containment_directed(spark):
     assert c >= 0.8          # nearly all of doc 1's shingles appear in doc 2
     assert j < 0.2           # symmetric Jaccard would have missed it
     assert all(3 not in k for k in got)
+
+
+def test_block_dedup_keeps_one_copy_and_reassembles(spark):
+    """Two docs share a 16-word boilerplate block; the keeper is the
+    smallest (doc_id, idx) occurrence, unique blocks are untouched, and
+    an all-repeat doc reassembles to NULL."""
+    blob = " ".join(f"w{i}" for i in range(16))           # one exact block
+    uniq = " ".join(f"u{i}" for i in range(16))
+    got = {
+        r["doc_id"]: r
+        for r in DD.block_dedup(
+            _docs(spark, [blob + " " + uniq, blob]), block_words=16
+        ).collect()
+    }
+    assert got["d0"]["n_blocks"] == 2 and got["d0"]["n_kept"] == 2
+    assert got["d0"]["clean_text"] == blob + " " + uniq
+    assert got["d1"]["n_blocks"] == 1 and got["d1"]["n_kept"] == 0
+    assert got["d1"]["clean_text"] is None
+
+
+def test_block_dedup_within_doc_repeat_and_tail_block(spark):
+    """A block repeated INSIDE one doc keeps only its first occurrence;
+    a trailing short block (< block_words words) is a block of its own."""
+    blk = " ".join(f"b{i}" for i in range(4))
+    text = blk + " " + blk + " zz"                         # blocks: blk, blk, 'zz'
+    row = DD.block_dedup(_docs(spark, [text]), block_words=4).collect()[0]
+    assert row["n_blocks"] == 3 and row["n_kept"] == 2
+    assert row["clean_text"] == blk + " zz"

@@ -78,3 +78,47 @@ def test_stx_approx_variant_close_to_exact(spark):
         rng = ex["max"] - ex["min"]
         for p in ("p10", "p50", "p90"):
             assert abs(approx[k][p] - ex[p]) <= 0.01 * rng, (k, p)
+
+
+def test_ddsketch_relative_error_guarantee(spark):
+    """DDSketch's contract: every quantile estimate is within relative
+    error alpha of the EXACT quantile of the sketched (positive) values —
+    guaranteed by construction, not probabilistic."""
+    from esa_pfa_spark.operators.profile import ddsketch_quantiles
+
+    alpha = 0.02
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    qs = [0.5, 0.9, 0.99]
+    est = {
+        (r["event_type"], r["q"]): r["q_est"]
+        for r in ddsketch_quantiles(
+            ev, "value", qs, group_col="event_type", alpha=alpha
+        ).collect()
+    }
+    import numpy as np
+
+    pdf = ev.filter(F.col("value") > 0).select("event_type", "value").toPandas()
+    for et, g in pdf.groupby("event_type"):
+        v = np.sort(g["value"].to_numpy(dtype="float64"))
+        for q in qs:
+            # the bin holding the ceil(q*n)-th positive value
+            exact = v[int(np.ceil(q * len(v))) - 1]
+            rel = abs(est[(et, q)] - exact) / exact
+            assert rel <= alpha + 1e-9, (et, q, est[(et, q)], exact, rel)
+
+
+def test_ddsketch_merges_across_splits(spark):
+    """Sketching two halves separately and summing bin counts answers the
+    same as one pass — the mergeability property that lets the sketch
+    compose with incremental maintenance.  Verified end-to-end: sketch
+    of (half1 UNION half2) == sketch of the whole."""
+    from esa_pfa_spark.operators.profile import ddsketch_quantiles
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    whole = ddsketch_quantiles(ev, "value", [0.9], group_col="event_type")
+    h1 = ev.filter(F.col("event_id") % 2 == 0)
+    h2 = ev.filter(F.col("event_id") % 2 == 1)
+    merged = ddsketch_quantiles(
+        h1.unionByName(h2), "value", [0.9], group_col="event_type"
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
