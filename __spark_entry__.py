@@ -5202,6 +5202,88 @@ LIMIT 50
 """
 
 
+def _pq_codebooks():
+    """Seeded (m=8, ks=16, subdim=8) int64 codebooks on the 10^6 SCALE
+    grid, spanning the embeddings' scaled range (values in ~[-0.53,
+    0.46] -> +/-6e5): the fixed-codebook regime (the trained form would
+    reuse clustering.kmeans_fit per subspace, as ann_ivf_trained does
+    for cells)."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    return rng.integers(-600_000, 600_001, size=(8, 16, 8), dtype=np.int64)
+
+
+def q_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (similarity.pq_adc_topk, Jégou et
+    al. TPAMI'11 / the FAISS scan shape): stored vectors compress to 8
+    codes each (one Arrow encode pass), the probe precomputes an exact
+    int64 distance table to all 128 codewords, and every candidate's
+    approximate distance is 8 table lookups in whole-stage codegen —
+    the memory-bound ANN path that reads 8 bytes/vector at scale.  All
+    arithmetic exact int64 on the SCALE grid => exact oracle."""
+    from esa_pfa_spark.operators.similarity import pq_adc_topk
+
+    emb = _ld(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return pq_adc_topk(
+        emb.filter(F.col("vec_id") != 0), probe, _pq_codebooks(), k=10
+    )
+
+
+def _pq_sql() -> str:
+    C = _pq_codebooks()
+    m, ks, subdim = C.shape
+
+    def scaled(col):
+        return (
+            f"list_transform({col}, x -> "
+            f"CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+        )
+
+    def sub(vec, j):
+        return f"{vec}[{j * subdim + 1}:{(j + 1) * subdim}]"
+
+    def d2(vec, j, c):
+        # exact: every term is an integer < 2^53, so double dot products
+        # are exact and the final CAST loses nothing
+        cl = "[" + ", ".join(str(int(x)) for x in C[j][c]) + "]"
+        cc = int((C[j][c].astype(object) ** 2).sum())
+        s = sub(vec, j)
+        return (
+            f"CAST(list_dot_product({s}::DOUBLE[], {s}::DOUBLE[])"
+            f" - 2 * list_dot_product({s}::DOUBLE[], {cl}::DOUBLE[])"
+            f" + {cc} AS BIGINT)"
+        )
+
+    # per subspace: candidate code = first-min index; probe keeps the
+    # full 16-entry distance list; ADC term = qd_j[code_j]
+    code_cols = ", ".join(
+        f"list_position(dj{j}, list_min(dj{j})) AS c{j}" for j in range(m)
+    )
+    dj_cols = ", ".join(
+        "[" + ", ".join(d2("vs", j, c) for c in range(ks)) + f"] AS dj{j}"
+        for j in range(m)
+    )
+    qd_cols = ", ".join(
+        "[" + ", ".join(d2("qs", j, c) for c in range(ks)) + f"] AS qd{j}"
+        for j in range(m)
+    )
+    adc = " + ".join(f"p.qd{j}[a.c{j}]" for j in range(m))
+    return f"""
+WITH v AS (SELECT vec_id, {scaled("embedding")} AS vs
+           FROM embeddings WHERE vec_id != 0),
+d AS (SELECT vec_id, {dj_cols} FROM v),
+a AS (SELECT vec_id, {code_cols} FROM d),
+q AS (SELECT {scaled("embedding")} AS qs FROM embeddings WHERE vec_id = 0),
+p AS (SELECT {qd_cols} FROM q),
+s AS (SELECT a.vec_id, CAST({adc} AS BIGINT) AS adc_d2 FROM a, p)
+SELECT vec_id, CAST(row_number() OVER (ORDER BY adc_d2, vec_id) AS INT) AS rank,
+       adc_d2
+FROM s QUALIFY rank <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -5374,6 +5456,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "block_dedup_16w": (q_block_dedup, SQL_BLOCK_DEDUP),
     "ddsketch_p50_p90_p99": (q_ddsketch_quantiles, SQL_DDSKETCH),
     "weighted_sample_50": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "pq_adc_topk_10": (q_pq_adc_topk, _pq_sql()),
 }
 
 

@@ -133,6 +133,13 @@ HEADLINE = [
     "bigram_pmi_top30",
     "epoch_allocation_50k",
     "bigram_logprob_quality",
+    # -- r4 late wave: prefix-sum decayed PIT, sub-document block dedup,
+    #    DDSketch quantiles, A-ES weighted sampling --
+    "pit_decay_prefix_1d",
+    "block_dedup_16w",
+    "ddsketch_p50_p90_p99",
+    "weighted_sample_50",
+    "pq_adc_topk_10",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",

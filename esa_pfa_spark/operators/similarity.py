@@ -539,3 +539,129 @@ def hard_negatives_topk(
         .filter(F.col("rank") <= k)
         .select(probe_id, "rank", id_col)
     )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. TPAMI'11, the FAISS
+    storage path): split each D-dim vector into m contiguous subvectors
+    and store, per subspace, the index of the nearest of ks codewords —
+    m small ints instead of D floats (64 floats -> 8 bytes here, a 32x
+    compression of the candidate set that IVF/LSH variants can then scan
+    cheaply).
+
+    ``codebooks`` is an (m, ks, D/m) int64 array on the same 10^6 SCALE
+    grid as operators/clustering.py; vectors are scaled with the
+    identical floor(x*1e6 + 0.5) rule, so every distance is EXACT int64
+    arithmetic — bit-identical across Spark, numpy, and the DuckDB
+    oracle, argmin ties resolved to the lowest codeword index on all
+    three.
+
+    Scale shape: one zero-copy Arrow pass (mapInArrow, vectorized numpy
+    per batch), no shuffle; the codebook rides task state (m*ks*D/m
+    int64s — KBs).
+    """
+    import numpy as np
+
+    from esa_pfa_spark.operators.clustering import _scaled
+
+    C = np.asarray(codebooks, dtype=np.int64)
+    m, ks, subdim = C.shape
+    dim = m * subdim
+
+    scaled = df.select(
+        F.col(id_col), _scaled(df, vec_col).alias("__xs")
+    )
+    out_schema = T.StructType([
+        scaled.schema[id_col],
+        T.StructField("codes", T.ArrayType(T.IntegerType(), False), False),
+    ])
+
+    def enc(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [b.column(0), pa.array([], type=pa.list_(pa.int32()))],
+                    names=[id_col, "codes"],
+                )
+                continue
+            col = b.column(1)
+            if col.null_count:
+                raise ValueError("pq_encode: NULL vector row")
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            if flat.size != b.num_rows * dim:
+                raise ValueError(f"pq_encode: ragged vector (expected dim={dim})")
+            X = flat.reshape(-1, m, subdim)
+            codes = np.empty((X.shape[0], m), dtype=np.int32)
+            for j in range(m):
+                d2 = ((X[:, j, :, None] - C[j].T[None, :, :]) ** 2).sum(axis=1)
+                codes[:, j] = d2.argmin(axis=1)      # first-min tie rule
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0),
+                 pa.array(list(codes), type=pa.list_(pa.int32()))],
+                names=[id_col, "codes"],
+            )
+
+    return scaled.mapInArrow(enc, schema=out_schema)
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    probe: DataFrame,
+    codebooks,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_col: str = "q",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (ADC): the probe stays EXACT — it
+    precomputes its int64 squared distance to every codeword (an m x ks
+    table, KBs) — and each stored vector's approximate distance is m
+    table lookups at its codes, never a touch of the original floats.
+    The classic memory-bound ANN scan: at 100 TB the candidate side
+    reads 8 bytes/vector instead of 256.
+
+    Plan shape: codes come from ONE Arrow encode pass (pq_encode);
+    the probe's lookup table is JVM column math on the (broadcast,
+    single-row here) probe side; ADC is a built-in F.aggregate over the
+    code array (whole-stage codegen, no Python); top-k is
+    orderBy(...).limit(k) = TakeOrderedAndProject.  All arithmetic is
+    exact int64 on the SCALE grid => deterministic ranks, exact oracle.
+    """
+    import numpy as np
+
+    from esa_pfa_spark.operators.clustering import _dist2, _scaled
+
+    C = np.asarray(codebooks, dtype=np.int64)
+    m, ks, subdim = C.shape
+
+    coded = pq_encode(embeddings, C, vec_col=vec_col, id_col=id_col)
+
+    qs = _scaled(probe, probe_col).alias("__qs")
+    tbl = F.array(*[
+        _dist2(F.slice(F.col("__qs"), j * subdim + 1, subdim), list(C[j][c]))
+        for j in range(m)
+        for c in range(ks)
+    ]).alias("__tbl")
+    ptab = probe.select(qs).select(tbl)
+
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.get(F.col("__tbl"), j * ks + F.get(F.col("codes"), j)),
+    )
+    scored = coded.crossJoin(F.broadcast(ptab)).select(
+        id_col, adc.alias("adc_d2")
+    )
+    top = scored.orderBy(F.col("adc_d2").asc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("adc_d2").asc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "rank", "adc_d2"
+    )

@@ -275,3 +275,67 @@ def test_hard_negatives_topk(spark):
     got = [(r["rank"], r["vec_id"])
            for r in hard_negatives_topk(emb, probes, k=2).orderBy("rank").collect()]
     assert got == [(1, 2), (2, 3)]
+
+
+def test_pq_encode_recovers_codeword_aligned_vectors(spark):
+    """A vector built by concatenating codewords encodes to exactly those
+    code indices (distance 0 per subspace), and its ADC distance to a
+    probe equals the EXACT scaled squared L2 distance — the
+    reconstruction identity ADC(q, v) = ||q - recon(v)||^2 with zero
+    quantization error."""
+    import numpy as np
+    import pandas as pd
+
+    from esa_pfa_spark.operators.similarity import pq_adc_topk, pq_encode
+
+    rng = np.random.default_rng(5)
+    C = rng.integers(-500_000, 500_001, size=(4, 8, 2), dtype=np.int64)
+    picks = [3, 0, 7, 5]
+    v = np.concatenate([C[j][picks[j]] for j in range(4)]) / 1e6
+    q = rng.integers(-500_000, 500_001, size=8).astype(np.float64) / 1e6
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1], "embedding": [v.tolist()]})
+    )
+    got = pq_encode(emb, C).collect()[0]
+    assert list(got["codes"]) == picks
+
+    probe = spark.createDataFrame(pd.DataFrame({"q": [q.tolist()]}))
+    row = pq_adc_topk(emb, probe, C, k=1).collect()[0]
+    qs = np.floor(q * 1e6 + 0.5).astype(np.int64)
+    vs = np.floor(v * 1e6 + 0.5).astype(np.int64)
+    assert row["adc_d2"] == int(((qs - vs) ** 2).sum())
+    assert row["rank"] == 1
+
+
+def test_pq_adc_partitioning_invariant_and_tie_rule(spark):
+    """Codes and ranks are pure functions of the data: identical under
+    repartition; a vector equidistant to two codewords takes the LOWER
+    index (the documented first-min tie rule)."""
+    import numpy as np
+    import pandas as pd
+
+    from esa_pfa_spark.operators.similarity import pq_adc_topk, pq_encode
+
+    # two identical codewords in subspace 0 -> any vector ties; must pick 0
+    C = np.zeros((2, 4, 2), dtype=np.int64)
+    C[0, 0] = C[0, 1] = [7, 7]
+    C[0, 2] = [100_000, 0]
+    C[0, 3] = [0, 100_000]
+    C[1, 0] = [1, 1]
+    C[1, 1] = [50_000, 50_000]
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": list(range(6)),
+        "embedding": [list(np.full(4, 0.001 * i)) for i in range(6)],
+    }))
+    one = pq_encode(emb, C).collect()
+    assert all(r["codes"][0] in (0, 2, 3) for r in one)   # never the clone at 1
+    two = pq_encode(emb.repartition(5), C).collect()
+    assert sorted(map(tuple, ((r["vec_id"], tuple(r["codes"])) for r in one))) == \
+        sorted(map(tuple, ((r["vec_id"], tuple(r["codes"])) for r in two)))
+
+    probe = spark.createDataFrame(pd.DataFrame({"q": [[0.0, 0.0, 0.0, 0.0]]}))
+    a = [(r["vec_id"], r["rank"], r["adc_d2"])
+         for r in pq_adc_topk(emb, probe, C, k=3).orderBy("rank").collect()]
+    b = [(r["vec_id"], r["rank"], r["adc_d2"])
+         for r in pq_adc_topk(emb.repartition(3), probe, C, k=3).orderBy("rank").collect()]
+    assert a == b
