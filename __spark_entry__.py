@@ -5284,6 +5284,58 @@ FROM s QUALIFY rank <= 10
 """
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """IVFADC (Jégou et al. TPAMI'11 §IV): the full FAISS production
+    composition — IVF cell pruning (similarity.ivf_assign, argmax-dot
+    cells) cuts the candidate set to the probe's cell, then PQ
+    asymmetric distance ranks ONLY that cell's codes.  At 100 TB the
+    scan touches 1/n_cells of the corpus at 8 bytes/vector; both stages
+    are the already-oracled operators composed, so the oracle is their
+    SQL composition."""
+    from esa_pfa_spark.operators.similarity import ivf_assign, pq_adc_topk
+
+    emb = _ld(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids()
+    assigned = ivf_assign(emb.filter(F.col("vec_id") != 0), cents)
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    passigned = ivf_assign(probe, cents, vec_col="q", id_col=None).select(
+        F.col("ivf_cluster").alias("__pc"), "q"
+    )
+    cand = assigned.join(
+        F.broadcast(passigned.select("__pc")), F.col("ivf_cluster") == F.col("__pc")
+    ).select("vec_id", "embedding")
+    return pq_adc_topk(cand, probe.select("q"), _pq_codebooks(), k=10)
+
+
+def _ivfpq_sql() -> str:
+    cents = _ivf_centroids()
+
+    def dots(vec):
+        return ", ".join(
+            f"list_dot_product({vec}::DOUBLE[], [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+            for c in cents
+        )
+
+    pq = _pq_sql()
+    # swap the PQ oracle's candidate CTE for the cell-pruned one; the
+    # rest of the generated SQL (codes, probe table, ADC, rank) is reused
+    # verbatim
+    cell_cte = f"""
+WITH qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+pc AS (SELECT CAST(list_position(d, list_max(d)) AS INT) AS cl
+       FROM (SELECT [{dots("embedding")}] AS d FROM qv)),
+cand AS (SELECT e.vec_id, e.embedding,
+                CAST(list_position(d, list_max(d)) AS INT) AS cl
+         FROM (SELECT vec_id, embedding, [{dots("embedding")}] AS d
+               FROM embeddings WHERE vec_id != 0) e),
+pruned AS (SELECT cand.vec_id, cand.embedding
+           FROM cand JOIN pc ON cand.cl = pc.cl),"""
+    body = pq.replace(
+        "WITH v AS (SELECT vec_id, ", "v AS (SELECT vec_id, ", 1
+    ).replace("FROM embeddings WHERE vec_id != 0)", "FROM pruned)", 1)
+    return cell_cte + body
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -5457,6 +5509,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ddsketch_p50_p90_p99": (q_ddsketch_quantiles, SQL_DDSKETCH),
     "weighted_sample_50": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "pq_adc_topk_10": (q_pq_adc_topk, _pq_sql()),
+    "ivfpq_adc_topk_10": (q_ivfpq_topk, _ivfpq_sql()),
 }
 
 

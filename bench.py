@@ -140,6 +140,7 @@ HEADLINE = [
     "ddsketch_p50_p90_p99",
     "weighted_sample_50",
     "pq_adc_topk_10",
+    "ivfpq_adc_topk_10",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",
