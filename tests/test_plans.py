@@ -432,3 +432,37 @@ def test_r4_wave_plan_shapes(spark):
         k=3, on="user_id", probe_ts="query_ts", obs_ts="ts",
         value="value", tiebreak="oid"))
     assert "BroadcastNestedLoop" not in l and "CartesianProduct" not in l, l
+
+
+def test_r4_late_wave_plan_shapes(spark):
+    """Plan assertions for the r4 late wave: block_dedup's keeper
+    selection partial-aggregates map-side (min(struct) before the
+    fingerprint exchange) and joins the keeper table by hash, never a
+    nested loop; pq_adc_topk keeps ADC scoring JVM-side — exactly ONE
+    Python/Arrow eval (the encode pass), the broadcast probe table, and
+    a TakeOrderedAndProject top-k with no range shuffle."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from esa_pfa_spark.operators.dedup import block_dedup
+    from esa_pfa_spark.operators.similarity import pq_adc_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    b = plan_of(block_dedup(docs))
+    assert "partial_min" in b, b
+    assert "BroadcastNestedLoop" not in b, b
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    rng = np.random.default_rng(13)
+    C = rng.integers(-600_000, 600_001, size=(8, 16, 8), dtype=np.int64)
+    p = plan_of(
+        pq_adc_topk(emb.filter(F.col("vec_id") != 0), probe, C, k=10),
+        mode="simple",
+    )
+    assert p.count("ArrowEvalPython") + p.count("MapInArrow") == 1, p
+    assert "BatchEvalPython" not in p, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "rangepartitioning" not in p, p
+    assert "BroadcastExchange" in p, p
