@@ -4093,10 +4093,18 @@ def q_pit_decay_prefix(spark, sf_dir):
     exact anyway: terms accumulate UNROUNDED in float64 (the band join
     rounds per term at 6dp into decimal), so the oracle below also sums
     unrounded doubles; both sides carry ~1e-13 absolute error and are
-    rounded at 5dp — agreement is boundary-safe by ~8 orders."""
+    rounded at 5dp — agreement is boundary-safe by ~8 orders.
+
+    Scoped to the user_id %% 25 == 0 key slice: the prefix path's regime
+    is HOT keys (decayed_pit_auto routes only the Zipf head here — a few
+    keys carrying many rows each); running every key of a uniform corpus
+    through it pays the cogroup's per-(key, block) Python overhead with
+    none of the blow-up it exists to avoid (27.9s vs 1.5s at sf0.1).
+    Perf evidence for the hot regime lives in BENCH/SKEW_DECAY.md; this
+    entry is the exactness gate."""
     from esa_pfa_spark.operators.pit import decayed_pit_pandas
 
-    ev = _ld(spark, sf_dir, "events")
+    ev = _ld(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 0)
     probes = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", F.col("ts").alias("query_ts")
     )
@@ -4111,8 +4119,10 @@ def q_pit_decay_prefix(spark, sf_dir):
 
 
 SQL_PIT_DECAY_PREFIX = f"""
-WITH c AS (SELECT event_id, user_id, ts AS query_ts FROM events WHERE event_type='click'),
-     p AS (SELECT user_id, ts, value FROM events WHERE event_type='purchase'),
+WITH c AS (SELECT event_id, user_id, ts AS query_ts FROM events
+           WHERE event_type='click' AND user_id % 25 = 0),
+     p AS (SELECT user_id, ts, value FROM events
+           WHERE event_type='purchase' AND user_id % 25 = 0),
      j AS (
        SELECT c.event_id, c.user_id, c.query_ts,
               exp(-(CAST(epoch_us(c.query_ts)-epoch_us(p.ts) AS DOUBLE)/1e6)/{DAY}.0) AS w,
