@@ -627,29 +627,51 @@ def pq_adc_topk(
     The classic memory-bound ANN scan: at 100 TB the candidate side
     reads 8 bytes/vector instead of 256.
 
-    Plan shape: codes come from ONE Arrow encode pass (pq_encode);
-    the probe's lookup table is JVM column math on the (broadcast,
-    single-row here) probe side; ADC is a built-in F.aggregate over the
-    code array (whole-stage codegen, no Python); top-k is
-    orderBy(...).limit(k) = TakeOrderedAndProject.  All arithmetic is
-    exact int64 on the SCALE grid => deterministic ranks, exact oracle.
+    Plan shape: codes come from ONE Arrow encode pass (pq_encode); the
+    probe's lookup table comes from a second TINY Arrow pass on the
+    probe side (FAISS precomputes tables query-side the same way — a
+    JVM expression form needed m*ks generated aggregate expressions,
+    whose per-invocation Catalyst analysis alone cost ~6s); ADC is a
+    built-in F.aggregate over the code array (whole-stage codegen, no
+    per-candidate Python); top-k is orderBy(...).limit(k) =
+    TakeOrderedAndProject.  All arithmetic is exact int64 on the SCALE
+    grid => deterministic ranks, exact oracle.
     """
     import numpy as np
 
-    from esa_pfa_spark.operators.clustering import _dist2, _scaled
+    from esa_pfa_spark.operators.clustering import _scaled
 
     C = np.asarray(codebooks, dtype=np.int64)
     m, ks, subdim = C.shape
 
     coded = pq_encode(embeddings, C, vec_col=vec_col, id_col=id_col)
 
-    qs = _scaled(probe, probe_col).alias("__qs")
-    tbl = F.array(*[
-        _dist2(F.slice(F.col("__qs"), j * subdim + 1, subdim), list(C[j][c]))
-        for j in range(m)
-        for c in range(ks)
-    ]).alias("__tbl")
-    ptab = probe.select(qs).select(tbl)
+    qscaled = probe.select(_scaled(probe, probe_col).alias("__qs"))
+
+    def ptbl(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([], type=pa.list_(pa.int64()))], names=["__tbl"]
+                )
+                continue
+            flat = b.column(0).flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            Q = flat.reshape(-1, m, subdim)
+            # t[n, j, c] = ||Q[n, j] - C[j, c]||^2, exact int64
+            t = ((Q[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([row.ravel() for row in t], type=pa.list_(pa.int64()))],
+                names=["__tbl"],
+            )
+
+    ptab = qscaled.mapInArrow(
+        ptbl,
+        schema=T.StructType(
+            [T.StructField("__tbl", T.ArrayType(T.LongType(), False), False)]
+        ),
+    )
 
     adc = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),

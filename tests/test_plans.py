@@ -461,7 +461,9 @@ def test_r4_late_wave_plan_shapes(spark):
         pq_adc_topk(emb.filter(F.col("vec_id") != 0), probe, C, k=10),
         mode="simple",
     )
-    assert p.count("ArrowEvalPython") + p.count("MapInArrow") == 1, p
+    # exactly TWO Arrow passes: the candidate encode and the tiny
+    # probe-table kernel; never per-candidate Python
+    assert p.count("ArrowEvalPython") + p.count("MapInArrow") == 2, p
     assert "BatchEvalPython" not in p, p
     assert "TakeOrderedAndProject" in p, p
     assert "rangepartitioning" not in p, p
