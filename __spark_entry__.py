@@ -5317,6 +5317,23 @@ def q_ivfpq_topk(spark, sf_dir):
     return pq_adc_topk(cand, probe.select("q"), _pq_codebooks(), k=10)
 
 
+def q_pq_trained_topk(spark, sf_dir):
+    """Trained-codebook PQ ADC (similarity.pq_train_codebooks: one
+    integer-exact k-means per subspace, Jégou TPAMI'11 §III) — the
+    production regime vs pq_adc_topk_10's fixed codebooks.  Rows-only
+    driver check (Lloyd training is not SQL-expressible); determinism
+    and the distortion-improvement contract (trained quantization error
+    <= seeded-random codebooks on the same corpus) are pinned in
+    tests/test_similarity.py."""
+    from esa_pfa_spark.operators.similarity import pq_adc_topk, pq_train_codebooks
+
+    emb = _ld(spark, sf_dir, "embeddings")
+    stored = emb.filter(F.col("vec_id") != 0)
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    books = pq_train_codebooks(stored, m=8, ks=16, n_iter=2)
+    return pq_adc_topk(stored, probe, books, k=10)
+
+
 def _ivfpq_sql() -> str:
     cents = _ivf_centroids()
 
@@ -5520,6 +5537,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "weighted_sample_50": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "pq_adc_topk_10": (q_pq_adc_topk, _pq_sql()),
     "ivfpq_adc_topk_10": (q_ivfpq_topk, _ivfpq_sql()),
+    "pq_trained_adc_topk_10": (q_pq_trained_topk, None),
 }
 
 

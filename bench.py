@@ -141,6 +141,7 @@ HEADLINE = [
     "weighted_sample_50",
     "pq_adc_topk_10",
     "ivfpq_adc_topk_10",
+    "pq_trained_adc_topk_10",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",

@@ -687,3 +687,42 @@ def pq_adc_topk(
     return top.withColumn("rank", F.row_number().over(w)).select(
         id_col, "rank", "adc_d2"
     )
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Train PQ codebooks: one independent k-means per subspace (the
+    standard PQ trainer — Jégou et al. TPAMI'11 §III trains each
+    sub-quantizer separately) by delegating to clustering.kmeans_fit on
+    the SLICED vector column.  Returns an (m, ks, D/m) int64 array on
+    the SCALE grid, directly usable by pq_encode / pq_adc_topk.
+
+    Deterministic end to end: kmeans_fit seeds from the lowest ids and
+    does exact scaled-integer Lloyd steps, so the trained codebooks —
+    and every code derived from them — are pure functions of the data.
+    Cost: m small k-means runs (each collecting k x D/m integer sums
+    per iteration); train on a deterministic sample at 100 TB, exactly
+    as bpe_train_sampled does for merges.
+    """
+    import numpy as np
+
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sliced = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias("__sv"),
+        )
+        from esa_pfa_spark.operators.clustering import kmeans_fit
+
+        books.append(kmeans_fit(sliced, k=ks, n_iter=n_iter, vec_col="__sv"))
+    return np.asarray(books, dtype=np.int64)

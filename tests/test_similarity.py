@@ -339,3 +339,46 @@ def test_pq_adc_partitioning_invariant_and_tie_rule(spark):
     b = [(r["vec_id"], r["rank"], r["adc_d2"])
          for r in pq_adc_topk(emb.repartition(3), probe, C, k=3).orderBy("rank").collect()]
     assert a == b
+
+
+def test_pq_trained_codebooks_reduce_distortion(spark):
+    """Training contract: per-subspace k-means codebooks give total
+    quantization distortion (sum over vectors of min-codeword d^2,
+    summed across subspaces) no worse than seeded-random codebooks of
+    the same shape on the same corpus — and the training is
+    deterministic (two runs, identical books)."""
+    import numpy as np
+
+    from esa_pfa_spark.operators.similarity import pq_encode, pq_train_codebooks
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").limit(150)
+    trained = pq_train_codebooks(emb, m=4, ks=8, n_iter=2)
+    again = pq_train_codebooks(emb, m=4, ks=8, n_iter=2)
+    assert (trained == again).all()
+
+    rng = np.random.default_rng(13)
+    rand = rng.integers(-600_000, 600_001, size=(4, 8, 16), dtype=np.int64)
+
+    X = np.floor(
+        np.vstack([r["embedding"] for r in emb.select("embedding").collect()])
+        * 1e6 + 0.5
+    ).astype(np.int64).reshape(-1, 4, 16)
+
+    def distortion(C):
+        tot = 0
+        for j in range(4):
+            d2 = ((X[:, j, None, :] - C[j][None, :, :]) ** 2).sum(axis=2)
+            tot += int(d2.min(axis=1).sum())
+        return tot
+
+    assert distortion(trained) <= distortion(rand)
+
+    # the codes the engine assigns under the trained books are the
+    # argmin codes of the same distortion computation
+    got = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, trained).collect()}
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    for j in range(4):
+        d2 = ((X[:, j, None, :] - trained[j][None, :, :]) ** 2).sum(axis=2)
+        want = d2.argmin(axis=1)
+        for i, vid in enumerate(ids):
+            assert got[vid][j] == want[i]
