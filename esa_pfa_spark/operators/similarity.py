@@ -689,7 +689,7 @@ def pq_adc_topk(
     )
 
 
-def pq_train_codebooks(
+def _pq_train_codebooks_subspace(
     df: DataFrame,
     m: int = 8,
     ks: int = 16,
@@ -697,18 +697,12 @@ def pq_train_codebooks(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ):
-    """Train PQ codebooks: one independent k-means per subspace (the
-    standard PQ trainer — Jégou et al. TPAMI'11 §III trains each
-    sub-quantizer separately) by delegating to clustering.kmeans_fit on
-    the SLICED vector column.  Returns an (m, ks, D/m) int64 array on
-    the SCALE grid, directly usable by pq_encode / pq_adc_topk.
-
-    Deterministic end to end: kmeans_fit seeds from the lowest ids and
-    does exact scaled-integer Lloyd steps, so the trained codebooks —
-    and every code derived from them — are pure functions of the data.
-    Cost: m small k-means runs (each collecting k x D/m integer sums
-    per iteration); train on a deterministic sample at 100 TB, exactly
-    as bpe_train_sampled does for merges.
+    """Reference PQ trainer: one independent clustering.kmeans_fit per
+    SLICED subspace (Jégou et al. TPAMI'11 §III trains each
+    sub-quantizer separately).  Semantically the ground truth, but the
+    job shape is m separate 2-iteration k-means runs = ~m * (n_iter + 1)
+    Spark jobs over the same table — kept ONLY as the parity oracle for
+    the fused trainer below (tests/test_similarity.py pins bit-equality).
     """
     import numpy as np
 
@@ -726,3 +720,136 @@ def pq_train_codebooks(
 
         books.append(kmeans_fit(sliced, k=ks, n_iter=n_iter, vec_col="__sv"))
     return np.asarray(books, dtype=np.int64)
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Train PQ codebooks — FUSED: all m sub-quantizers advance together,
+    ONE corpus pass per Lloyd iteration instead of m independent k-means
+    runs (_pq_train_codebooks_subspace, the parity oracle, is ~m*(n_iter+1)
+    jobs over the same cached table; this is n_iter+1).  Per iteration a
+    single mapInArrow kernel assigns every row in every subspace (exact
+    int64 |x|^2 - 2<x,c> + |c|^2, argmin ties -> lowest codeword — the
+    same contract as clustering.assign_clusters' Arrow path) and emits
+    per-partition PARTIAL sums, so the shuffle is m*ks*(D/m) rows per
+    partition regardless of corpus size; the driver folds floor(s/n+0.5)
+    exactly as clustering.kmeans_fit does.
+
+    Bit-identical to the per-subspace composition (pinned in
+    tests/test_similarity.py::test_pq_fused_trainer_parity): seeds are
+    the lowest-`ks` ids' vector slices (every subspace sees the same id
+    order), integer sums are associative, and the centroid update is the
+    same single IEEE double division of exact ints.  Returns an
+    (m, ks, D/m) int64 array on the SCALE grid for pq_encode /
+    pq_adc_topk.  At 100 TB: train on a deterministic sample, exactly as
+    bpe_train_sampled does for merges.
+    """
+    import math
+
+    import numpy as np
+
+    from esa_pfa_spark.operators.clustering import _scaled
+
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+
+    scaled = df.select(
+        F.col(id_col).alias("__id"), _scaled(df, vec_col).alias("__xs")
+    ).persist()
+    try:
+        init = scaled.orderBy("__id").limit(ks).collect()
+        if len(init) < ks:
+            raise ValueError(f"ks={ks} but only {len(init)} rows")
+        books = np.asarray(
+            [
+                [list(r["__xs"])[j * sub : (j + 1) * sub] for r in init]
+                for j in range(m)
+            ],
+            dtype=np.int64,
+        )
+        # flat (j, cluster, dim) key columns for the partial-sum emit,
+        # C-order matched to s_acc.ravel()
+        jj, cc, dd = np.meshgrid(
+            np.arange(m, dtype=np.int32),
+            np.arange(1, ks + 1, dtype=np.int32),
+            np.arange(sub, dtype=np.int32),
+            indexing="ij",
+        )
+        jj, cc, dd = jj.ravel(), cc.ravel(), dd.ravel()
+
+        def make_kernel(B):
+            def partials(batches):
+                import pyarrow as pa
+
+                s_acc = np.zeros((m, ks, sub), dtype=np.int64)
+                n_acc = np.zeros((m, ks), dtype=np.int64)
+                seen = False
+                for b in batches:
+                    if b.num_rows == 0:
+                        continue
+                    col = b.column(1)
+                    if col.null_count:
+                        raise ValueError("pq_train_codebooks: NULL vector row")
+                    flat = col.flatten().to_numpy(
+                        zero_copy_only=False
+                    ).astype(np.int64)
+                    if flat.size != b.num_rows * dim:
+                        raise ValueError(
+                            f"pq_train_codebooks: ragged vector (dim={dim})"
+                        )
+                    X = flat.reshape(-1, m, sub)
+                    seen = True
+                    for j in range(m):
+                        Xj = X[:, j, :]
+                        Cj = B[j]
+                        # exact int64 (terms < 2^53; clustering.py headroom)
+                        d2 = (
+                            (Xj * Xj).sum(axis=1)[:, None]
+                            - 2 * (Xj @ Cj.T)
+                            + (Cj * Cj).sum(axis=1)[None, :]
+                        )
+                        cl = d2.argmin(axis=1)  # first-min = lowest index
+                        np.add.at(s_acc[j], cl, Xj)
+                        n_acc[j] += np.bincount(cl, minlength=ks)
+                if seen:
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(jj),
+                            pa.array(cc),
+                            pa.array(dd),
+                            pa.array(s_acc.ravel()),
+                            pa.array(np.repeat(n_acc.ravel(), sub)),
+                        ],
+                        names=["j", "cluster", "dim", "s", "n"],
+                    )
+
+            return partials
+
+        for _ in range(n_iter):
+            agg = (
+                scaled.mapInArrow(
+                    make_kernel(books),
+                    schema="j int, cluster int, dim int, s long, n long",
+                )
+                .groupBy("j", "cluster", "dim")
+                .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+                .collect()
+            )
+            nxt = books.copy()
+            for r in agg:
+                if r.n:  # empty clusters keep their previous centroid
+                    nxt[r.j, r.cluster - 1, r.dim] = int(
+                        math.floor(r.s / r.n + 0.5)
+                    )
+            books = nxt
+        return books
+    finally:
+        scaled.unpersist()

@@ -382,3 +382,22 @@ def test_pq_trained_codebooks_reduce_distortion(spark):
         want = d2.argmin(axis=1)
         for i, vid in enumerate(ids):
             assert got[vid][j] == want[i]
+
+
+def test_pq_fused_trainer_parity(spark):
+    """The fused one-pass-per-iteration trainer is bit-identical to the
+    per-subspace kmeans_fit composition (the TPAMI'11 reference shape):
+    same seeds (lowest-ks ids, sliced), exact int64 assignment + sums,
+    same floor(s/n + 0.5) update — and invariant to input partitioning
+    (partial sums are associative int64 adds)."""
+    from esa_pfa_spark.operators.similarity import (
+        _pq_train_codebooks_subspace,
+        pq_train_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").limit(120)
+    want = _pq_train_codebooks_subspace(emb, m=4, ks=8, n_iter=2)
+    got = pq_train_codebooks(emb, m=4, ks=8, n_iter=2)
+    assert (got == want).all()
+    rep = pq_train_codebooks(emb.repartition(7), m=4, ks=8, n_iter=2)
+    assert (rep == want).all()
