@@ -5317,6 +5317,27 @@ def q_ivfpq_topk(spark, sf_dir):
     return pq_adc_topk(cand, probe.select("q"), _pq_codebooks(), k=10)
 
 
+def q_tokenizer_fertility(spark, sf_dir):
+    """Corpus tokenizer-fertility budgeting by (source, lang) —
+    textstats.tokenizer_fertility: exact integer sums -> one hash agg,
+    ratios from sums (partitioning-invariant)."""
+    return TS.tokenizer_fertility(_ld(spark, sf_dir, "documents"))
+
+
+SQL_TOKENIZER_FERTILITY = """
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(sum(length(text)) * 1.0
+             / sum(len(string_split(text, ' '))), 6) AS chars_per_ws_token,
+       round(sum(length(text)) * 1.0
+             / sum(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]'))), 6)
+           AS chars_per_bpe_token,
+       round(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]'))) * 1.0
+             / sum(len(string_split(text, ' '))), 6) AS subword_fanout
+FROM documents
+GROUP BY source, lang
+"""
+
+
 def q_pq_trained_topk(spark, sf_dir):
     """Trained-codebook PQ ADC (similarity.pq_train_codebooks: one
     integer-exact k-means per subspace, Jégou TPAMI'11 §III) — the
@@ -5538,6 +5559,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pq_adc_topk_10": (q_pq_adc_topk, _pq_sql()),
     "ivfpq_adc_topk_10": (q_ivfpq_topk, _ivfpq_sql()),
     "pq_trained_adc_topk_10": (q_pq_trained_topk, None),
+    "tokenizer_fertility": (q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY),
 }
 
 

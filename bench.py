@@ -142,6 +142,7 @@ HEADLINE = [
     "pq_adc_topk_10",
     "ivfpq_adc_topk_10",
     "pq_trained_adc_topk_10",
+    "tokenizer_fertility",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",

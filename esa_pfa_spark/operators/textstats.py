@@ -29,6 +29,45 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tokenizer_fertility(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Tokenizer fertility by (source, lang): corpus-level chars-per-token
+    and subword fan-out — the standard budgeting metric for how expensive
+    a slice of corpus is to tokenize (high chars/token flags scripts or
+    domains the tokenizer underserves; fan-out = BPE-ish pieces per
+    whitespace word is the "fertility" of multilingual-tokenizer papers).
+
+    Scale shape: ONE map-side-combinable hash aggregation over (source,
+    lang) — token counting stays in JVM regex codegen, the shuffle is
+    |sources|x|langs| rows.  Ratios are computed from exact integer SUMS
+    (not per-doc ratio averages), so the result is partitioning-invariant
+    and the DuckDB oracle exact."""
+    ws = F.size(_words(text_col))
+    bpe = F.regexp_count(F.col(text_col), F.lit("[a-z]+|[0-9]|[^a-z0-9 ]"))
+    return (
+        df.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length(F.col(text_col))).alias("sum_chars"),
+            F.sum(ws).alias("sum_ws_tokens"),
+            F.sum(bpe).alias("sum_bpe_tokens"),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            F.round(
+                F.col("sum_chars") * F.lit(1.0) / F.col("sum_ws_tokens"), 6
+            ).alias("chars_per_ws_token"),
+            F.round(
+                F.col("sum_chars") * F.lit(1.0) / F.col("sum_bpe_tokens"), 6
+            ).alias("chars_per_bpe_token"),
+            F.round(
+                F.col("sum_bpe_tokens") * F.lit(1.0) / F.col("sum_ws_tokens"), 6
+            ).alias("subword_fanout"),
+        )
+    )
+
+
 def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / word-length / stopword-ratio quality features.
     Rejection-filter analog of the reference's patch quality gates
