@@ -5388,6 +5388,102 @@ pruned AS (SELECT cand.vec_id, cand.embedding
 # Contract surface
 # ---------------------------------------------------------------------------
 
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (tokens.winnow_fingerprints; Schleimer et
+    al., SIGMOD 2003): per-doc selected-min k-gram hashes, k=4 / w=4 —
+    the whole selection runs in-row via higher-order array functions
+    (transform + array_min over key slices): no explode, no shuffle,
+    whole-stage codegen.  fp_digest is the md5 of the sorted selection —
+    the cell-level equality witness."""
+    from esa_pfa_spark.operators.tokens import winnow_fingerprints
+
+    return winnow_fingerprints(_tokenized_docs(spark, sf_dir), k=4, w=4)
+
+
+_WINNOW_G = f"""
+WITH tok AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+g AS (SELECT doc_id, len(toks) AS n_tok, len(toks) - 3 AS m,
+             list_transform(generate_series(0, len(toks) - 4),
+               i -> md5(array_to_string(list_slice(toks, i + 1, i + 4), ','))
+                    || lpad(CAST(999999 - i AS VARCHAR), 6, '0')) AS keys
+      FROM tok WHERE len(toks) >= 4)"""
+
+SQL_WINNOW_FPS = f"""
+{_WINNOW_G},
+s AS (SELECT doc_id, n_tok, m,
+             list_sort(list_distinct(list_transform(
+               generate_series(0, greatest(m - 4, 0)),
+               i -> list_min(list_slice(keys, i + 1, i + 4))))) AS sel
+      FROM g)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, CAST(m AS BIGINT) AS n_grams,
+       CAST(len(sel) AS BIGINT) AS n_fp,
+       round(len(sel) * 1.0 / m, 6) AS density,
+       md5(array_to_string(sel, '|')) AS fp_digest
+FROM s
+"""
+
+
+def q_winnow_dup_pairs(spark, sf_dir):
+    """MOSS-style match step (tokens.winnow_dup_pairs): doc pairs sharing
+    >= 2 winnowed gram hashes, stop-fingerprints (freq > 50) dropped before
+    the bucket self-join — in-row selection, then fp-bucketed equi-join,
+    never all-pairs."""
+    from esa_pfa_spark.operators.tokens import winnow_dup_pairs
+
+    return winnow_dup_pairs(
+        _tokenized_docs(spark, sf_dir), k=4, w=4, min_shared=2, max_fp_freq=50
+    )
+
+
+SQL_WINNOW_PAIRS = f"""
+{_WINNOW_G},
+sd AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         generate_series(0, greatest(m - 4, 0)),
+         i -> substr(list_min(list_slice(keys, i + 1, i + 4)), 1, 32)))) AS fp
+       FROM g),
+keep AS (SELECT fp FROM sd GROUP BY fp HAVING count(*) BETWEEN 2 AND 50),
+fk AS (SELECT doc_id, fp FROM sd JOIN keep USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def q_token_rank_drift(spark, sf_dir):
+    """Cross-source unigram drift (tokens.token_rank_drift): exact Spearman
+    rho between per-source frequency ranks over the all-source common
+    vocab; ranks made total by (count DESC, token ASC) so the permutation
+    statistic is engine-identical.  Everything past the first partial-agg
+    is vocab-bounded."""
+    from esa_pfa_spark.operators.tokens import token_rank_drift
+
+    return token_rank_drift(_tokenized_docs(spark, sf_dir))
+
+
+SQL_TOKEN_RANK_DRIFT = f"""
+WITH tok AS (SELECT source, {_TOK_SQL} AS toks FROM documents),
+ex AS (SELECT source, unnest(toks) AS t FROM tok),
+c AS (SELECT source, t, count(*) AS cnt FROM ex GROUP BY 1, 2),
+common AS (SELECT t FROM c GROUP BY t
+           HAVING count(*) = (SELECT count(DISTINCT source) FROM c)),
+r AS (SELECT c.source, c.t,
+             row_number() OVER (PARTITION BY c.source
+                                ORDER BY c.cnt DESC, c.t ASC) AS rk
+      FROM c JOIN common USING (t)),
+p AS (SELECT a.source AS source_a, b.source AS source_b,
+             CAST(a.rk AS BIGINT) - CAST(b.rk AS BIGINT) AS d
+      FROM r a JOIN r b ON a.t = b.t AND a.source < b.source)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_common,
+       round(1.0 - 6.0 * sum(d * d)
+             / (count(*) * (CAST(count(*) AS DOUBLE) * count(*) - 1.0)),
+             6) AS spearman_rho
+FROM p GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # Order matters: the driver correctness gate samples the FIRST 50 entries.
     # Round 4 leads with the two r1 driver-FAILs (fixed r2, oracle-green since,
@@ -5560,6 +5656,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ivfpq_adc_topk_10": (q_ivfpq_topk, _ivfpq_sql()),
     "pq_trained_adc_topk_10": (q_pq_trained_topk, None),
     "tokenizer_fertility": (q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY),
+    # --- added after the r4 driver-sample cutoff; rotate into the first 50
+    # next round alongside the other never-sampled blocks ---
+    "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FPS),
+    "winnow_dup_pairs": (q_winnow_dup_pairs, SQL_WINNOW_PAIRS),
+    "token_rank_drift": (q_token_rank_drift, SQL_TOKEN_RANK_DRIFT),
 }
 
 

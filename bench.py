@@ -143,6 +143,9 @@ HEADLINE = [
     "ivfpq_adc_topk_10",
     "pq_trained_adc_topk_10",
     "tokenizer_fertility",
+    "winnow_fingerprints",
+    "winnow_dup_pairs",
+    "token_rank_drift",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",

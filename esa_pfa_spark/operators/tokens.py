@@ -1573,3 +1573,219 @@ def bigram_pmi_topk(
         .orderBy(F.col("pmi").desc(), F.col("tok_a").asc(), F.col("tok_b").asc())
         .limit(k)
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    2003 — the MOSS local fingerprinting scheme): hash every token
+    ``k``-gram, slide a window of ``w`` consecutive gram hashes, and select
+    the minimum of each window (rightmost position on hash ties).  The
+    guarantee: any shared substring of length >= ``k + w - 1`` tokens
+    yields at least one shared selected fingerprint, while only ~``2/(w+1)``
+    of grams are kept — the standard sub-sampling primitive for
+    exact-substring near-dup detection at corpus scale.
+
+    Output per doc (docs with >= ``k`` tokens): ``doc_id, n_tok, n_grams,
+    n_fp, density, fp_digest`` where ``n_fp`` counts distinct selected
+    (hash, position) pairs and ``fp_digest`` is the md5 of the sorted
+    selection — the cell-level equality witness against the oracle.
+
+    Plan shape (100 TB): the entire selection runs INSIDE the row via
+    higher-order array functions (``transform`` over window starts +
+    ``array_min`` over key slices) — no explode, no shuffle, whole-stage
+    codegen; O(n_grams * w) string comparisons per doc.  Selection keys are
+    ``md5(gram) || zero-padded (999999 - pos)`` so lexicographic min gives
+    min-hash with rightmost-position tie-break (doc length bound 10^6,
+    asserted nowhere hot: longer docs should be chunked upstream anyway).
+
+    Reference analog: per-patch feature hashing in the reference's
+    AbstractApplicationDescriptor — a per-record, no-shuffle featurizer.
+    """
+    toks = F.col(tokens_col)
+    m = F.size(toks) - F.lit(k - 1)  # number of k-grams
+    # gram keys: md5 of comma-joined k-gram, suffixed with reversed 0-based
+    # position so array_min = (min hash, rightmost pos).
+    keys = F.transform(
+        F.sequence(F.lit(0), m - 1),
+        lambda i: F.concat(
+            F.md5(F.concat_ws(",", F.slice(toks, i + 1, k))),
+            F.lpad((F.lit(999999) - i).cast("string"), 6, "0"),
+        ),
+    )
+    out = (
+        df.filter(F.size(toks) >= k)
+        .withColumn("__m", m)
+        .withColumn("__keys", keys)
+        .withColumn(
+            "__sel",
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.greatest(F.col("__m") - w, F.lit(0))),
+                        lambda i: F.array_min(F.slice(F.col("__keys"), i + 1, w)),
+                    )
+                )
+            ),
+        )
+    )
+    return out.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tok"),
+        F.col("__m").cast("long").alias("n_grams"),
+        F.size("__sel").cast("long").alias("n_fp"),
+        F.round(F.size("__sel") / F.col("__m"), 6).alias("density"),
+        F.md5(F.array_join("__sel", "|")).alias("fp_digest"),
+    )
+
+
+def winnow_selected_fps(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exploded winnowing selection: one row per distinct selected gram
+    HASH per doc (positions stripped — cross-doc matching is on content).
+    Map-only until the caller aggregates."""
+    toks = F.col(tokens_col)
+    m = F.size(toks) - F.lit(k - 1)
+    keys = F.transform(
+        F.sequence(F.lit(0), m - 1),
+        lambda i: F.concat(
+            F.md5(F.concat_ws(",", F.slice(toks, i + 1, k))),
+            F.lpad((F.lit(999999) - i).cast("string"), 6, "0"),
+        ),
+    )
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(m - w, F.lit(0))),
+            lambda i: F.substring(F.array_min(F.slice(keys, i + 1, w)), 1, 32),
+        )
+    )
+    # array_distinct above already dedups within the doc, and doc_id is the
+    # row key — rows are (doc, fp)-unique by construction; no distinct()
+    # (and its Exchange) needed.
+    return df.filter(F.size(toks) >= k).select(
+        F.col(id_col), F.explode(sel).alias("fp")
+    )
+
+
+def winnow_dup_pairs(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_freq: int = 50,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-duplicate pairs from shared winnowing fingerprints
+    (the MOSS match step): docs sharing >= ``min_shared`` selected gram
+    hashes, with the shared count as the match strength.  By the winnowing
+    guarantee every common token run of length >= ``k + w - 1`` contributes
+    a shared fingerprint, so long boilerplate/plagiarised spans are caught
+    from ~2/(w+1) of the gram stream.
+
+    Plan shape (100 TB): per-doc selection is in-row (no shuffle); the
+    match is fp -> groupBy partial-agg -> self-equi-join INSIDE fingerprint
+    buckets — never all-pairs.  ``max_fp_freq`` drops stop-fingerprints
+    (ubiquitous boilerplate grams) before the join, the same skew guard as
+    ``ngram_jaccard_pairs``; at the default 50 the worst bucket joins
+    50x50, and dropped-fp counts are observable via ``winnow_selected_fps``
+    aggregation rather than silently hidden here.
+
+    Output: ``doc_a, doc_b, n_shared`` (doc_a < doc_b).
+    """
+    fps = winnow_selected_fps(df, k=k, w=w, tokens_col=tokens_col, id_col=id_col)
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__occ"))
+        .filter((F.col("__occ") >= 2) & (F.col("__occ") <= max_fp_freq))
+        .select("fp")
+    )
+    fk = fps.join(keep, "fp")
+    a = fk.select("fp", F.col(id_col).alias("doc_a"))
+    b = fk.select("fp", F.col(id_col).alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def token_rank_drift(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    source_col: str = "source",
+    round_to: int = 6,
+) -> DataFrame:
+    """Spearman rank correlation of token-frequency ranks between every
+    pair of sources, over the vocabulary common to ALL sources — the
+    distribution-drift check run before mixing corpora (a low rho between
+    two web snapshots flags a crawler/extractor change; near-1.0 between a
+    source and its dedup'd successor confirms dedup didn't skew the
+    unigram distribution).
+
+    Ranks are made total (no ties) by ordering ``count DESC, token ASC``
+    within each source, so rho = 1 - 6*sum(d^2)/(n(n^2-1)) is an exact
+    permutation statistic, identical across engines.  Restricting to the
+    all-source common vocab keeps each source's restricted ranks a proper
+    1..n permutation (re-ranked after restriction), so rho stays in
+    [-1, 1].
+
+    Plan shape (100 TB): explode -> (source, token) partial-agg (map-side
+    combine; shuffle carries one row per distinct pair, vocab-bounded) ->
+    common-vocab semi-join (broadcast, vocab-sized) -> per-source window
+    rank over <= |vocab| rows -> vocab-bounded self-join for the pairs.
+    Nothing downstream of the first agg scales with the corpus.
+
+    Output: ``source_a, source_b, n_common, spearman_rho``.
+    """
+    cnt = (
+        df.select(F.col(source_col).alias("source"), F.explode(tokens_col).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # plan-time source census: column-pruned to `source` alone (a parquet
+    # dictionary-encoded column scan), never touching the token explode.
+    n_sources = df.select(F.col(source_col).alias("source")).distinct().count()
+    common = (
+        cnt.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("__ns"))
+        .filter(F.col("__ns") == n_sources)
+        .select("t")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.col("cnt").desc(), F.col("t").asc())
+    )
+    r = cnt.join(F.broadcast(common), "t").withColumn("rk", rk)
+    a = r.select(
+        F.col("source").alias("source_a"), "t", F.col("rk").alias("ra")
+    )
+    b = r.select(
+        F.col("source").alias("source_b"), "t", F.col("rk").alias("rb")
+    )
+    d2 = (F.col("ra").cast("long") - F.col("rb")) * (F.col("ra").cast("long") - F.col("rb"))
+    n = F.count(F.lit(1)).cast("double")
+    return (
+        a.join(b, "t")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.round(
+                F.lit(1.0) - F.lit(6.0) * F.sum(d2) / (n * (n * n - F.lit(1.0))),
+                round_to,
+            ).alias("spearman_rho"),
+        )
+        .orderBy("source_a", "source_b")
+    )
