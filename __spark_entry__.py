@@ -5484,6 +5484,47 @@ FROM p GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+
+
+def q_trend_by_user(spark, sf_dir):
+    """Per-entity OLS trend features (signal.trend_by_key): slope/day,
+    intercept, R^2 of value vs time per user — exact-integer normal-
+    equation sums (epoch-us x, micro-unit y) so the double finish is
+    engine-identical; ONE map-side-combinable partial agg, no window."""
+    from esa_pfa_spark.operators.signal import trend_by_key
+
+    return trend_by_key(_ld(spark, sf_dir, "events"))
+
+
+SQL_TREND_BY_USER = """
+WITH e AS (SELECT user_id,
+             CAST(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01') AS HUGEINT) AS x,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS yu
+           FROM events),
+a AS (SELECT user_id, count(*) AS n,
+             sum(x) AS sx, sum(x * x) AS sxx,
+             sum(yu) AS syu, sum(yu * yu) AS syy,
+             sum(x * yu) AS sxy
+      FROM e GROUP BY 1),
+d AS (SELECT *,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(syu AS DOUBLE) AS num,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(syu AS DOUBLE) * CAST(syu AS DOUBLE) AS deny
+      FROM a
+      WHERE CAST(n AS HUGEINT) * sxx - sx * sx > 0)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       round(num * 86400.0 / denx, 6) AS slope_per_day,
+       round((CAST(syu AS DOUBLE) - num / denx * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) / 1000000.0, 6) AS intercept,
+       CASE WHEN CAST(n AS HUGEINT) * syy - syu * syu > 0
+            THEN round(num * num / (denx * deny), 6) END AS r2
+FROM d ORDER BY user_id
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # Order matters: the driver correctness gate samples the FIRST 50 entries.
     # Round 4 leads with the two r1 driver-FAILs (fixed r2, oracle-green since,
@@ -5661,6 +5702,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FPS),
     "winnow_dup_pairs": (q_winnow_dup_pairs, SQL_WINNOW_PAIRS),
     "token_rank_drift": (q_token_rank_drift, SQL_TOKEN_RANK_DRIFT),
+    "trend_by_user": (q_trend_by_user, SQL_TREND_BY_USER),
 }
 
 

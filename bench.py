@@ -146,6 +146,7 @@ HEADLINE = [
     "winnow_fingerprints",
     "winnow_dup_pairs",
     "token_rank_drift",
+    "trend_by_user",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",

@@ -101,3 +101,84 @@ def cusum_by_key(
             F.round(F.max("__s"), round_to).alias("cusum_max"),
         )
     )
+
+
+def trend_by_key(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    origin_ts: str = "2024-01-01",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-entity OLS trend features: slope (value per DAY), intercept (at
+    ``origin_ts``), and R^2 of value vs. time — the classic point-in-time
+    trend triple a feature store derives per entity timeline.
+
+    Exactness across engines: the closed-form normal equations need sums
+    of x, x^2, y, y^2, xy.  Doubles summed in different partition orders
+    diverge in the last bits, so BOTH engines are made to accumulate exact
+    INTEGERS — x as epoch-microseconds relative to ``origin_ts`` and y in
+    micro-units (value rounded to 6dp via the engine-portable
+    decimal(18,6) cast, then scaled by 10^6).  The final slope /
+    intercept / R^2 arithmetic is double, but it consumes identical
+    integers with an identical operation order, so the rounded outputs
+    match cell-for-cell.  Magnitude headroom: sum(x^2) at decimal(38,0)
+    holds ~10 years of micros squared times 10^9 rows per key.
+
+    Rows with fewer than 2 events or zero time-variance are dropped (the
+    slope is undefined); constant-value keys keep slope 0 and a NULL R^2.
+
+    Plan shape (100 TB): one map-side-combinable partial agg keyed on the
+    entity — the 5 sums travel, never the rows; no window, no sort, no
+    second pass.  (Contrast: a window-based regression would shuffle AND
+    sort every observation.)
+    """
+    # timestamp_ntz columns need the ltz hop before unix_micros (session tz
+    # is UTC); same device as pit.py's bucket math.
+    x = (
+        F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+        - F.unix_micros(F.lit(origin_ts).cast("timestamp_ltz"))
+    ).cast("decimal(20,0)")
+    y_u = (
+        (F.col(value_col).cast("decimal(18,6)") * F.lit(1000000).cast("decimal(7,0)"))
+        .cast("decimal(38,0)")
+    )
+    a = (
+        df.select(F.col(key_col).alias("key"), x.alias("x"), y_u.alias("yu"))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum("yu").alias("syu"),
+            F.sum(F.col("yu") * F.col("yu")).alias("syy"),
+            F.sum(F.col("x") * F.col("yu")).alias("sxy"),
+        )
+    )
+    # exact-integer degeneracy tests (identical row-drop set in the oracle)
+    denx_exact = F.col("n").cast("decimal(38,0)") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny_exact = F.col("n").cast("decimal(38,0)") * F.col("syy") - F.col("syu") * F.col("syu")
+    nD = F.col("n").cast("double")
+    sxD, sxxD = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    syD, syyD = F.col("syu").cast("double"), F.col("syy").cast("double")
+    sxyD = F.col("sxy").cast("double")
+    num = nD * sxyD - sxD * syD
+    denx = nD * sxxD - sxD * sxD
+    deny = nD * syyD - syD * syD
+    slope_day = F.round(num * F.lit(86400.0) / denx, round_to)
+    intercept = F.round((syD - num / denx * sxD) / nD / F.lit(1000000.0), round_to)
+    r2 = F.when(
+        deny_exact > 0, F.round(num * num / (denx * deny), round_to)
+    ).otherwise(F.lit(None).cast("double"))
+    return (
+        a.filter(denx_exact > 0)
+        .select(
+            F.col("key").alias(key_col),
+            F.col("n").cast("long").alias("n_events"),
+            slope_day.alias("slope_per_day"),
+            intercept.alias("intercept"),
+            r2.alias("r2"),
+        )
+        .orderBy(key_col)
+    )

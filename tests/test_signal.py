@@ -63,3 +63,40 @@ def test_cusum_matches_recurrence(spark):
         assert out[k]["cusum_max"] == pytest.approx(smax, abs=1e-4), k
     # the drifted series must alarm far above the flat one
     assert out["drift"]["cusum_max"] > out["flat"]["cusum_max"] + 10
+
+
+def test_trend_matches_polyfit(spark):
+    # slope/intercept/R^2 per key must match numpy's least squares on the
+    # same (seconds-since-origin, value) points; degenerate keys drop or
+    # null exactly as documented.
+    rng = np.random.default_rng(7)
+    series = {
+        "lin": [2.0 + 0.5 * i for i in range(50)],               # exact line
+        "noisy": (2.0 + 0.1 * np.arange(80) + rng.normal(0, 1, 80)).tolist(),
+        "flat": [3.25] * 20,                                      # zero slope, R^2 undefined
+        "single": [9.0],                                          # dropped (n < 2)
+        "rand": rng.normal(0, 5, 40).tolist(),
+    }
+    df = _df(spark, series).withColumnRenamed("entity_id", "user_id")
+    from esa_pfa_spark.operators.signal import trend_by_key
+
+    out = {r["user_id"]: r for r in trend_by_key(df).collect()}
+    assert "single" not in out  # n < 2: time-variance is zero, row dropped
+    for k, vs in series.items():
+        if k == "single":
+            continue
+        # x in DAYS since the origin, y rounded to the 6dp micro-unit grid
+        x = np.array([(T0 - dt.datetime(2024, 1, 1)).total_seconds() + 60.0 * i
+                      for i in range(len(vs))]) / 86400.0
+        y = np.round(np.array(vs), 6)
+        slope, intercept = np.polyfit(x, y, 1)
+        r = out[k]
+        assert r["n_events"] == len(vs)
+        assert r["slope_per_day"] == pytest.approx(slope, abs=1e-4), k
+        assert r["intercept"] == pytest.approx(intercept, abs=1e-4), k
+        if k == "flat":
+            assert r["r2"] is None
+        else:
+            ss_res = float(np.sum((y - (slope * x + intercept)) ** 2))
+            ss_tot = float(np.sum((y - y.mean()) ** 2))
+            assert r["r2"] == pytest.approx(1 - ss_res / ss_tot, abs=1e-6), k
