@@ -5525,6 +5525,112 @@ FROM d ORDER BY user_id
 """
 
 
+
+def q_gap_stats(spark, sf_dir):
+    """Inter-event-time features (signal.gap_stats_by_key): per-user gap
+    count/mean/min/max/std (seconds) + Goh-Barabasi burstiness from exact
+    integer-microsecond gaps; ONE Exchange (the lag window's), the groupBy
+    reuses its partitioning."""
+    from esa_pfa_spark.operators.signal import gap_stats_by_key
+
+    return gap_stats_by_key(_ld(spark, sf_dir, "events"))
+
+
+SQL_GAP_STATS = """
+WITH g AS (SELECT user_id,
+             CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id) AS HUGEINT) AS g
+           FROM events),
+a AS (SELECT user_id, count(*) AS n, sum(g) AS sg, sum(g * g) AS sg2,
+             min(g) AS gmin, max(g) AS gmax
+      FROM g WHERE g IS NOT NULL GROUP BY 1),
+d AS (SELECT *, CAST(sg AS DOUBLE) / CAST(n AS DOUBLE) AS mean_us,
+             sqrt(greatest(CAST(n AS DOUBLE) * CAST(sg2 AS DOUBLE)
+                           - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE), 0.0))
+               / CAST(n AS DOUBLE) AS std_us
+      FROM a)
+SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+       round(mean_us / 1000000.0, 6) AS gap_mean_s,
+       round(CAST(gmin AS DOUBLE) / 1000000.0, 6) AS gap_min_s,
+       round(CAST(gmax AS DOUBLE) / 1000000.0, 6) AS gap_max_s,
+       round(std_us / 1000000.0, 6) AS gap_std_s,
+       CASE WHEN std_us + mean_us > 0
+            THEN round((std_us - mean_us) / (std_us + mean_us), 6) END AS burstiness
+FROM d ORDER BY user_id
+"""
+
+
+def q_ks_drift(spark, sf_dir):
+    """Binning-free drift gate (features.ks_drift): two-sample KS statistic
+    of the value distribution per event type, first half of the month vs
+    second (PSI's split); the max runs over exact decimal cross-products,
+    shuffle bounded by distinct values."""
+    from esa_pfa_spark.operators.features import ks_drift
+
+    ev = _ld(spark, sf_dir, "events").withColumn(
+        "period",
+        F.when(F.col("ts") < F.lit(dt.datetime(2024, 1, 16)), "base").otherwise("cur"),
+    )
+    return ks_drift(ev, value_col="value", group_col="event_type")
+
+
+SQL_KS_DRIFT = """
+WITH ev AS (SELECT event_type AS g, value AS v,
+                   CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'base' ELSE 'cur' END AS period
+            FROM events),
+c AS (SELECT g, v,
+             CAST(sum(CASE WHEN period = 'base' THEN 1 ELSE 0 END) AS HUGEINT) AS nb,
+             CAST(sum(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS HUGEINT) AS nc
+      FROM ev GROUP BY 1, 2),
+w AS (SELECT g,
+             sum(nb) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb,
+             sum(nc) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cc,
+             sum(nb) OVER (PARTITION BY g) AS tb,
+             sum(nc) OVER (PARTITION BY g) AS tc
+      FROM c),
+a AS (SELECT g, max(tb) AS tb, max(tc) AS tc,
+             max(abs(cb * tc - cc * tb)) AS dmax
+      FROM w GROUP BY 1)
+SELECT g AS event_type, CAST(tb AS BIGINT) AS n_base, CAST(tc AS BIGINT) AS n_cur,
+       round(CAST(dmax AS DOUBLE) / (CAST(tb AS DOUBLE) * CAST(tc AS DOUBLE)), 6) AS ks_d
+FROM a WHERE tb > 0 AND tc > 0 ORDER BY 1
+"""
+
+
+def q_rfm_scores(spark, sf_dir):
+    """RFM entity scoring (features.rfm_scores): recency/frequency/monetary
+    per user + equal-frequency 1..5 scores via the edge-broadcast
+    quantile_bins pattern (never a global ntile window)."""
+    from esa_pfa_spark.operators.features import rfm_scores
+
+    return rfm_scores(_ld(spark, sf_dir, "events"))
+
+
+SQL_RFM_SCORES = """
+WITH per AS (SELECT user_id AS key, max(epoch_us(ts)) AS last_us,
+                    count(*) AS frequency,
+                    sum(CAST(value AS DECIMAL(18,6))) AS monetary
+             FROM events GROUP BY 1),
+ref AS (SELECT max(last_us) AS ref_us FROM per),
+m AS (SELECT key,
+             round(CAST(ref_us - last_us AS DOUBLE) / 86400000000.0, 6) AS recency_days,
+             CAST(frequency AS BIGINT) AS frequency,
+             round(CAST(monetary AS DOUBLE), 6) AS monetary
+      FROM per, ref),
+er AS (SELECT quantile_cont(recency_days, [0.2,0.4,0.6,0.8]) AS e FROM m),
+ef AS (SELECT quantile_cont(frequency, [0.2,0.4,0.6,0.8]) AS e FROM m),
+em AS (SELECT quantile_cont(monetary, [0.2,0.4,0.6,0.8]) AS e FROM m)
+SELECT m.key AS user_id, m.recency_days, m.frequency, m.monetary,
+       CAST(5 - len(list_filter(er.e, x -> m.recency_days >= x)) AS INT) AS r_score,
+       CAST(len(list_filter(ef.e, x -> m.frequency >= x)) + 1 AS INT) AS f_score,
+       CAST(len(list_filter(em.e, x -> m.monetary >= x)) + 1 AS INT) AS m_score,
+       CAST((5 - len(list_filter(er.e, x -> m.recency_days >= x))) * 100
+            + (len(list_filter(ef.e, x -> m.frequency >= x)) + 1) * 10
+            + (len(list_filter(em.e, x -> m.monetary >= x)) + 1) AS INT) AS rfm_code
+FROM m, er, ef, em ORDER BY user_id
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # Order matters: the driver correctness gate samples the FIRST 50 entries.
     # Round 4 leads with the two r1 driver-FAILs (fixed r2, oracle-green since,
@@ -5703,6 +5809,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "winnow_dup_pairs": (q_winnow_dup_pairs, SQL_WINNOW_PAIRS),
     "token_rank_drift": (q_token_rank_drift, SQL_TOKEN_RANK_DRIFT),
     "trend_by_user": (q_trend_by_user, SQL_TREND_BY_USER),
+    "gap_stats_by_user": (q_gap_stats, SQL_GAP_STATS),
+    "ks_value_drift": (q_ks_drift, SQL_KS_DRIFT),
+    "rfm_scores_5": (q_rfm_scores, SQL_RFM_SCORES),
 }
 
 

@@ -147,6 +147,9 @@ HEADLINE = [
     "winnow_dup_pairs",
     "token_rank_drift",
     "trend_by_user",
+    "gap_stats_by_user",
+    "ks_value_drift",
+    "rfm_scores_5",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",

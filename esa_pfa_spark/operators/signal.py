@@ -182,3 +182,74 @@ def trend_by_key(
         )
         .orderBy(key_col)
     )
+
+
+def gap_stats_by_key(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak: str | None = "event_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Inter-event-time features per entity: count, mean/min/max/std of the
+    gaps between consecutive events (seconds), plus the Goh-Barabasi
+    burstiness coefficient B = (sigma - mu) / (sigma + mu) over the gap
+    distribution — B -> -1 for a metronome, 0 for a Poisson process,
+    +1 for extreme bursts.  The timeline-shape trio (how often / how
+    regular / how bursty) a feature store derives next to the EWMA and
+    trend state.
+
+    Exactness across engines: gaps are exact INTEGER microsecond
+    differences (lag over the (ts, tiebreak) total order); the aggregate
+    carries n, sum(g), sum(g^2), min, max with decimal sums, and only the
+    final mean/std/burstiness arithmetic is double — identical integer
+    inputs through an identical operation order, so the rounded outputs
+    match cell-for-cell (sqrt on equal doubles is IEEE-exact in both
+    engines).  Population (1/n) variance so single-gap keys get std 0.
+
+    Keys with a single event (no gaps) are dropped; burstiness is NULL
+    when sigma + mu == 0 (all gaps zero, e.g. duplicate timestamps only).
+
+    Plan shape (100 TB): ONE Exchange — the lag window hash-partitions on
+    the key and the follow-up groupBy reuses that partitioning (no second
+    shuffle; plan-asserted in tests/test_plans.py).  Per-key state is five
+    scalars; nothing buffers the timeline.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    x = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    g = (x - F.lag(x).over(w)).cast("decimal(20,0)")
+    # group on the ORIGINAL key attribute — aliasing it first would break
+    # attribute identity with the window's hashpartitioning and cost a
+    # second Exchange (plan-asserted single shuffle in tests/test_plans.py)
+    a = (
+        df.select(F.col(key_col), g.alias("g"))
+        .filter(F.col("g").isNotNull())
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("g").alias("sg"),
+            F.sum(F.col("g") * F.col("g")).alias("sg2"),
+            F.min("g").alias("gmin"),
+            F.max("g").alias("gmax"),
+        )
+    )
+    nD = F.col("n").cast("double")
+    sgD = F.col("sg").cast("double")
+    sg2D = F.col("sg2").cast("double")
+    num = nD * sg2D - sgD * sgD          # n^2 * population variance (µs^2)
+    mean_us = sgD / nD
+    std_us = F.sqrt(F.greatest(num, F.lit(0.0))) / nD
+    burst = F.when(
+        std_us + mean_us > 0,
+        F.round((std_us - mean_us) / (std_us + mean_us), round_to),
+    ).otherwise(F.lit(None).cast("double"))
+    return a.select(
+        F.col(key_col),
+        F.col("n").cast("long").alias("n_gaps"),
+        F.round(mean_us / F.lit(1e6), round_to).alias("gap_mean_s"),
+        F.round(F.col("gmin").cast("double") / F.lit(1e6), round_to).alias("gap_min_s"),
+        F.round(F.col("gmax").cast("double") / F.lit(1e6), round_to).alias("gap_max_s"),
+        F.round(std_us / F.lit(1e6), round_to).alias("gap_std_s"),
+        burst.alias("burstiness"),
+    ).orderBy(key_col)

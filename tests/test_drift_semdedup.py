@@ -155,3 +155,69 @@ def test_semantic_dedup_pair_cap_logs_drops(spark, caplog):
     assert all(r["canonical_doc_id"] <= r["vec_id"] for r in sharded)
     # sharding can only LOSE pairs -> survivors never decrease
     assert sum(r["survives"] for r in sharded) >= 3
+
+
+def _ks_hand(a, b):
+    """Exact two-sample KS D via the same rational-cross-product max."""
+    import numpy as np
+
+    vals = sorted(set(a) | set(b))
+    na, nb = len(a), len(b)
+    aa, bb = np.asarray(a), np.asarray(b)
+    d = max(
+        abs(int((aa <= v).sum()) * nb - int((bb <= v).sum()) * na) for v in vals
+    )
+    return round(d / (na * nb), 6)
+
+
+def test_ks_drift_matches_hand_computation(spark):
+    import numpy as np
+
+    from esa_pfa_spark.operators.features import ks_drift
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(0, 1, 300).round(3).tolist()
+    cur = rng.normal(0.6, 1.3, 240).round(3).tolist()  # shifted + widened
+    rows = [("t", "base", v) for v in base] + [("t", "cur", v) for v in cur]
+    # a second group with identical distributions -> D small
+    same = rng.normal(5, 2, 250).round(3).tolist()
+    rows += [("u", "base", v) for v in same] + [("u", "cur", v) for v in same]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_type", "period", "value"])
+    )
+    out = {r["event_type"]: r for r in ks_drift(df).collect()}
+    assert out["t"]["ks_d"] == _ks_hand(base, cur)
+    assert out["t"]["n_base"] == 300 and out["t"]["n_cur"] == 240
+    assert out["u"]["ks_d"] == 0.0  # identical samples: CDFs coincide
+    assert out["t"]["ks_d"] > 0.2  # the shift is visible
+
+
+def test_rfm_scores_invariants(spark):
+    """Scores land in 1..n_bins, the code composes digits, and each score is
+    monotone in its metric (equal-frequency bins preserve order)."""
+    import datetime as dtm
+
+    from esa_pfa_spark.operators.features import rfm_scores
+
+    t0 = dtm.datetime(2024, 1, 1)
+    rows = []
+    for u in range(40):
+        n = 1 + (u % 7)
+        for j in range(n):
+            rows.append((u, t0 + dtm.timedelta(hours=u * 5 + j), float(u * 3 + j)))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["user_id", "ts", "value"]))
+    out = rfm_scores(df).collect()
+    assert len(out) == 40
+    for r in out:
+        for c in ("r_score", "f_score", "m_score"):
+            assert 1 <= r[c] <= 5, r
+        assert r["rfm_code"] == r["r_score"] * 100 + r["f_score"] * 10 + r["m_score"]
+    by_recency = sorted(out, key=lambda r: r["recency_days"])
+    assert all(
+        a["r_score"] >= b["r_score"]
+        for a, b in zip(by_recency, by_recency[1:])
+    )
+    by_money = sorted(out, key=lambda r: r["monetary"])
+    assert all(
+        a["m_score"] <= b["m_score"] for a, b in zip(by_money, by_money[1:])
+    )

@@ -468,3 +468,30 @@ def test_r4_late_wave_plan_shapes(spark):
     assert "TakeOrderedAndProject" in p, p
     assert "rangepartitioning" not in p, p
     assert "BroadcastExchange" in p, p
+
+
+def test_gap_stats_single_exchange(spark):
+    """gap_stats_by_key: the lag window hash-partitions on the key and the
+    follow-up groupBy must REUSE that partitioning — one shuffle total
+    (the final orderBy's range exchange is presentation, tolerated)."""
+    from esa_pfa_spark.operators.signal import gap_stats_by_key
+
+    df = entry_mod._ld(spark, SF_DIR, "events")
+    core = gap_stats_by_key(df)
+    plan = plan_of(core)
+    hash_ex = len(re.findall(r"Exchange hashpartitioning", plan_of(core, "simple")))
+    assert hash_ex == 1, f"expected exactly one hash Exchange (window+agg fused):\n{plan}"
+
+
+def test_ks_drift_two_exchanges(spark):
+    """ks_drift: distinct-value agg (one Exchange on (group, value)) +
+    per-group window/agg (one Exchange on group) — never more."""
+    from esa_pfa_spark.operators.features import ks_drift
+    from pyspark.sql import functions as F
+
+    ev = entry_mod._ld(spark, SF_DIR, "events").withColumn(
+        "period", F.when(F.col("value") < 50, "base").otherwise("cur")
+    )
+    plan = plan_of(ks_drift(ev), "simple")
+    hash_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert hash_ex <= 2, f"KS drift should shuffle twice (values agg + group window):\n{plan}"

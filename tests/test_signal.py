@@ -100,3 +100,39 @@ def test_trend_matches_polyfit(spark):
             ss_res = float(np.sum((y - (slope * x + intercept)) ** 2))
             ss_tot = float(np.sum((y - y.mean()) ** 2))
             assert r["r2"] == pytest.approx(1 - ss_res / ss_tot, abs=1e-6), k
+
+
+def test_gap_stats_matches_numpy(spark):
+    # per-key gap count/mean/min/max/std (population) + burstiness vs a
+    # numpy oracle on irregular random timelines; single-event keys drop,
+    # all-duplicate-timestamp keys null out burstiness.
+    rng = np.random.default_rng(11)
+    rows = []
+    gaps_true: dict[str, np.ndarray] = {}
+    for i, n in enumerate([1, 2, 5, 40, 40]):
+        k = f"u{i}"
+        secs = np.sort(rng.integers(0, 3_000_000, n))
+        rows += [(k, T0 + dt.timedelta(seconds=int(s)), j, 0.0) for j, s in enumerate(secs)]
+        if n >= 2:
+            gaps_true[k] = np.diff(np.sort(secs)).astype(np.float64)
+    rows += [("dup", T0, 0, 0.0), ("dup", T0, 1, 0.0), ("dup", T0, 2, 0.0)]
+    gaps_true["dup"] = np.zeros(2)
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts", "event_id", "value"])
+    )
+    from esa_pfa_spark.operators.signal import gap_stats_by_key
+
+    out = {r["user_id"]: r for r in gap_stats_by_key(df).collect()}
+    assert "u0" not in out  # single event: no gaps
+    for k, g in gaps_true.items():
+        r = out[k]
+        assert r["n_gaps"] == len(g)
+        assert r["gap_mean_s"] == pytest.approx(g.mean(), abs=1e-6)
+        assert r["gap_min_s"] == pytest.approx(g.min(), abs=1e-6)
+        assert r["gap_max_s"] == pytest.approx(g.max(), abs=1e-6)
+        assert r["gap_std_s"] == pytest.approx(g.std(), abs=1e-6), k  # population
+        mu, sd = g.mean(), g.std()
+        if sd + mu == 0:
+            assert r["burstiness"] is None
+        else:
+            assert r["burstiness"] == pytest.approx((sd - mu) / (sd + mu), abs=1e-6)
