@@ -5631,6 +5631,41 @@ FROM m, er, ef, em ORDER BY user_id
 """
 
 
+
+def q_acf_by_user(spark, sf_dir):
+    """Per-entity autocorrelation (signal.acf_by_key) at lags 1 and 2 —
+    Pearson r over (v_t, v_{t+lag}) pairs in event order; all leads from
+    ONE window pass, shuffle after it is |keys|*|lags| rows."""
+    from esa_pfa_spark.operators.signal import acf_by_key
+
+    return acf_by_key(_ld(spark, sf_dir, "events"), lags=(1, 2))
+
+
+SQL_ACF_BY_USER = """
+WITH e AS (SELECT user_id, ts, event_id,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS yu
+           FROM events),
+l AS (SELECT user_id, yu AS x,
+             lead(yu, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y1,
+             lead(yu, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y2
+      FROM e),
+p AS (SELECT user_id, 1 AS lag, x, y1 AS y FROM l WHERE y1 IS NOT NULL
+      UNION ALL
+      SELECT user_id, 2, x, y2 FROM l WHERE y2 IS NOT NULL),
+a AS (SELECT user_id, lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM p GROUP BY 1, 2)
+SELECT user_id, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf
+FROM a
+WHERE CAST(n AS HUGEINT) * sxx - sx * sx > 0
+  AND CAST(n AS HUGEINT) * syy - sy * sy > 0
+ORDER BY user_id, lag
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # Order matters: the driver correctness gate samples the FIRST 50 entries.
     # Round 4 leads with the two r1 driver-FAILs (fixed r2, oracle-green since,
@@ -5812,6 +5847,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "gap_stats_by_user": (q_gap_stats, SQL_GAP_STATS),
     "ks_value_drift": (q_ks_drift, SQL_KS_DRIFT),
     "rfm_scores_5": (q_rfm_scores, SQL_RFM_SCORES),
+    "acf_by_user_lag12": (q_acf_by_user, SQL_ACF_BY_USER),
 }
 
 

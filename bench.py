@@ -150,6 +150,7 @@ HEADLINE = [
     "gap_stats_by_user",
     "ks_value_drift",
     "rfm_scores_5",
+    "acf_by_user_lag12",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",

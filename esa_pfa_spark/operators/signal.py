@@ -253,3 +253,96 @@ def gap_stats_by_key(
         F.round(std_us / F.lit(1e6), round_to).alias("gap_std_s"),
         burst.alias("burstiness"),
     ).orderBy(key_col)
+
+
+def acf_by_key(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str | None = "event_id",
+    lags: tuple[int, ...] = (1, 2),
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-entity autocorrelation of the value sequence at each requested
+    lag: Pearson r between (v_t, v_{t+lag}) over the (ts, tiebreak)-ordered
+    events — long output (key, lag, n_pairs, acf).  The memory/periodicity
+    feature next to trend and burstiness: near +1 = persistent level,
+    near -1 = alternating, ~0 = no sequential structure.
+
+    Exactness across engines: values ride as exact micro-unit INTEGERS
+    (decimal(18,6) cast * 10^6, the trend_by_key device) and each (key,
+    lag) cell accumulates n, Σx, Σy, Σx², Σy², Σxy as decimals; only the
+    final correlation is double, from identical integers through an
+    identical operation order.  Degenerate cells (either side constant —
+    zero variance) are dropped by an EXACT integer test, so both engines
+    drop the same rows.
+
+    Plan shape (100 TB): ONE ordered window computes every lead in a
+    single pass (k columns, one sort), the lag structs explode map-side,
+    and the (key, lag) partial agg ships 6 scalars per cell — the shuffle
+    after the window is |keys|*|lags| rows, never the events.
+    """
+    if not lags:
+        raise ValueError("lags must be non-empty")
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    yu = (
+        (F.col(value_col).cast("decimal(18,6)") * F.lit(1000000).cast("decimal(7,0)"))
+        .cast("decimal(38,0)")
+    )
+    # leads materialize in their own projection first — Spark forbids
+    # window expressions inside a generator (explode)
+    led = df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        *([F.col(tiebreak)] if tiebreak else []),
+        yu.alias("_yu"),
+    ).select(
+        F.col(key_col),
+        F.col("_yu"),
+        *[F.lead("_yu", int(k)).over(w).alias(f"_y{k}") for k in lags],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(int(k)).alias("lag"),
+                F.col("_yu").alias("x"),
+                F.col(f"_y{k}").alias("y"),
+            )
+            for k in lags
+        ]
+    )
+    exploded = (
+        led.select(F.col(key_col), F.explode(pairs).alias("p"))
+        .select(key_col, "p.lag", "p.x", "p.y")
+        .filter(F.col("y").isNotNull())
+    )
+    a = exploded.groupBy(key_col, "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nE = F.col("n").cast("decimal(38,0)")
+    denx_exact = nE * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny_exact = nE * F.col("syy") - F.col("sy") * F.col("sy")
+    nD = F.col("n").cast("double")
+    sxD, syD = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxD, syyD = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxyD = F.col("sxy").cast("double")
+    acf = (nD * sxyD - sxD * syD) / F.sqrt(
+        (nD * sxxD - sxD * sxD) * (nD * syyD - syD * syD)
+    )
+    return (
+        a.filter((denx_exact > 0) & (deny_exact > 0))
+        .select(
+            F.col(key_col),
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n").cast("long").alias("n_pairs"),
+            F.round(acf, round_to).alias("acf"),
+        )
+        .orderBy(key_col, "lag")
+    )

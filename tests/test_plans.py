@@ -495,3 +495,15 @@ def test_ks_drift_two_exchanges(spark):
     plan = plan_of(ks_drift(ev), "simple")
     hash_ex = len(re.findall(r"Exchange hashpartitioning", plan))
     assert hash_ex <= 2, f"KS drift should shuffle twice (values agg + group window):\n{plan}"
+
+
+def test_acf_single_exchange(spark):
+    """acf_by_key: the (key, lag) hash agg is satisfied by the window's
+    hashpartitioning(key) (subset clustering) — one shuffle for the whole
+    multi-lag computation."""
+    from esa_pfa_spark.operators.signal import acf_by_key
+
+    df = entry_mod._ld(spark, SF_DIR, "events")
+    plan = plan_of(acf_by_key(df, lags=(1, 2, 3)), "simple")
+    hash_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert hash_ex == 1, f"expected one hash Exchange (window reused by agg):\n{plan}"

@@ -136,3 +136,35 @@ def test_gap_stats_matches_numpy(spark):
             assert r["burstiness"] is None
         else:
             assert r["burstiness"] == pytest.approx((sd - mu) / (sd + mu), abs=1e-6)
+
+
+def test_acf_matches_numpy(spark):
+    # ACF at lags 1..3 vs np.corrcoef on the ordered sequence; the
+    # alternating series must be strongly negative at lag 1, positive at 2.
+    rng = np.random.default_rng(21)
+    series = {
+        "alt": [float((-1) ** i) + rng.normal(0, 0.05) for i in range(60)],
+        "walk": np.cumsum(rng.normal(0, 1, 80)).tolist(),
+        "noise": rng.normal(0, 1, 70).tolist(),
+        "const": [2.5] * 30,  # zero variance: dropped at every lag
+    }
+    df = _df(spark, series).withColumnRenamed("entity_id", "user_id")
+    from esa_pfa_spark.operators.signal import acf_by_key
+
+    out = {
+        (r["user_id"], r["lag"]): r
+        for r in acf_by_key(
+            df, ts_col="ts", value_col="value", tiebreak="rid", lags=(1, 2, 3)
+        ).collect()
+    }
+    assert not any(k == "const" for k, _ in out)
+    for k, vs in series.items():
+        if k == "const":
+            continue
+        y = np.round(np.array(vs), 6)  # the 6dp micro-unit grid
+        for lag in (1, 2, 3):
+            r = out[(k, lag)]
+            assert r["n_pairs"] == len(vs) - lag
+            expect = float(np.corrcoef(y[:-lag], y[lag:])[0, 1])
+            assert r["acf"] == pytest.approx(expect, abs=1e-6), (k, lag)
+    assert out[("alt", 1)]["acf"] < -0.9 and out[("alt", 2)]["acf"] > 0.9
