@@ -5666,6 +5666,42 @@ ORDER BY user_id, lag
 """
 
 
+
+def q_novelty_curve(spark, sf_dir):
+    """Corpus-saturation diagnostic (tokens.novelty_curve): per ingest-order
+    bucket, new vs already-seen 8-gram fingerprints + the cumulative
+    distinct curve; shuffles bounded by distinct fingerprints, exact
+    integer bucketing."""
+    from esa_pfa_spark.operators.tokens import novelty_curve
+
+    return novelty_curve(_tokenized_docs(spark, sf_dir), n=8, n_buckets=10)
+
+
+SQL_NOVELTY_CURVE = f"""
+WITH tok AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+mx AS (SELECT max(doc_id) AS mx FROM tok),
+w AS (SELECT doc_id, unnest(generate_series(0, len(toks) - 8)) AS s, toks
+      FROM tok WHERE len(toks) >= 8),
+f AS (SELECT doc_id,
+             md5(array_to_string(list_slice(toks, s + 1, s + 8), ',')) AS fp
+      FROM w),
+bf AS (SELECT CAST((doc_id * 10) // (mx + 1) AS INT) AS bucket, fp FROM f, mx),
+occ AS (SELECT bucket, count(*) AS n_windows FROM bf GROUP BY 1),
+d AS (SELECT DISTINCT bucket, fp FROM bf),
+per AS (SELECT bucket, count(*) AS n_fps FROM d GROUP BY 1),
+fb AS (SELECT fp, min(bucket) AS bucket FROM d GROUP BY 1),
+nov AS (SELECT bucket, count(*) AS n_novel FROM fb GROUP BY 1),
+j AS (SELECT per.bucket, occ.n_windows, per.n_fps,
+             coalesce(nov.n_novel, 0) AS n_novel
+      FROM per JOIN occ USING (bucket) LEFT JOIN nov USING (bucket))
+SELECT bucket, CAST(n_windows AS BIGINT) AS n_windows,
+       CAST(n_fps AS BIGINT) AS n_fps, CAST(n_novel AS BIGINT) AS n_novel,
+       round(CAST(n_novel AS DOUBLE) / CAST(n_fps AS DOUBLE), 6) AS novelty_rate,
+       CAST(sum(n_novel) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct
+FROM j ORDER BY bucket
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # Order matters: the driver correctness gate samples the FIRST 50 entries.
     # Round 4 leads with the two r1 driver-FAILs (fixed r2, oracle-green since,
@@ -5848,6 +5884,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ks_value_drift": (q_ks_drift, SQL_KS_DRIFT),
     "rfm_scores_5": (q_rfm_scores, SQL_RFM_SCORES),
     "acf_by_user_lag12": (q_acf_by_user, SQL_ACF_BY_USER),
+    "novelty_curve_10": (q_novelty_curve, SQL_NOVELTY_CURVE),
 }
 
 

@@ -151,6 +151,7 @@ HEADLINE = [
     "ks_value_drift",
     "rfm_scores_5",
     "acf_by_user_lag12",
+    "novelty_curve_10",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",

@@ -1789,3 +1789,74 @@ def token_rank_drift(
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def novelty_curve(
+    df: DataFrame,
+    n: int = 8,
+    n_buckets: int = 10,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Corpus-saturation curve: split the corpus into ``n_buckets`` ingest-
+    order buckets (by ``id_col`` range) and report, per bucket, how many
+    token ``n``-gram fingerprints are NEW versus already seen earlier —
+    the "is more scraping still paying?" diagnostic.  A healthy fresh
+    source holds novelty_rate high; a saturated or self-duplicating one
+    decays toward 0 and the cumulative-distinct curve flattens.
+
+    Output per bucket: ``bucket, n_windows`` (n-gram occurrences),
+    ``n_fps`` (distinct fingerprints present), ``n_novel`` (fingerprints
+    whose FIRST bucket this is), ``novelty_rate = n_novel / n_fps``, and
+    ``cum_distinct`` (corpus-wide distinct fingerprints through this
+    bucket).
+
+    Bucketing is exact integer arithmetic — ``(id * n_buckets) div
+    (max_id + 1)`` — so the assignment is engine- and partitioning-
+    invariant (no percentile edges, no sampling).
+
+    Plan shape (100 TB): fingerprints explode map-side (``ngram_fps``);
+    the only large shuffles are the (bucket, fp) distinct and the per-fp
+    min-bucket agg — both bounded by the DISTINCT fingerprint count, with
+    map-side partial aggregation collapsing repeats before the exchange
+    (boilerplate n-grams collapse map-side, the same skew shield as
+    block_dedup).  NO join carries fp-level rows twice: per-bucket novel
+    counts come from the min-bucket table alone, present counts from the
+    distinct table alone, and the final join + cumulative window run over
+    ``n_buckets`` rows.
+    """
+    fps = ngram_fps(df, n=n, tokens_col=tokens_col, id_col=id_col)
+    mx = df.agg(F.max(F.col(id_col)).alias("__mx"))
+    bf = fps.crossJoin(F.broadcast(mx)).select(
+        F.expr(f"({id_col} * {int(n_buckets)}) div (__mx + 1)")
+        .cast("int")
+        .alias("bucket"),
+        "fp",
+    )
+    occ = bf.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_windows"))
+    d = bf.distinct()
+    per = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_fps"))
+    fb = d.groupBy("fp").agg(F.min("bucket").alias("bucket"))
+    nov = fb.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_novel"))
+    j = (
+        per.join(occ, "bucket")
+        .join(nov, "bucket", "left")
+        .select(
+            "bucket",
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.col("n_fps").cast("long").alias("n_fps"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return j.select(
+        "bucket",
+        "n_windows",
+        "n_fps",
+        "n_novel",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_fps").cast("double"), round_to
+        ).alias("novelty_rate"),
+        F.sum("n_novel").over(w).cast("long").alias("cum_distinct"),
+    ).orderBy("bucket")

@@ -428,3 +428,49 @@ def test_bigram_pmi_topk(spark):
     assert top["c_ab"] == 20
     # every returned pair clears the floor
     assert all(r["c_ab"] >= 3 for r in out)
+
+
+def test_novelty_curve_saturation(spark):
+    """A corpus whose later docs repeat earlier content must show decaying
+    novelty; counts must match a brute-force python oracle."""
+    import hashlib
+
+    import numpy as np
+
+    from esa_pfa_spark.operators.tokens import novelty_curve
+
+    rng = np.random.default_rng(5)
+    docs = []
+    for i in range(20):
+        if i < 10:
+            toks = rng.integers(0, 50, 30).tolist()  # fresh material
+        else:
+            toks = docs[i - 10][1]  # verbatim repeat of the first half
+        docs.append((i, toks))
+    df = spark.createDataFrame(
+        [(i, [int(t) for t in ts]) for i, ts in docs], "doc_id long, tokens array<int>"
+    )
+    out = novelty_curve(df, n=8, n_buckets=4).collect()
+
+    # brute-force oracle
+    def fp(win):
+        return hashlib.md5(",".join(str(t) for t in win).encode()).hexdigest()
+
+    buckets: dict[int, list[str]] = {}
+    for i, ts in docs:
+        b = (i * 4) // 20
+        for s in range(len(ts) - 7):
+            buckets.setdefault(b, []).append(fp(ts[s : s + 8]))
+    seen: set[str] = set()
+    for r in out:
+        fps = buckets[r["bucket"]]
+        dset = set(fps)
+        novel = dset - seen
+        assert r["n_windows"] == len(fps)
+        assert r["n_fps"] == len(dset)
+        assert r["n_novel"] == len(novel)
+        seen |= dset
+        assert r["cum_distinct"] == len(seen)
+    # the repeated half contributes (almost) nothing new
+    rates = {r["bucket"]: r["novelty_rate"] for r in out}
+    assert rates[0] > 0.9 and rates[2] < 0.1 and rates[3] < 0.1
