@@ -5702,6 +5702,74 @@ FROM j ORDER BY bucket
 """
 
 
+
+def q_behavior_profile(spark, sf_dir):
+    """Behavioral diversity per user (signal.behavior_profile_by_key):
+    event-type entropy (+normalized), dominant type + share; both aggs
+    hash on the user key (subset clustering, one effective shuffle)."""
+    from esa_pfa_spark.operators.signal import behavior_profile_by_key
+
+    return behavior_profile_by_key(_ld(spark, sf_dir, "events"))
+
+
+SQL_BEHAVIOR_PROFILE = """
+WITH c AS (SELECT user_id, event_type AS ty, count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+w AS (SELECT *, sum(cnt) OVER (PARTITION BY user_id) AS n FROM c),
+t AS (SELECT user_id, n, cnt, ty,
+             round(-(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+                   * ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS plogp
+      FROM w),
+a AS (SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_types,
+             sum(CAST(plogp AS DECIMAL(18,6))) AS h
+      FROM t GROUP BY 1),
+r AS (SELECT user_id, ty, cnt,
+             row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, ty ASC) AS rk
+      FROM c),
+top AS (SELECT user_id, ty AS top_type, cnt AS top_cnt FROM r WHERE rk = 1)
+SELECT a.user_id, a.n_events, a.n_types,
+       round(CAST(h AS DOUBLE), 6) AS type_entropy,
+       CASE WHEN a.n_types > 1
+            THEN round(CAST(h AS DOUBLE) / ln(CAST(a.n_types AS DOUBLE)), 6)
+       END AS type_entropy_norm,
+       top.top_type,
+       round(CAST(top_cnt AS DOUBLE) / CAST(a.n_events AS DOUBLE), 6) AS top_share
+FROM a JOIN top USING (user_id) ORDER BY a.user_id
+"""
+
+
+def q_seasonality_hour(spark, sf_dir):
+    """Daily-rhythm strength per user (signal.seasonality_strength_by_key):
+    eta^2 of value explained by hour-of-day, from exact integer micro-unit
+    cell sums; |keys|*24 cells shuffle, no window over events."""
+    from esa_pfa_spark.operators.signal import seasonality_strength_by_key
+
+    return seasonality_strength_by_key(_ld(spark, sf_dir, "events"))
+
+
+SQL_SEASONALITY_HOUR = """
+WITH e AS (SELECT user_id, hour(ts) AS h,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS yu
+           FROM events),
+c AS (SELECT user_id, h, count(*) AS nh, sum(yu) AS sh, sum(yu * yu) AS qh
+      FROM e GROUP BY 1, 2),
+t AS (SELECT *,
+             CAST(round(CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE)
+                        / CAST(nh AS DOUBLE), 6) AS DECIMAL(38,6)) AS term
+      FROM c),
+a AS (SELECT user_id, sum(nh) AS n, sum(sh) AS s, sum(qh) AS q,
+             sum(term) AS bsum, count(*) AS n_hours
+      FROM t GROUP BY 1)
+SELECT user_id, CAST(n AS BIGINT) AS n_events, CAST(n_hours AS BIGINT) AS n_hours,
+       round(greatest(least(
+         (CAST(bsum AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)),
+         1.0), 0.0), 6) AS eta2_hour
+FROM a WHERE CAST(n AS HUGEINT) * q - s * s > 0 ORDER BY user_id
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # Order matters: the driver correctness gate samples the FIRST 50 entries.
     # Round 4 leads with the two r1 driver-FAILs (fixed r2, oracle-green since,
@@ -5885,6 +5953,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "rfm_scores_5": (q_rfm_scores, SQL_RFM_SCORES),
     "acf_by_user_lag12": (q_acf_by_user, SQL_ACF_BY_USER),
     "novelty_curve_10": (q_novelty_curve, SQL_NOVELTY_CURVE),
+    "behavior_profile_by_user": (q_behavior_profile, SQL_BEHAVIOR_PROFILE),
+    "seasonality_hour_by_user": (q_seasonality_hour, SQL_SEASONALITY_HOUR),
 }
 
 

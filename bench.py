@@ -152,6 +152,8 @@ HEADLINE = [
     "rfm_scores_5",
     "acf_by_user_lag12",
     "novelty_curve_10",
+    "behavior_profile_by_user",
+    "seasonality_hour_by_user",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",

@@ -346,3 +346,130 @@ def acf_by_key(
         )
         .orderBy(key_col, "lag")
     )
+
+
+def behavior_profile_by_key(
+    df: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    round_to: int = 6,
+) -> DataFrame:
+    """Behavioral-diversity profile per entity: event count, distinct
+    event types, Shannon entropy of the type mix (+ normalized form),
+    and the dominant type with its share — the "does this user do one
+    thing or many" feature block.
+
+    Exactness: per-type plogp terms are 6dp-rounded then summed as
+    decimal (token_entropy's device — order-independent), the dominant
+    type is the exact mode with ties to the LEXICALLY SMALLEST type
+    (min over (-count, type) structs, total order).
+
+    Plan shape (100 TB): groupBy(key, type) then groupBy(key) — both
+    exchanges hash on the key (subset clustering), so the second collapses
+    into the first's partitioning; per-key state is |types| rows.
+    """
+    ex = (
+        df.groupBy(F.col(key_col), F.col(type_col).alias("__ty"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wsum = Window.partitionBy(key_col)
+    ex = ex.withColumn("__n", F.sum("cnt").over(wsum))
+    p = F.col("cnt").cast("double") / F.col("__n").cast("double")
+    plogp = F.round(-(p * F.log(p)), round_to)
+    best = F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("__ty").alias("ty")))
+    agg = ex.groupBy(key_col).agg(
+        F.max("__n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(plogp.cast("decimal(18,6)")).cast("double").alias("__h"),
+        best.alias("__best"),
+    )
+    return agg.select(
+        F.col(key_col),
+        "n_events",
+        "n_types",
+        F.round(F.col("__h"), round_to).alias("type_entropy"),
+        F.round(
+            F.when(
+                F.col("n_types") > 1,
+                F.col("__h") / F.log(F.col("n_types").cast("double")),
+            ),
+            round_to,
+        ).alias("type_entropy_norm"),
+        F.col("__best.ty").alias("top_type"),
+        F.round(
+            (-F.col("__best.nc")).cast("double") / F.col("n_events").cast("double"),
+            round_to,
+        ).alias("top_share"),
+    ).orderBy(key_col)
+
+
+def seasonality_strength_by_key(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    round_to: int = 6,
+) -> DataFrame:
+    """Hour-of-day seasonality strength per entity: eta^2 = between-hour
+    variance / total variance of the value — 0 when the hour explains
+    nothing, 1 when value is a pure function of hour.  The "does this
+    entity have a daily rhythm" feature next to trend/ACF/burstiness.
+
+    Exactness: per-(key, hour) cells carry exact integer micro-unit sums
+    (n_h, s_h, q_h); the between-group term sums 6dp-rounded
+    ``s_h^2 / n_h`` contributions as decimal (order-independent), and
+    the final eta^2 is one double expression over identical inputs.
+    Entities whose value is constant (exact integer total-variance test
+    n*q - s^2 <= 0) are dropped — eta^2 is undefined there.
+
+    Plan shape (100 TB): groupBy(key, hour) with map-side combine (cell
+    count is |keys|*24), then groupBy(key) on the same hash subset — the
+    value rows shuffle once at most; no window, no sort.
+    """
+    yu = (
+        (F.col(value_col).cast("decimal(18,6)") * F.lit(1000000).cast("decimal(7,0)"))
+        .cast("decimal(38,0)")
+    )
+    cells = (
+        df.select(
+            F.col(key_col),
+            F.hour(F.col(ts_col)).alias("__h"),
+            yu.alias("__yu"),
+        )
+        .groupBy(key_col, "__h")
+        .agg(
+            F.count(F.lit(1)).alias("nh"),
+            F.sum("__yu").alias("sh"),
+            F.sum(F.col("__yu") * F.col("__yu")).alias("qh"),
+        )
+    )
+    term = F.round(
+        F.col("sh").cast("double") * F.col("sh").cast("double")
+        / F.col("nh").cast("double"),
+        round_to,
+    ).cast("decimal(38,6)")
+    a = cells.groupBy(key_col).agg(
+        F.sum("nh").alias("n"),
+        F.sum("sh").alias("s"),
+        F.sum("qh").alias("q"),
+        F.sum(term).alias("bsum"),
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+    )
+    sst_exact = (
+        F.col("n").cast("decimal(38,0)") * F.col("q") - F.col("s") * F.col("s")
+    )
+    nD, sD, qD = (F.col(c).cast("double") for c in ("n", "s", "q"))
+    b = sD * sD / nD
+    eta2 = (F.col("bsum").cast("double") - b) / (qD - b)
+    return (
+        a.filter(sst_exact > 0)
+        .select(
+            F.col(key_col),
+            F.col("n").cast("long").alias("n_events"),
+            "n_hours",
+            F.round(F.greatest(F.least(eta2, F.lit(1.0)), F.lit(0.0)), round_to).alias(
+                "eta2_hour"
+            ),
+        )
+        .orderBy(key_col)
+    )

@@ -168,3 +168,58 @@ def test_acf_matches_numpy(spark):
             expect = float(np.corrcoef(y[:-lag], y[lag:])[0, 1])
             assert r["acf"] == pytest.approx(expect, abs=1e-6), (k, lag)
     assert out[("alt", 1)]["acf"] < -0.9 and out[("alt", 2)]["acf"] > 0.9
+
+
+def test_behavior_profile_hand_computed(spark):
+    import math
+
+    from esa_pfa_spark.operators.signal import behavior_profile_by_key
+
+    rows = (
+        [("a", "x")] * 6 + [("a", "y")] * 3 + [("a", "z")] * 1
+        + [("b", "x")] * 4                      # single-type user
+        + [("c", "p")] * 2 + [("c", "q")] * 2   # tie -> lexically smallest
+    )
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["user_id", "event_type"]))
+    out = {r["user_id"]: r for r in behavior_profile_by_key(df).collect()}
+    h_a = sum(round(-(c / 10) * math.log(c / 10), 6) for c in (6, 3, 1))
+    assert out["a"]["n_events"] == 10 and out["a"]["n_types"] == 3
+    assert out["a"]["type_entropy"] == pytest.approx(h_a, abs=1e-9)
+    assert out["a"]["type_entropy_norm"] == pytest.approx(h_a / math.log(3), abs=1e-6)
+    assert out["a"]["top_type"] == "x" and out["a"]["top_share"] == 0.6
+    assert out["b"]["type_entropy"] == 0.0 and out["b"]["type_entropy_norm"] is None
+    assert out["c"]["top_type"] == "p"  # tie at 2-2 resolves lexically
+
+
+def test_seasonality_strength_extremes(spark):
+    from esa_pfa_spark.operators.signal import seasonality_strength_by_key
+
+    rng = np.random.default_rng(9)
+    rows = []
+    # "daily": value is a pure function of hour -> eta2 == 1
+    for d in range(5):
+        for h in range(24):
+            rows.append(("daily", dt.datetime(2024, 1, 1 + d, h), float(h % 4)))
+    # "flat-ish": value independent of hour -> eta2 near 0
+    for d in range(5):
+        for h in range(24):
+            rows.append(("noisy", dt.datetime(2024, 1, 1 + d, h), float(rng.normal(0, 1))))
+    # "const": zero total variance -> dropped
+    for h in range(10):
+        rows.append(("const", dt.datetime(2024, 1, 1, h), 7.0))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["user_id", "ts", "value"]))
+    out = {r["user_id"]: r for r in seasonality_strength_by_key(df).collect()}
+    assert "const" not in out
+    assert out["daily"]["eta2_hour"] == 1.0
+    assert out["noisy"]["eta2_hour"] < 0.35
+    # numpy cross-check on the noisy one: eta2 = SSB/SST
+    vals = [r[2] for r in rows if r[0] == "noisy"]
+    hours = [r[1].hour for r in rows if r[0] == "noisy"]
+    y = np.round(np.array(vals), 6)
+    hh = np.array(hours)
+    mean = y.mean()
+    ssb = sum(
+        len(y[hh == h]) * (y[hh == h].mean() - mean) ** 2 for h in set(hours)
+    )
+    sst = ((y - mean) ** 2).sum()
+    assert out["noisy"]["eta2_hour"] == pytest.approx(ssb / sst, abs=1e-4)
