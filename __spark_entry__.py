@@ -5770,6 +5770,53 @@ FROM a WHERE CAST(n AS HUGEINT) * q - s * s > 0 ORDER BY user_id
 """
 
 
+
+def q_embedding_drift(spark, sf_dir):
+    """Embedding-space drift per label (similarity.embedding_drift):
+    1 - cos between first-half and second-half ingest centroids; exact
+    decimal element sums, the only row-scale shuffle is the
+    (label, period, dim) partial agg."""
+    from esa_pfa_spark.operators.similarity import embedding_drift
+
+    emb = _ld(spark, sf_dir, "embeddings")
+    mx = emb.agg(F.max("vec_id").alias("__mx"))
+    lab = emb.crossJoin(F.broadcast(mx)).withColumn(
+        "period",
+        F.when(F.expr("(vec_id * 2) div (__mx + 1)") == 0, "base").otherwise("cur"),
+    )
+    return embedding_drift(lab, group_col="label")
+
+
+SQL_EMBEDDING_DRIFT = """
+WITH mx AS (SELECT max(vec_id) AS mx FROM embeddings),
+lab AS (SELECT label,
+               CASE WHEN (vec_id * 2) // (mx + 1) = 0 THEN 'base' ELSE 'cur' END AS p,
+               embedding
+        FROM embeddings, mx),
+ex AS (SELECT label, p, i - 1 AS dim,
+              CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6)) AS v6
+       FROM lab, generate_series(1, 64) AS t(i)),
+cells AS (SELECT label, p, dim, count(*) AS n, sum(v6) AS s FROM ex GROUP BY 1, 2, 3),
+m AS (SELECT label, p, dim,
+             CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DECIMAL(18,6)) AS m
+      FROM cells),
+b AS (SELECT label, dim,
+             max(CASE WHEN p = 'base' THEN m END) AS ma,
+             max(CASE WHEN p = 'cur' THEN m END) AS mb
+      FROM m GROUP BY 1, 2),
+a AS (SELECT label, count(*) AS n_dims,
+             sum(ma * mb) AS num, sum(ma * ma) AS na, sum(mb * mb) AS nb
+      FROM b WHERE ma IS NOT NULL AND mb IS NOT NULL GROUP BY 1
+      HAVING sum(ma * ma) > 0 AND sum(mb * mb) > 0)
+SELECT label, CAST(n_dims AS BIGINT) AS n_dims,
+       round(CAST(num AS DOUBLE)
+             / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS centroid_cos,
+       round(1.0 - CAST(num AS DOUBLE)
+             / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS drift
+FROM a ORDER BY label
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # Order matters: the driver correctness gate samples the FIRST 50 entries.
     # Round 4 leads with the two r1 driver-FAILs (fixed r2, oracle-green since,
@@ -5955,6 +6002,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "novelty_curve_10": (q_novelty_curve, SQL_NOVELTY_CURVE),
     "behavior_profile_by_user": (q_behavior_profile, SQL_BEHAVIOR_PROFILE),
     "seasonality_hour_by_user": (q_seasonality_hour, SQL_SEASONALITY_HOUR),
+    "embedding_drift_by_label": (q_embedding_drift, SQL_EMBEDDING_DRIFT),
 }
 
 

@@ -154,6 +154,7 @@ HEADLINE = [
     "novelty_curve_10",
     "behavior_profile_by_user",
     "seasonality_hour_by_user",
+    "embedding_drift_by_label",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",

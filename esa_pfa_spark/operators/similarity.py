@@ -853,3 +853,72 @@ def pq_train_codebooks(
         return books
     finally:
         scaled.unpersist()
+
+
+def embedding_drift(
+    df: DataFrame,
+    group_col: str = "label",
+    period_col: str = "period",
+    base: str = "base",
+    current: str = "cur",
+    emb_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-space drift monitor: per group, the cosine between the
+    BASE-period centroid and the CURRENT-period centroid, reported as
+    ``drift = 1 - cos`` — the semantic companion to the numeric gates
+    (psi_drift / ks_drift): a source whose meaning shifts moves its
+    centroid even when every scalar stat holds still.
+
+    Exactness across engines: element values snap to the 6dp decimal grid
+    and accumulate as EXACT decimal sums (order-independent, unlike a
+    float mean); per-dim centroids round at 6dp and re-enter decimal, so
+    the dot products and squared norms are again exact decimal sums over
+    dims — one double expression (num / (sqrt(na) * sqrt(nb))) at the
+    very end.  No fold order anywhere.
+
+    Plan shape (100 TB): posexplode is map-side; the only row-scale
+    shuffle is the (group, period, dim) partial agg — downstream tables
+    are |groups| * dims * 2 rows, then |groups|.  Groups with either
+    period empty or a zero-norm centroid are dropped (cosine undefined).
+    """
+    per = F.col(period_col)
+    v6 = F.col("v").cast("double").cast("decimal(18,6)")
+    cells = (
+        df.filter(per.isin([base, current]))
+        .select(group_col, per.alias("__p"), F.posexplode(emb_col).alias("dim", "v"))
+        .groupBy(group_col, "__p", "dim")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(v6).alias("s"))
+        .select(
+            group_col,
+            "__p",
+            "dim",
+            F.round(F.col("s").cast("double") / F.col("n").cast("double"), round_to)
+            .cast("decimal(18,6)")
+            .alias("m"),
+        )
+    )
+    both = cells.groupBy(group_col, "dim").agg(
+        F.max(F.when(F.col("__p") == base, F.col("m"))).alias("ma"),
+        F.max(F.when(F.col("__p") == current, F.col("m"))).alias("mb"),
+    )
+    a = (
+        both.filter(F.col("ma").isNotNull() & F.col("mb").isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dims"),
+            F.sum(F.col("ma") * F.col("mb")).alias("num"),
+            F.sum(F.col("ma") * F.col("ma")).alias("na"),
+            F.sum(F.col("mb") * F.col("mb")).alias("nb"),
+        )
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+    )
+    cos = F.col("num").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return a.select(
+        F.col(group_col),
+        "n_dims",
+        F.round(cos, round_to).alias("centroid_cos"),
+        F.round(F.lit(1.0) - cos, round_to).alias("drift"),
+    ).orderBy(group_col)

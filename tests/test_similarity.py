@@ -401,3 +401,36 @@ def test_pq_fused_trainer_parity(spark):
     assert (got == want).all()
     rep = pq_train_codebooks(emb.repartition(7), m=4, ks=8, n_iter=2)
     assert (rep == want).all()
+
+
+def test_embedding_drift_direction(spark):
+    """Identical periods -> drift 0; an orthogonally shifted current period
+    -> large drift; numpy cross-check of the cosine."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from esa_pfa_spark.operators.similarity import embedding_drift
+
+    rng = np.random.default_rng(13)
+    base_a = rng.normal(0, 1, (30, 16)).astype(np.float32)
+    rows = []
+    for v in base_a:
+        rows.append(("stable", "base", [float(x) for x in v]))
+        rows.append(("stable", "cur", [float(x) for x in v]))  # same cloud
+    shift = np.zeros(16, dtype=np.float32)
+    shift[0] = 5.0
+    for v in base_a:
+        rows.append(("moved", "base", [float(x) for x in v]))
+        rows.append(("moved", "cur", [float(x) for x in (v + shift)]))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["label", "period", "embedding"])
+    )
+    out = {r["label"]: r for r in embedding_drift(df).collect()}
+    assert out["stable"]["drift"] == pytest.approx(0.0, abs=1e-6)
+    # numpy oracle on the 6dp-rounded centroids
+    ca = np.round(np.round(base_a.astype(np.float64), 6).mean(axis=0), 6)
+    cb = np.round(np.round((base_a + shift).astype(np.float64), 6).mean(axis=0), 6)
+    cos = float(ca @ cb / (np.linalg.norm(ca) * np.linalg.norm(cb)))
+    assert out["moved"]["centroid_cos"] == pytest.approx(cos, abs=1e-4)
+    assert out["moved"]["drift"] > 0.3
