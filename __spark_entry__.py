@@ -5817,16 +5817,71 @@ FROM a ORDER BY label
 """
 
 
+
+def q_bitemporal_asof(spark, sf_dir):
+    """Bitemporal as-of (asof.asof_join_bitemporal): observations carry a
+    deterministic publication lag (event_id % 49 hours) and every 5th
+    event is RESTATED 7 days later (+100); probes one day after each 3rd
+    event must see exactly what was knowable then — the zero-leakage
+    lookup.  Same 1-Exchange union+window shape as the flagship as-of."""
+    from esa_pfa_spark.operators.asof import asof_join_bitemporal
+
+    ev = _ld(spark, sf_dir, "events")
+    lag = F.expr("make_interval(0, 0, 0, 0, CAST(event_id % 49 AS INT), 0, 0)")
+    obs = ev.select(
+        "user_id", "ts", (F.col("ts") + lag).alias("knowledge_ts"), "value"
+    ).unionByName(
+        ev.filter(F.col("event_id") % 5 == 0).select(
+            "user_id",
+            "ts",
+            (F.col("ts") + F.expr("INTERVAL 7 DAY")).alias("knowledge_ts"),
+            (F.col("value") + 100).alias("value"),
+        )
+    )
+    probes = ev.filter(F.col("event_id") % 3 == 0).select(
+        F.col("event_id").alias("probe_id"),
+        "user_id",
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("query_ts"),
+    )
+    return asof_join_bitemporal(
+        probes, obs, on="user_id", tolerance=dt.timedelta(days=3)
+    ).orderBy("probe_id")
+
+
+SQL_BITEMPORAL_ASOF = """
+WITH obs AS (
+  SELECT user_id, ts, ts + (INTERVAL 1 HOUR) * (event_id % 49) AS kts, value
+  FROM events
+  UNION ALL
+  SELECT user_id, ts, ts + INTERVAL 7 DAY, value + 100
+  FROM events WHERE event_id % 5 = 0),
+p AS (SELECT event_id AS probe_id, user_id, ts + INTERVAL 1 DAY AS query_ts
+      FROM events WHERE event_id % 3 = 0),
+j AS (SELECT p.probe_id, p.user_id, p.query_ts,
+             o.ts AS mts, o.kts, o.value,
+             row_number() OVER (PARTITION BY p.probe_id
+                                ORDER BY o.ts DESC, o.kts DESC, o.value DESC) AS rk
+      FROM p LEFT JOIN obs o
+        ON o.user_id = p.user_id
+       AND greatest(o.kts, o.ts) <= p.query_ts
+       AND o.ts >= p.query_ts - INTERVAL 3 DAY)
+SELECT user_id, probe_id, query_ts, mts AS matched_ts,
+       kts AS matched_knowledge_ts, value
+FROM j WHERE rk = 1 ORDER BY probe_id
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # Order matters: the driver correctness gate samples the FIRST 50 entries.
     # Round 4 leads with the two r1 driver-FAILs (fixed r2, oracle-green since,
     # never driver-reconfirmed) then the queries never driver-sampled in r1-r3.
     # ROUND-5 ROTATION NOTE: the r4 operator wave (pit_decay_features_1d
-    # through span_corruption_masks, appended at the END of this dict) plus
-    # the never-reached middle block (decontaminate_bloom_8g..nonreuse_pairs_
-    # synth, positions 50-68) have no driver row yet — promote them into the
-    # first 50 next round; everything sampled in r1-r4 stays covered by
-    # tests/test_entry_oracle.py locally.
+    # through span_corruption_masks, appended at the END of this dict), the
+    # r4 LATE wave (trend_by_user..embedding_drift_by_label, the very tail),
+    # plus the never-reached middle block (decontaminate_bloom_8g..
+    # nonreuse_pairs_synth, positions 50-68) have no driver row yet — promote
+    # them into the first 50 next round; everything sampled in r1-r4 stays
+    # covered by tests/test_entry_oracle.py locally.
     "grid_adjacency_counts": (q_grid_adjacency, SQL_GRID_ADJACENCY),
     "grid_connectivity": (q_grid_connectivity, SQL_GRID_CONNECTIVITY),
     "zscore_by_user": (q_zscore_by_user, SQL_ZSCORE_BY_USER),
@@ -6003,6 +6058,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "behavior_profile_by_user": (q_behavior_profile, SQL_BEHAVIOR_PROFILE),
     "seasonality_hour_by_user": (q_seasonality_hour, SQL_SEASONALITY_HOUR),
     "embedding_drift_by_label": (q_embedding_drift, SQL_EMBEDDING_DRIFT),
+    "bitemporal_asof_3d": (q_bitemporal_asof, SQL_BITEMPORAL_ASOF),
 }
 
 

@@ -155,6 +155,7 @@ HEADLINE = [
     "behavior_profile_by_user",
     "seasonality_hour_by_user",
     "embedding_drift_by_label",
+    "bitemporal_asof_3d",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",

@@ -628,3 +628,121 @@ def asof_staleness_profile(
         )
         .orderBy(group_name)
     )
+
+
+def asof_join_bitemporal(
+    probes: DataFrame,
+    observations: DataFrame,
+    on: str | list[str] = "entity_id",
+    probe_ts: str = "query_ts",
+    obs_ts: str = "ts",
+    knowledge_ts: str = "knowledge_ts",
+    payload: Iterable[str] | None = None,
+    tolerance=None,
+) -> DataFrame:
+    """Bitemporal (event-time x knowledge-time) backward as-of join: for
+    each probe, the observation with the LATEST event time whose
+    ``knowledge_ts`` (publication / restatement time) is <= the probe's
+    ``query_ts`` — among multiple versions of the same event the latest
+    restatement KNOWN BY THEN wins.  This is the zero-leakage form when
+    facts arrive late or get corrected: a plain as-of over
+    latest-restatement rows silently trains on corrections that did not
+    exist at query time (the classic feature-store leak; the contrast is
+    pinned in tests/test_asof.py).
+
+    Semantics per probe (key k, time q):
+      match = argmax_{(obs_ts, knowledge_ts)} { o : o.key = k,
+              effective_k(o) <= q }          (inclusive at equality)
+      where effective_k = greatest(knowledge_ts, obs_ts) — a fact can
+      never be known before it happens, so a malformed early
+      knowledge_ts cannot leak a future observation.
+      tolerance: matches older than q - tolerance null out (probe rows
+      are never dropped — asof_join's contract).
+
+    Versions of one event are expected unique on (key, obs_ts,
+    knowledge_ts); exact ties beyond that resolve by the payload's
+    struct order (deterministic, documented, not meaningful).
+
+    Plan shape (100 TB): IDENTICAL to the flagship union+window as-of —
+    one Exchange on the key, one in-partition sort by effective
+    knowledge time, and a running ``max(struct(obs_ts, knowledge_ts,
+    payload...))`` fill (aggregates skip the null probe structs).  The
+    2-D dominance query (obs_ts <= q AND k_ts <= q) collapses to 1-D
+    because effective_k >= obs_ts: every observation in the knowledge
+    prefix already satisfies the event-time bound.
+
+    Reference parity: the bi-temporal pairing regime of
+    pfa-bitemp-fex/.../FindPatchPairs.java:57-76 (earlier product paired
+    to the latest available later acquisition), generalized to
+    restatement-correct feature lookup.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = list(payload) if payload is not None else [
+        c for c in observations.columns if c not in keys + [obs_ts, knowledge_ts]
+    ]
+    probe_cols = [c for c in probes.columns if c not in keys + [probe_ts]]
+    _PAY = "__bt_payload"
+    _KTS = "matched_knowledge_ts"
+
+    eff_k = F.greatest(F.col(knowledge_ts), F.col(obs_ts))
+    obs_side = observations.select(
+        *keys,
+        eff_k.alias(_TS),
+        F.lit(0).alias(_TAG),
+        F.struct(
+            F.col(obs_ts).alias(_MATCH),
+            F.col(knowledge_ts).alias(_KTS),
+            *[F.col(c) for c in payload],
+        ).alias(_PAY),
+        *[
+            F.lit(None).cast(probes.schema[c].dataType).alias(f"__p_{c}")
+            for c in probe_cols
+        ],
+    )
+    pay_type = obs_side.schema[_PAY].dataType
+    probe_side = probes.select(
+        *keys,
+        F.col(probe_ts).alias(_TS),
+        F.lit(1).alias(_TAG),
+        F.lit(None).cast(pay_type).alias(_PAY),
+        *[F.col(c).alias(f"__p_{c}") for c in probe_cols],
+    )
+    unioned = obs_side.unionByName(probe_side)
+    # obs (tag 0) sorts before an equal-time probe -> a fact published
+    # exactly at query_ts is known (inclusive), matching asof_join's tie rule
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(_TS).asc(), F.col(_TAG).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *keys,
+        F.col(_TS),
+        F.col(_TAG),
+        F.max(_PAY).over(w).alias(_PAY),
+        *[F.col(f"__p_{c}") for c in probe_cols],
+    ).filter(F.col(_TAG) == 1)
+    filled = filled.select(
+        *keys,
+        F.col(_TS),
+        F.col(_PAY)[_MATCH].alias(_MATCH),
+        F.col(_PAY)[_KTS].alias(_KTS),
+        *[F.col(_PAY)[c].alias(c) for c in payload],
+        *[F.col(f"__p_{c}") for c in probe_cols],
+    )
+    tol_s = _tolerance_seconds(tolerance)
+    if tol_s is not None:
+        delta_us = ts_diff_us(_TS, _MATCH)
+        in_tol = F.col(_MATCH).isNotNull() & (delta_us <= F.lit(int(tol_s * 1e6)))
+        filled = filled.select(
+            *keys,
+            F.col(_TS),
+            F.when(in_tol, F.col(_MATCH)).alias(_MATCH),
+            F.when(in_tol, F.col(_KTS)).alias(_KTS),
+            *[F.when(in_tol, F.col(c)).alias(c) for c in payload],
+            *[F.col(f"__p_{c}") for c in probe_cols],
+        )
+    out = filled.withColumnRenamed(_TS, probe_ts)
+    for c in probe_cols:
+        out = out.withColumnRenamed(f"__p_{c}", c)
+    return out.select(*keys, *probe_cols, probe_ts, _MATCH, _KTS, *payload)

@@ -444,3 +444,131 @@ def test_asof_staleness_profile(spark):
     stales = [1800.0, 600.0]
     assert abs(r["stale_p50_s"] - float(np.percentile(stales, 50))) < 1e-6
     assert r["stale_max_s"] == 1800.0
+
+
+# ---------- bitemporal (event-time x knowledge-time) ----------
+
+def _bt_obs(spark):
+    """One entity, two events; the first event is RESTATED later.
+    (obs_ts, knowledge_ts, value):
+      e1 v1: day0, known day0+2h, 10.0
+      e1 v2: day0, known day5,    99.0   (restatement)
+      e2:    day3, known day4,    20.0   (published with 1d lag)
+    """
+    pdf = pd.DataFrame(
+        {
+            "entity_id": ["a", "a", "a"],
+            "ts": [T0, T0, T0 + dt.timedelta(days=3)],
+            "knowledge_ts": [
+                T0 + dt.timedelta(hours=2),
+                T0 + dt.timedelta(days=5),
+                T0 + dt.timedelta(days=4),
+            ],
+            "value": [10.0, 99.0, 20.0],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_bitemporal_restatement_correctness(spark):
+    from esa_pfa_spark.operators.asof import asof_join_bitemporal
+
+    probes = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "entity_id": ["a"] * 5,
+                "query_ts": [
+                    T0 + dt.timedelta(days=1),      # only v1 known -> 10
+                    T0 + dt.timedelta(days=3, hours=12),  # e2 happened, NOT yet known -> 10
+                    T0 + dt.timedelta(days=4, hours=12),  # e2 known -> 20
+                    T0 + dt.timedelta(days=6),      # restatement known, but e2 is NEWER -> 20
+                    T0 + dt.timedelta(hours=1),     # before anything known -> null
+                ],
+            }
+        )
+    )
+    out = asof_join_bitemporal(probes, _bt_obs(spark)).orderBy("query_ts").collect()
+    assert [r["value"] for r in out] == [None, 10.0, 10.0, 20.0, 20.0]
+    # the day-6 probe matches e2 with e2's knowledge stamp, not the restatement's
+    assert out[4]["matched_ts"] == T0 + dt.timedelta(days=3)
+    assert out[4]["matched_knowledge_ts"] == T0 + dt.timedelta(days=4)
+
+
+def test_bitemporal_blocks_leak_plain_asof_commits(spark):
+    """The leakage pin: a plain as-of over latest-restatement rows serves
+    the day-5 correction to a day-1 probe; the bitemporal join does not."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    from esa_pfa_spark.operators.asof import asof_join, asof_join_bitemporal
+
+    obs = _bt_obs(spark)
+    latest = (
+        obs.withColumn(
+            "__rk",
+            F.row_number().over(
+                W.partitionBy("entity_id", "ts").orderBy(F.col("knowledge_ts").desc())
+            ),
+        )
+        .filter("__rk = 1")
+        .drop("__rk", "knowledge_ts")
+    )
+    probe = spark.createDataFrame(
+        pd.DataFrame({"entity_id": ["a"], "query_ts": [T0 + dt.timedelta(days=1)]})
+    )
+    naive = asof_join(probe, latest).collect()[0]
+    correct = asof_join_bitemporal(probe, obs).collect()[0]
+    assert naive["value"] == 99.0      # trained on a correction from the future
+    assert correct["value"] == 10.0    # what was actually known on day 1
+
+
+def test_bitemporal_tolerance_and_degenerate_knowledge(spark):
+    from esa_pfa_spark.operators.asof import asof_join_bitemporal
+
+    obs = _bt_obs(spark)
+    probes = spark.createDataFrame(
+        pd.DataFrame(
+            {"entity_id": ["a"], "query_ts": [T0 + dt.timedelta(days=40)]}
+        )
+    )
+    out = asof_join_bitemporal(probes, obs, tolerance=dt.timedelta(days=7)).collect()[0]
+    assert out["value"] is None and out["matched_ts"] is None
+    # a malformed knowledge_ts BEFORE the event must not leak the future:
+    bad = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "entity_id": ["a"],
+                "ts": [T0 + dt.timedelta(days=10)],
+                "knowledge_ts": [T0],  # "known" before it happened
+                "value": [7.0],
+            }
+        )
+    )
+    p = spark.createDataFrame(
+        pd.DataFrame({"entity_id": ["a"], "query_ts": [T0 + dt.timedelta(days=1)]})
+    )
+    r = asof_join_bitemporal(p, bad).collect()[0]
+    assert r["value"] is None  # effective_k = greatest(k, ts) blocks it
+
+
+def test_bitemporal_reduces_to_plain_asof_without_lag(spark):
+    """knowledge_ts == obs_ts everywhere -> identical matches to the plain
+    backward as-of on random timelines."""
+    import numpy as np
+
+    from esa_pfa_spark.operators.asof import asof_join, asof_join_bitemporal
+
+    rng = np.random.default_rng(17)
+    obs_rows, probe_rows = [], []
+    for k in range(8):
+        for t in sorted(rng.choice(5000, size=30, replace=False).tolist()):
+            obs_rows.append((f"k{k}", T0 + dt.timedelta(minutes=int(t)), float(t)))
+        for t in rng.choice(5000, size=15, replace=False).tolist():
+            probe_rows.append((f"k{k}", T0 + dt.timedelta(minutes=int(t))))
+    obs = spark.createDataFrame(pd.DataFrame(obs_rows, columns=["entity_id", "ts", "value"]))
+    probes = spark.createDataFrame(pd.DataFrame(probe_rows, columns=["entity_id", "query_ts"]))
+    bt = asof_join_bitemporal(
+        probes, obs.withColumn("knowledge_ts", obs["ts"]), tolerance=dt.timedelta(days=1)
+    ).drop("matched_knowledge_ts")
+    plain = asof_join(probes, obs, tolerance=dt.timedelta(days=1))
+    assert bt.exceptAll(plain).count() == 0 and plain.exceptAll(bt).count() == 0

@@ -507,3 +507,22 @@ def test_acf_single_exchange(spark):
     plan = plan_of(acf_by_key(df, lags=(1, 2, 3)), "simple")
     hash_ex = len(re.findall(r"Exchange hashpartitioning", plan))
     assert hash_ex == 1, f"expected one hash Exchange (window reused by agg):\n{plan}"
+
+
+def test_bitemporal_asof_single_exchange(spark):
+    """asof_join_bitemporal keeps the flagship as-of plan shape: ONE hash
+    Exchange on the key for the union+window fill."""
+    from pyspark.sql import functions as F
+    import datetime as dtm
+
+    from esa_pfa_spark.operators.asof import asof_join_bitemporal
+
+    ev = entry_mod._ld(spark, SF_DIR, "events")
+    obs = ev.select("user_id", "ts", F.col("ts").alias("knowledge_ts"), "value")
+    probes = ev.select("event_id", "user_id", F.col("ts").alias("query_ts"))
+    plan = plan_of(
+        asof_join_bitemporal(probes, obs, on="user_id", tolerance=dtm.timedelta(days=3)),
+        "simple",
+    )
+    hash_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert hash_ex == 1, f"bitemporal as-of must stay a 1-Exchange plan:\n{plan}"
