@@ -107,3 +107,75 @@ def stream_asof_features(
         .trigger(**(trigger or {"availableNow": True}))
     )
     return writer.start()
+
+
+def bitemporal_batch_enricher(
+    observations: DataFrame,
+    sink_path: str,
+    *,
+    on: str | list[str] = "entity_id",
+    probe_ts: str = "query_ts",
+    obs_ts: str = "ts",
+    knowledge_ts: str = "knowledge_ts",
+    payload: Iterable[str] | None = None,
+    tolerance=None,
+):
+    """Bitemporal variant of ``batch_enricher``: each micro-batch of probes
+    is served with ``asof_join_bitemporal`` (restatement-correct — only
+    versions whose knowledge_ts precedes the probe's query_ts are
+    visible), same idempotent ``batch_id=<id>`` overwrite sink.  The
+    observation table may be refreshed between batches; because every
+    version row is retained (restatements append, never update), a
+    replayed batch re-reads a SUPERSET of versions yet still computes the
+    same answer for old query_ts values — the bitemporal filter makes the
+    enrichment naturally replay-stable."""
+
+    def _enrich(batch_df: DataFrame, batch_id: int) -> None:
+        from esa_pfa_spark.operators.asof import asof_join_bitemporal
+
+        out = asof_join_bitemporal(
+            batch_df,
+            observations,
+            on=on,
+            probe_ts=probe_ts,
+            obs_ts=obs_ts,
+            knowledge_ts=knowledge_ts,
+            payload=payload,
+            tolerance=tolerance,
+        )
+        out.write.mode("overwrite").parquet(f"{sink_path}/batch_id={int(batch_id)}")
+
+    return _enrich
+
+
+def stream_bitemporal_features(
+    probe_stream: DataFrame,
+    observations: DataFrame,
+    sink_path: str,
+    checkpoint_path: str,
+    on: str | list[str] = "entity_id",
+    probe_ts: str = "query_ts",
+    obs_ts: str = "ts",
+    knowledge_ts: str = "knowledge_ts",
+    payload: Iterable[str] | None = None,
+    tolerance=None,
+    trigger: dict | None = None,
+):
+    """Streaming restatement-correct feature lookup; see
+    ``stream_asof_features`` for the execution/idempotency contract."""
+    _enrich = bitemporal_batch_enricher(
+        observations,
+        sink_path,
+        on=on,
+        probe_ts=probe_ts,
+        obs_ts=obs_ts,
+        knowledge_ts=knowledge_ts,
+        payload=payload,
+        tolerance=tolerance,
+    )
+    writer = (
+        probe_stream.writeStream.foreachBatch(_enrich)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(**(trigger or {"availableNow": True}))
+    )
+    return writer.start()

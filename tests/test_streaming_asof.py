@@ -186,3 +186,58 @@ def test_stream_chunk_tokens_stateless(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_bitemporal_matches_batch(spark, tmp_path):
+    """Streamed bitemporal enrichment == the batch operator on the union of
+    probes, and every served value respects BOTH temporal dimensions."""
+    from esa_pfa_spark.operators.asof import asof_join_bitemporal
+    from esa_pfa_spark.streaming.asof import stream_bitemporal_features
+
+    src, sink, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    # versioned observations: the T0 event is restated at +6h (v 99)
+    obs = spark.createDataFrame(
+        [
+            ("a", T0, T0 + dt.timedelta(hours=1), 1.0),
+            ("a", T0, T0 + dt.timedelta(hours=6), 99.0),
+            ("a", T0 + dt.timedelta(hours=4), T0 + dt.timedelta(hours=5), 2.0),
+            ("b", T0 + dt.timedelta(hours=1), T0 + dt.timedelta(hours=1), 10.0),
+        ],
+        "entity_id string, ts timestamp, knowledge_ts timestamp, v double",
+    )
+    batches = _probes(3, base=T0 + dt.timedelta(hours=1))
+    for rows in batches:
+        spark.createDataFrame(
+            rows, "entity_id string, query_ts timestamp"
+        ).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema("entity_id string, query_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_bitemporal_features(
+        stream, obs, str(sink), str(ckpt), tolerance=dt.timedelta(hours=12)
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.read.parquet(str(sink))
+        .toPandas()
+        .sort_values(["entity_id", "query_ts"])
+        .reset_index(drop=True)
+    )
+    all_probes = spark.createDataFrame(
+        [r for rows in batches for r in rows], "entity_id string, query_ts timestamp"
+    )
+    want = (
+        asof_join_bitemporal(all_probes, obs, tolerance=dt.timedelta(hours=12))
+        .toPandas()
+        .sort_values(["entity_id", "query_ts"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    m = got.dropna(subset=["matched_ts"])
+    assert (m["matched_ts"] <= m["query_ts"]).all()
+    assert (m["matched_knowledge_ts"] <= m["query_ts"]).all()  # no restatement leak
+    # the probe at +1:30 must see v=1.0 (original), not the later 99 restatement
+    early = got[(got["entity_id"] == "a")].iloc[0]
+    assert early["v"] == 1.0
