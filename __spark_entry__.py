@@ -5871,6 +5871,39 @@ FROM j WHERE rk = 1 ORDER BY probe_id
 """
 
 
+
+def q_hashed_cross(spark, sf_dir):
+    """Feature-hashing trick (encode.hashed_cross): (event_type x hour)
+    crosses bucketed portably at 64; map-only assignment, one tiny count
+    agg for the oracle view (bucket load + collision count)."""
+    from esa_pfa_spark.operators.encode import hashed_cross
+
+    ev = _ld(spark, sf_dir, "events").withColumn("hour", F.hour("ts"))
+    hc = hashed_cross(ev, ["event_type", "hour"], n_buckets=64)
+    return (
+        hc.groupBy("cross_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("event_type", "hour").cast("long").alias("n_crosses"),
+        )
+        .orderBy("cross_bucket")
+    )
+
+
+SQL_HASHED_CROSS = """
+WITH h AS (SELECT event_type, hour(ts) AS hr FROM events),
+b AS (SELECT CAST(CAST(('0x' || substr(md5(concat_ws(chr(31), '0',
+               coalesce(CAST(event_type AS VARCHAR), chr(0) || 'null'),
+               coalesce(CAST(hr AS VARCHAR), chr(0) || 'null'))), 1, 6))
+             AS INTEGER) % 64 AS INT) AS cross_bucket,
+             event_type, hr
+      FROM h)
+SELECT cross_bucket, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT (event_type, hr)) AS BIGINT) AS n_crosses
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # Order matters: the driver correctness gate samples the FIRST 50 entries.
     # Round 4 leads with the two r1 driver-FAILs (fixed r2, oracle-green since,
@@ -6059,6 +6092,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "seasonality_hour_by_user": (q_seasonality_hour, SQL_SEASONALITY_HOUR),
     "embedding_drift_by_label": (q_embedding_drift, SQL_EMBEDDING_DRIFT),
     "bitemporal_asof_3d": (q_bitemporal_asof, SQL_BITEMPORAL_ASOF),
+    "hashed_cross_64": (q_hashed_cross, SQL_HASHED_CROSS),
 }
 
 

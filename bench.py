@@ -156,6 +156,7 @@ HEADLINE = [
     "seasonality_hour_by_user",
     "embedding_drift_by_label",
     "bitemporal_asof_3d",
+    "hashed_cross_64",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",

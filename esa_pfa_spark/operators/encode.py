@@ -180,3 +180,35 @@ def quantile_bins(
     arr = F.array(*[F.lit(e) for e in edges])
     bin_ = F.size(F.filter(arr, lambda e: F.col(value) >= e))
     return df.withColumn(out_col, bin_.cast("int"))
+
+
+def hashed_cross(
+    df: DataFrame,
+    cols: list[str] | tuple[str, ...],
+    n_buckets: int = 1024,
+    seed: int = 0,
+    out_col: str = "cross_bucket",
+) -> DataFrame:
+    """The feature-hashing trick for categorical CROSSES: bucket the
+    concatenation of ``cols`` into ``n_buckets`` via a portable md5 hash —
+    the bounded-cardinality stand-in for one-hot crossing when the raw
+    cross (|A|x|B|x...) would explode the feature space (Weinberger et
+    al. 2009).  NULL components encode as a sentinel so (NULL, x) and
+    ("", x) land in different buckets; a unit separator (0x1f) between
+    components keeps ("ab", "c") and ("a", "bc") apart.
+
+    Deterministic in (seed, values): partitioning/engine invariant —
+    training and serving compute identical buckets with no vocabulary to
+    ship.  Map-only (0 exchanges); the md5 is one JVM expression, no UDF.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols
+    ]
+    key = F.concat_ws("\x1f", F.lit(f"{seed}"), *parts)
+    bucket = (
+        F.conv(F.substring(F.md5(key), 1, 6), 16, 10).cast("int")
+        % F.lit(int(n_buckets))
+    ).cast("int")
+    return df.withColumn(out_col, bucket)

@@ -138,3 +138,32 @@ def test_profile_approx_distinct_within_5pct(spark):
         ev, columns=["user_id", "event_type"], exact_distinct=False).collect()}
     for c in exact:
         assert abs(approx[c] - exact[c]) <= max(1, 0.05 * exact[c]), c
+
+
+def test_hashed_cross_properties(spark):
+    """Determinism, bucket range, separator safety ((\"ab\",\"c\") vs
+    (\"a\",\"bc\")), and NULL-vs-empty-string distinction."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from esa_pfa_spark.operators.encode import hashed_cross
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"a": ["ab", "a", None, ""], "b": ["c", "bc", "x", "x"]}
+        )
+    )
+    out = hashed_cross(df, ["a", "b"], n_buckets=1024).collect()
+    vals = {(r["a"], r["b"]): r["cross_bucket"] for r in out}
+    assert all(0 <= v < 1024 for v in vals.values())
+    assert vals[("ab", "c")] != vals[("a", "bc")]   # separator keeps them apart
+    assert vals[(None, "x")] != vals[("", "x")]     # null sentinel != empty
+    again = hashed_cross(df.repartition(7), ["a", "b"], n_buckets=1024).collect()
+    assert {(r["a"], r["b"]): r["cross_bucket"] for r in again} == vals
+    # map-only: no exchange in the assignment plan
+    plan_df = hashed_cross(df, ["a", "b"])
+    import io, contextlib, re
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain(mode="simple")
+    assert "Exchange" not in buf.getvalue()
