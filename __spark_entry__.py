@@ -5904,6 +5904,33 @@ FROM b GROUP BY 1 ORDER BY 1
 """
 
 
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention (profile.cohort_retention): share of each
+    first-activity cohort active at each later weekly offset; key-hashed
+    distinct + min aggs, co-partitioned join, |periods|^2 output."""
+    from esa_pfa_spark.operators.profile import cohort_retention
+
+    return cohort_retention(_ld(spark, sf_dir, "events"), unit_days=7)
+
+
+SQL_COHORT_RETENTION = """
+WITH ua AS (SELECT DISTINCT user_id,
+                   CAST(floor((CAST(ts AS DATE) - DATE '2024-01-01') / 7.0) AS INT) AS period
+            FROM events),
+c AS (SELECT user_id, min(period) AS cohort FROM ua GROUP BY 1),
+j AS (SELECT c.cohort, ua.period - c.cohort AS week_offset, ua.user_id
+      FROM ua JOIN c USING (user_id)),
+act AS (SELECT cohort, week_offset, CAST(count(*) AS BIGINT) AS n_active
+        FROM j GROUP BY 1, 2),
+sz AS (SELECT cohort, n_active AS n_cohort FROM act WHERE week_offset = 0)
+SELECT act.cohort, CAST(act.week_offset AS INT) AS week_offset, act.n_active, sz.n_cohort,
+       round(CAST(act.n_active AS DOUBLE) / CAST(sz.n_cohort AS DOUBLE), 6) AS retention
+FROM act JOIN sz USING (cohort)
+ORDER BY act.cohort, act.week_offset
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # Order matters: the driver correctness gate samples the FIRST 50 entries.
     # Round 4 leads with the two r1 driver-FAILs (fixed r2, oracle-green since,
@@ -6093,6 +6120,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "embedding_drift_by_label": (q_embedding_drift, SQL_EMBEDDING_DRIFT),
     "bitemporal_asof_3d": (q_bitemporal_asof, SQL_BITEMPORAL_ASOF),
     "hashed_cross_64": (q_hashed_cross, SQL_HASHED_CROSS),
+    "cohort_retention_w": (q_cohort_retention, SQL_COHORT_RETENTION),
 }
 
 

@@ -157,6 +157,7 @@ HEADLINE = [
     "embedding_drift_by_label",
     "bitemporal_asof_3d",
     "hashed_cross_64",
+    "cohort_retention_w",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",

@@ -184,3 +184,58 @@ def ddsketch_quantiles(
         F.col("n_pos"),
         F.round(est, round_to).alias("q_est"),
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    unit_days: int = 7,
+    origin: str = "2024-01-01",
+    round_to: int = 6,
+) -> DataFrame:
+    """Cohort retention matrix: entities grouped by the period of their
+    FIRST event (cohort), and for each later period offset the share of
+    the cohort still active — the classic engagement decay table, and a
+    data-ops tool here (source cohorts decaying early = an ingest or
+    dedup regression).
+
+    Exactness: period index = floor(datediff(ts, origin) / unit_days) —
+    pure integer/floor arithmetic, engine-identical; retention is one
+    rounded division of exact counts.
+
+    Plan shape (100 TB): distinct (key, period) + min-period per key both
+    hash on the key (the join after them is co-partitioned — no third
+    row-scale exchange); the (cohort, offset) agg output is
+    |periods|^2/2 rows.  week_offset 0 is every cohort's own size by
+    construction, so retention at week_offset 0 is exactly 1.0 (tested).
+    """
+    b = F.floor(
+        F.datediff(F.col(ts_col).cast("date"), F.lit(origin).cast("date"))
+        / F.lit(float(unit_days))
+    ).cast("int")
+    ua = df.select(F.col(key_col), b.alias("period")).distinct()
+    cohort = ua.groupBy(key_col).agg(F.min("period").alias("cohort"))
+    j = ua.join(cohort, key_col).select(
+        "cohort", (F.col("period") - F.col("cohort")).alias("week_offset"), key_col
+    )
+    act = j.groupBy("cohort", "week_offset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )
+    size = act.filter(F.col("week_offset") == 0).select(
+        "cohort", F.col("n_active").alias("n_cohort")
+    )
+    return (
+        act.join(size, "cohort")
+        .select(
+            "cohort",
+            F.col("week_offset").cast("int").alias("week_offset"),
+            "n_active",
+            "n_cohort",
+            F.round(
+                F.col("n_active").cast("double") / F.col("n_cohort").cast("double"),
+                round_to,
+            ).alias("retention"),
+        )
+        .orderBy("cohort", "week_offset")
+    )

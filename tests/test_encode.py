@@ -167,3 +167,34 @@ def test_hashed_cross_properties(spark):
     with contextlib.redirect_stdout(buf):
         plan_df.explain(mode="simple")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_cohort_retention_hand_computed(spark):
+    """Two weekly cohorts with known comeback patterns; week_offset-0
+    retention is exactly 1.0 and later offsets match hand counts."""
+    import datetime as dtm
+
+    import pandas as pd
+
+    from esa_pfa_spark.operators.profile import cohort_retention
+
+    t0 = dtm.datetime(2024, 1, 1)
+    rows = []
+    # cohort 0: u1 u2 u3; u1 returns wk1+wk2, u2 returns wk2, u3 never
+    for u, weeks in {"u1": [0, 1, 2], "u2": [0, 2], "u3": [0]}.items():
+        for w in weeks:
+            rows.append((u, t0 + dtm.timedelta(days=7 * w + 1)))
+    # cohort 1: u4 u5; u5 returns wk2 (offset 1)
+    for u, weeks in {"u4": [1], "u5": [1, 2]}.items():
+        for w in weeks:
+            rows.append((u, t0 + dtm.timedelta(days=7 * w + 2)))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["user_id", "ts"]))
+    out = {
+        (r["cohort"], r["week_offset"]): r for r in cohort_retention(df).collect()
+    }
+    assert out[(0, 0)]["n_cohort"] == 3 and out[(0, 0)]["retention"] == 1.0
+    assert out[(0, 1)]["n_active"] == 1 and out[(0, 1)]["retention"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[(0, 2)]["n_active"] == 2
+    assert out[(1, 0)]["n_cohort"] == 2
+    assert out[(1, 1)]["n_active"] == 1 and out[(1, 1)]["retention"] == 0.5
+    assert (1, 2) not in out  # nobody from cohort 1 active at offset 2
