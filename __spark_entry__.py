@@ -5931,6 +5931,51 @@ ORDER BY act.cohort, act.week_offset
 """
 
 
+
+def q_expectations(spark, sf_dir):
+    """Data-quality contract gate (profile.validate_expectations): five
+    expectations over events checked in ONE map-only pass (single-row
+    shuffle), unpivoted to the per-expectation report."""
+    from esa_pfa_spark.operators.profile import validate_expectations
+
+    ev = _ld(spark, sf_dir, "events")
+    return validate_expectations(
+        ev,
+        {
+            "event_id_not_null": F.col("event_id").isNotNull(),
+            "ts_in_2024": (F.col("ts") >= F.lit(dt.datetime(2024, 1, 1)))
+            & (F.col("ts") < F.lit(dt.datetime(2025, 1, 1))),
+            "user_id_nonneg": F.col("user_id") >= 0,
+            "value_under_10k": F.col("value") < 10000,
+            "known_event_type": F.col("event_type").isin(
+                ["click", "view", "purchase", "signup", "error"]
+            ),
+        },
+    )
+
+
+SQL_EXPECTATIONS = """
+WITH a AS (SELECT count(*) AS n_rows,
+  sum(CASE WHEN coalesce(event_id IS NOT NULL, FALSE) THEN 0 ELSE 1 END) AS v0,
+  sum(CASE WHEN coalesce(ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2025-01-01', FALSE) THEN 0 ELSE 1 END) AS v1,
+  sum(CASE WHEN coalesce(user_id >= 0, FALSE) THEN 0 ELSE 1 END) AS v2,
+  sum(CASE WHEN coalesce(value < 10000, FALSE) THEN 0 ELSE 1 END) AS v3,
+  sum(CASE WHEN coalesce(event_type IN ('click','view','purchase','signup','error'), FALSE) THEN 0 ELSE 1 END) AS v4
+  FROM events),
+u AS (
+  SELECT 'event_id_not_null' AS expectation, n_rows, v0 AS nv FROM a
+  UNION ALL SELECT 'ts_in_2024', n_rows, v1 FROM a
+  UNION ALL SELECT 'user_id_nonneg', n_rows, v2 FROM a
+  UNION ALL SELECT 'value_under_10k', n_rows, v3 FROM a
+  UNION ALL SELECT 'known_event_type', n_rows, v4 FROM a)
+SELECT expectation, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(nv AS BIGINT) AS n_violations,
+       round(CAST(nv AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS violation_rate,
+       nv = 0 AS passed
+FROM u ORDER BY expectation
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # Order matters: the driver correctness gate samples the FIRST 50 entries.
     # Round 4 leads with the two r1 driver-FAILs (fixed r2, oracle-green since,
@@ -6121,6 +6166,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "bitemporal_asof_3d": (q_bitemporal_asof, SQL_BITEMPORAL_ASOF),
     "hashed_cross_64": (q_hashed_cross, SQL_HASHED_CROSS),
     "cohort_retention_w": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "expectations_events": (q_expectations, SQL_EXPECTATIONS),
 }
 
 

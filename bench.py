@@ -158,6 +158,7 @@ HEADLINE = [
     "bitemporal_asof_3d",
     "hashed_cross_64",
     "cohort_retention_w",
+    "expectations_events",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",

@@ -239,3 +239,52 @@ def cohort_retention(
         )
         .orderBy("cohort", "week_offset")
     )
+
+
+def validate_expectations(
+    df: DataFrame,
+    expectations: dict[str, "F.Column"],
+    round_to: int = 6,
+) -> DataFrame:
+    """Data-quality expectation gate: each named expectation is a boolean
+    Column that should hold for EVERY row; the report gives per-
+    expectation violation counts and rates (NULL predicate results count
+    as violations — an expectation that cannot be evaluated is not met).
+    The pre-ingest contract check a pipeline runs before it pollutes a
+    feature table with a bad batch.
+
+    Plan shape (100 TB): all expectations evaluate in ONE map-only pass
+    (each becomes a conditional-sum aggregate — map-side combine, the
+    shuffle is a single row); unpivot to the long report happens on that
+    one row.  No per-expectation scans.
+    """
+    if not expectations:
+        raise ValueError("expectations must be non-empty")
+    names = list(expectations)
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(
+            F.when(F.coalesce(expectations[k], F.lit(False)), 0).otherwise(1)
+        ).alias(f"__v_{i}")
+        for i, k in enumerate(names)
+    ]
+    one = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("expectation"),
+                F.col(f"__v_{i}").cast("long").alias("n_violations"),
+            )
+            for i, k in enumerate(names)
+        ]
+    )
+    ex = one.select(F.col("__n").alias("n_rows"), F.explode(pairs).alias("p"))
+    return ex.select(
+        F.col("p.expectation").alias("expectation"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("p.n_violations").alias("n_violations"),
+        F.round(
+            F.col("p.n_violations").cast("double") / F.col("n_rows").cast("double"),
+            round_to,
+        ).alias("violation_rate"),
+        (F.col("p.n_violations") == 0).alias("passed"),
+    ).orderBy("expectation")

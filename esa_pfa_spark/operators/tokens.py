@@ -1653,7 +1653,14 @@ def winnow_selected_fps(
 ) -> DataFrame:
     """Exploded winnowing selection: one row per distinct selected gram
     HASH per doc (positions stripped — cross-doc matching is on content).
-    Map-only until the caller aggregates."""
+    Map-only until the caller aggregates.
+
+    The gram-key array MUST materialize as its own projection column
+    before the window transform references it: handed to the transform as
+    a raw expression, Catalyst inlines it into the per-window lambda and
+    re-evaluates all m md5s for EVERY window — O(m^2) per doc, measured
+    60x slower at sf0.1 (35.3s -> 0.6s for the identical selection).
+    Same device as winnow_fingerprints' ``__keys`` column."""
     toks = F.col(tokens_col)
     m = F.size(toks) - F.lit(k - 1)
     keys = F.transform(
@@ -1663,18 +1670,23 @@ def winnow_selected_fps(
             F.lpad((F.lit(999999) - i).cast("string"), 6, "0"),
         ),
     )
+    based = (
+        df.filter(F.size(toks) >= k)
+        .withColumn("__m", m)
+        .withColumn("__keys", keys)
+    )
     sel = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.greatest(m - w, F.lit(0))),
-            lambda i: F.substring(F.array_min(F.slice(keys, i + 1, w)), 1, 32),
+            F.sequence(F.lit(0), F.greatest(F.col("__m") - w, F.lit(0))),
+            lambda i: F.substring(
+                F.array_min(F.slice(F.col("__keys"), i + 1, w)), 1, 32
+            ),
         )
     )
     # array_distinct above already dedups within the doc, and doc_id is the
     # row key — rows are (doc, fp)-unique by construction; no distinct()
     # (and its Exchange) needed.
-    return df.filter(F.size(toks) >= k).select(
-        F.col(id_col), F.explode(sel).alias("fp")
-    )
+    return based.select(F.col(id_col), F.explode(sel).alias("fp"))
 
 
 def winnow_dup_pairs(

@@ -198,3 +198,31 @@ def test_cohort_retention_hand_computed(spark):
     assert out[(1, 0)]["n_cohort"] == 2
     assert out[(1, 1)]["n_active"] == 1 and out[(1, 1)]["retention"] == 0.5
     assert (1, 2) not in out  # nobody from cohort 1 active at offset 2
+
+
+def test_validate_expectations_counts(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from esa_pfa_spark.operators.profile import validate_expectations
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": [1.0, -2.0, None, 5.0], "t": ["a", "b", "a", None]})
+    )
+    out = {
+        r["expectation"]: r
+        for r in validate_expectations(
+            df,
+            {
+                "v_nonneg": F.col("v") >= 0,
+                "t_known": F.col("t").isin(["a", "b"]),
+                "always": F.lit(True),
+            },
+        ).collect()
+    }
+    # NULL predicate results are violations: v=None fails v_nonneg, t=None fails t_known
+    assert out["v_nonneg"]["n_violations"] == 2 and not out["v_nonneg"]["passed"]
+    assert out["t_known"]["n_violations"] == 1
+    assert out["always"]["n_violations"] == 0 and out["always"]["passed"]
+    assert all(r["n_rows"] == 4 for r in out.values())
+    assert out["v_nonneg"]["violation_rate"] == 0.5
