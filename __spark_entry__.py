@@ -5976,6 +5976,39 @@ FROM u ORDER BY expectation
 """
 
 
+
+def q_entity_snapshot(spark, sf_dir):
+    """Composed per-entity feature snapshot (plans/snapshot.py): trend x
+    rhythm x diversity x seasonality in ONE lazy plan — every branch a
+    key-hashed aggregate, full-outer co-partitioned joins."""
+    from esa_pfa_spark.plans.snapshot import entity_feature_snapshot
+
+    return entity_feature_snapshot(_ld(spark, sf_dir, "events"))
+
+
+def _strip_order(sql: str) -> str:
+    return sql.rsplit("ORDER BY", 1)[0]
+
+
+SQL_ENTITY_SNAPSHOT = None  # assembled below from the component oracles
+
+
+SQL_ENTITY_SNAPSHOT = f"""
+WITH tr AS ({_strip_order(SQL_TREND_BY_USER)}),
+gp AS ({_strip_order(SQL_GAP_STATS)}),
+bp AS (SELECT user_id, n_events AS n_events_total, n_types, type_entropy,
+              type_entropy_norm, top_type, top_share
+       FROM ({_strip_order(SQL_BEHAVIOR_PROFILE)})),
+ss AS (SELECT user_id, n_events AS n_events_seasonal, n_hours, eta2_hour
+       FROM ({_strip_order(SQL_SEASONALITY_HOUR)}))
+SELECT * FROM tr
+FULL JOIN gp USING (user_id)
+FULL JOIN bp USING (user_id)
+FULL JOIN ss USING (user_id)
+ORDER BY user_id
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # Order matters: the driver correctness gate samples the FIRST 50 entries.
     # Round 4 leads with the two r1 driver-FAILs (fixed r2, oracle-green since,
@@ -6167,6 +6200,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "hashed_cross_64": (q_hashed_cross, SQL_HASHED_CROSS),
     "cohort_retention_w": (q_cohort_retention, SQL_COHORT_RETENTION),
     "expectations_events": (q_expectations, SQL_EXPECTATIONS),
+    "entity_feature_snapshot": (q_entity_snapshot, SQL_ENTITY_SNAPSHOT),
 }
 
 

@@ -159,6 +159,7 @@ HEADLINE = [
     "hashed_cross_64",
     "cohort_retention_w",
     "expectations_events",
+    "entity_feature_snapshot",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",

@@ -223,3 +223,26 @@ def test_seasonality_strength_extremes(spark):
     )
     sst = ((y - mean) ** 2).sum()
     assert out["noisy"]["eta2_hour"] == pytest.approx(ssb / sst, abs=1e-4)
+
+
+def test_entity_snapshot_full_outer_semantics(spark):
+    """A single-event entity has no trend/gaps but must still appear with
+    its diversity block populated; the joins never drop entities."""
+    from esa_pfa_spark.plans.snapshot import entity_feature_snapshot
+
+    rows = [
+        ("solo", T0, 0, 5.0, "click"),
+        ("duo", T0, 1, 1.0, "click"),
+        ("duo", T0 + dt.timedelta(hours=1), 2, 2.0, "view"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts", "event_id", "value", "event_type"])
+    )
+    out = {r["user_id"]: r for r in entity_feature_snapshot(df).collect()}
+    assert set(out) == {"solo", "duo"}
+    s = out["solo"]
+    assert s["slope_per_day"] is None and s["n_gaps"] is None
+    assert s["n_events_total"] == 1 and s["top_type"] == "click"
+    d = out["duo"]
+    assert d["n_gaps"] == 1 and d["slope_per_day"] is not None
+    assert d["n_types"] == 2
