@@ -2042,6 +2042,84 @@ FROM cv
 """
 
 
+def q_logreg_train(spark, sf_dir):
+    """Distributed batch-gradient logistic regression
+    (scoring.logreg_fit): 6 GD rounds over the first 4 embedding
+    components, label 0 as the positive class — the quality-classifier
+    trainer of a curation pipeline (FineWeb-style educational gates are
+    this shape).  Each round is ONE map-side-combinable aggregation
+    (the shuffle carries a single row of dims+2 decimal sums); weights
+    ride between rounds as plan literals (the kmeans_fit driver-loop
+    device).  Output: coefficients / bias / n_rows / training accuracy,
+    all rounded engine-side.  Reference analog: the SVM trainer consumed
+    at ActiveLearning.java:176-190, re-expressed as the distributed-GD
+    plan."""
+    from esa_pfa_spark.operators.scoring import logreg_summary
+
+    emb = _ld(spark, sf_dir, "embeddings")
+    return logreg_summary(
+        spark, emb, vec_col="embedding", label_col="label", positive=0,
+        dims=4, lr=0.5, iters=6,
+    )
+
+
+def _logreg_sql(dims: int = 4, lr: float = 0.5, iters: int = 6) -> str:
+    """Chained-CTE batch-GD oracle mirroring logreg_fit bit-for-bit:
+    per-row gradient terms 6dp-rounded then decimal-summed (partition-
+    order-free), the weight step `w - lr * (CAST(s AS DOUBLE) / n)` in
+    the identical IEEE operation order, final values rounded in-engine."""
+    xs = ", ".join(f"CAST(embedding[{j + 1}] AS DOUBLE) AS x{j}" for j in range(dims))
+    w0 = ", ".join(f"CAST(0.0 AS DOUBLE) AS w{j}" for j in range(dims))
+    parts = [f"""
+base AS (SELECT {xs},
+                CASE WHEN label = 0 THEN CAST(1.0 AS DOUBLE)
+                     ELSE CAST(0.0 AS DOUBLE) END AS y
+         FROM embeddings),
+it0 AS (SELECT {w0}, CAST(0.0 AS DOUBLE) AS b)"""]
+    z = " + ".join([f"t.w{j} * x{j}" for j in range(dims)] + ["t.b"])
+    p = f"(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + EXP(-({z}))))"
+    lrs = f"CAST({lr!r} AS DOUBLE)"
+    for it in range(1, iters + 1):
+        prev = f"it{it - 1}"
+        sums = ",\n          ".join(
+            f"SUM(CAST(ROUND(({p} - y) * x{j}, 6) AS DECIMAL(18,6))) AS s{j}"
+            for j in range(dims)
+        )
+        steps = ", ".join(
+            f"t.w{j} - {lrs} * (CAST(g.s{j} AS DOUBLE) / g.n) AS w{j}"
+            for j in range(dims)
+        )
+        parts.append(f"""
+g{it} AS (SELECT count(*) AS n,
+          {sums},
+          SUM(CAST(ROUND({p} - y, 6) AS DECIMAL(18,6))) AS sb
+       FROM base, {prev} t),
+it{it} AS (SELECT {steps},
+                t.b - {lrs} * (CAST(g.sb AS DOUBLE) / g.n) AS b
+         FROM {prev} t, g{it} g)""")
+    parts.append(f"""
+acc AS (SELECT count(*) AS n,
+               SUM(CASE WHEN ({p} >= CAST(0.5 AS DOUBLE))
+                             = (y = CAST(1.0 AS DOUBLE))
+                        THEN 1 ELSE 0 END) AS c
+        FROM base, it{iters} t)""")
+    names = "\n  UNION ALL ".join(
+        f"SELECT 'w{j}' AS name, t.w{j} AS value FROM it{iters} t"
+        for j in range(dims)
+    )
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+SELECT name, ROUND(value, 6) AS value FROM (
+  {names}
+  UNION ALL SELECT 'bias' AS name, t.b AS value FROM it{iters} t
+  UNION ALL SELECT 'n_rows' AS name, CAST(a.n AS DOUBLE) AS value FROM acc a
+  UNION ALL SELECT 'accuracy' AS name, CAST(a.c AS DOUBLE) / a.n AS value FROM acc a
+) ORDER BY name
+"""
+    )
+
+
 def q_flag_predicate(spark, sf_dir):
     """§2.8 flag/bit predicates (l1_flags.INVALID analog): synthesize an
     8-bit flag word from event_id, count rows matching bitmask tests."""
@@ -6201,6 +6279,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "cohort_retention_w": (q_cohort_retention, SQL_COHORT_RETENTION),
     "expectations_events": (q_expectations, SQL_EXPECTATIONS),
     "entity_feature_snapshot": (q_entity_snapshot, SQL_ENTITY_SNAPSHOT),
+    "logreg_train_gd6": (q_logreg_train, _logreg_sql()),
 }
 
 

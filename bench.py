@@ -160,6 +160,7 @@ HEADLINE = [
     "cohort_retention_w",
     "expectations_events",
     "entity_feature_snapshot",
+    "logreg_train_gd6",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",

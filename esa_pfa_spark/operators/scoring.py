@@ -115,3 +115,119 @@ def classify_threshold(df: DataFrame, decision_col: str = "decision", threshold:
         .otherwise(F.lit(0))
         .cast("byte"),
     )
+
+
+def logreg_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    positive: int = 0,
+    dims: int = 4,
+    lr: float = 0.5,
+    iters: int = 6,
+    round_to: int = 6,
+):
+    """Distributed batch-gradient logistic regression (the quality-
+    classifier trainer of a data-curation pipeline — FineWeb-style
+    educational-value gates are exactly this shape): ``iters`` rounds of
+    one full-corpus aggregation each, weights carried as plan literals
+    between rounds (the ``kmeans_fit`` driver-loop shape — no Python
+    closure over data, no collect beyond ``dims + 2`` scalars/round).
+
+    Engine-exact by the repo's standard devices: per-row gradient terms
+    ``(p - y) * x_j`` are 6dp-rounded then decimal-summed (partition-
+    order-independent), and the weight update ``w - lr * (s / n)`` runs
+    the identical operation order driver-side as the oracle runs in SQL.
+    (exp() may differ by 1 ulp across libms; the 6dp rounding absorbs it
+    — the same tolerance the plogp/entropy family already relies on.)
+
+    Returns ``(weights: list[float], bias: float, n_rows: int)``.
+
+    Scale shape (100 TB): each round is ONE map-side-combinable
+    aggregation (shuffle = a single row of dims+2 decimal sums); the
+    driver holds dims+1 floats.  A 1000-executor cluster runs each round
+    as a full scan + tree-reduce — the textbook distributed-GD plan.
+    """
+    x = [F.col(vec_col).getItem(j).cast("double").alias(f"x{j}") for j in range(dims)]
+    y = F.when(F.col(label_col) == positive, F.lit(1.0)).otherwise(F.lit(0.0))
+    # cache the dims+1-column projection once; each GD round rescans it
+    # (the kmeans_fit device — at 100 TB this is the narrow table, not
+    # the corpus)
+    base = df.select(*x, y.alias("y")).persist()
+    w = [0.0] * dims
+    b = 0.0
+    n = 0
+    try:
+        for _ in range(iters):
+            z = F.lit(w[0]) * F.col("x0")
+            for j in range(1, dims):
+                z = z + F.lit(w[j]) * F.col(f"x{j}")
+            z = z + F.lit(b)
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            aggs = [F.count(F.lit(1)).alias("n")]
+            for j in range(dims):
+                aggs.append(
+                    F.sum(
+                        F.round((p - F.col("y")) * F.col(f"x{j}"), round_to).cast(
+                            "decimal(18,6)"
+                        )
+                    ).alias(f"s{j}")
+                )
+            aggs.append(
+                F.sum(F.round(p - F.col("y"), round_to).cast("decimal(18,6)")).alias("sb")
+            )
+            row = base.agg(*aggs).first()
+            n = row["n"]
+            # one IEEE double op chain, identical order to the SQL oracle:
+            # w - lr * (CAST(s AS DOUBLE) / n)
+            w = [w[j] - lr * (float(row[f"s{j}"]) / n) for j in range(dims)]
+            b = b - lr * (float(row["sb"]) / n)
+    finally:
+        base.unpersist()
+    return w, b, n
+
+
+def logreg_summary(
+    spark,
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    positive: int = 0,
+    dims: int = 4,
+    lr: float = 0.5,
+    iters: int = 6,
+) -> DataFrame:
+    """Fit + evaluate, reported as a (name, value) summary table: the
+    learned coefficients, bias, corpus size, and training accuracy at the
+    0.5 threshold — the registry/oracle surface for ``logreg_fit``.
+
+    All rounding happens ENGINE-side (``F.round`` here, ``ROUND`` in the
+    SQL oracle) — Python's ``round()`` is half-even and would diverge
+    from both engines' half-up on boundary values."""
+    w, b, _ = logreg_fit(
+        df, vec_col=vec_col, label_col=label_col, positive=positive,
+        dims=dims, lr=lr, iters=iters,
+    )
+    x = [F.col(vec_col).getItem(j).cast("double") for j in range(dims)]
+    y = F.when(F.col(label_col) == positive, F.lit(1.0)).otherwise(F.lit(0.0))
+    z = F.lit(w[0]) * x[0]
+    for j in range(1, dims):
+        z = z + F.lit(w[j]) * x[j]
+    z = z + F.lit(b)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    row = df.select(p.alias("p"), y.alias("y")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when((F.col("p") >= 0.5) == (F.col("y") == 1.0), 1).otherwise(0)
+        ).alias("c"),
+    ).first()
+    rows = (
+        [(f"w{j}", w[j]) for j in range(dims)]
+        + [("bias", b), ("n_rows", float(row["n"])),
+           ("accuracy", row["c"] / row["n"])]
+    )
+    return (
+        spark.createDataFrame(rows, "name string, value double")
+        .select("name", F.round("value", 6).alias("value"))
+        .orderBy("name")
+    )
