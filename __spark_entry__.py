@@ -2063,19 +2063,28 @@ def q_logreg_train(spark, sf_dir):
     )
 
 
-def _logreg_sql(dims: int = 4, lr: float = 0.5, iters: int = 6) -> str:
-    """Chained-CTE batch-GD oracle mirroring logreg_fit bit-for-bit:
+def _logreg_cte(
+    dims: int = 4,
+    lr: float = 0.5,
+    iters: int = 6,
+    label_sql: str = "label = 0",
+) -> tuple[str, str]:
+    """Chained-CTE batch-GD trainer mirroring logreg_fit bit-for-bit:
     per-row gradient terms 6dp-rounded then decimal-summed (partition-
     order-free), the weight step `w - lr * (CAST(s AS DOUBLE) / n)` in
-    the identical IEEE operation order, final values rounded in-engine."""
+    the identical IEEE operation order.  Returns (WITH-chain ending at
+    `it{iters}`, the sigmoid expression over `base` columns and weight
+    alias `t`) so every logreg-family oracle shares the training chain.
+    CTEs are MATERIALIZED — without it DuckDB inlines the chain and each
+    `it{{k}}` reference doubles the scan count (2^iters blow-up)."""
     xs = ", ".join(f"CAST(embedding[{j + 1}] AS DOUBLE) AS x{j}" for j in range(dims))
     w0 = ", ".join(f"CAST(0.0 AS DOUBLE) AS w{j}" for j in range(dims))
     parts = [f"""
-base AS (SELECT {xs},
-                CASE WHEN label = 0 THEN CAST(1.0 AS DOUBLE)
+base AS MATERIALIZED (SELECT {xs},
+                CASE WHEN {label_sql} THEN CAST(1.0 AS DOUBLE)
                      ELSE CAST(0.0 AS DOUBLE) END AS y
          FROM embeddings),
-it0 AS (SELECT {w0}, CAST(0.0 AS DOUBLE) AS b)"""]
+it0 AS MATERIALIZED (SELECT {w0}, CAST(0.0 AS DOUBLE) AS b)"""]
     z = " + ".join([f"t.w{j} * x{j}" for j in range(dims)] + ["t.b"])
     p = f"(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + EXP(-({z}))))"
     lrs = f"CAST({lr!r} AS DOUBLE)"
@@ -2090,32 +2099,91 @@ it0 AS (SELECT {w0}, CAST(0.0 AS DOUBLE) AS b)"""]
             for j in range(dims)
         )
         parts.append(f"""
-g{it} AS (SELECT count(*) AS n,
+g{it} AS MATERIALIZED (SELECT count(*) AS n,
           {sums},
           SUM(CAST(ROUND({p} - y, 6) AS DECIMAL(18,6))) AS sb
        FROM base, {prev} t),
-it{it} AS (SELECT {steps},
+it{it} AS MATERIALIZED (SELECT {steps},
                 t.b - {lrs} * (CAST(g.sb AS DOUBLE) / g.n) AS b
          FROM {prev} t, g{it} g)""")
-    parts.append(f"""
-acc AS (SELECT count(*) AS n,
-               SUM(CASE WHEN ({p} >= CAST(0.5 AS DOUBLE))
-                             = (y = CAST(1.0 AS DOUBLE))
-                        THEN 1 ELSE 0 END) AS c
-        FROM base, it{iters} t)""")
+    return "WITH " + ",".join(parts), p
+
+
+def _logreg_sql(dims: int = 4, lr: float = 0.5, iters: int = 6) -> str:
+    """Summary oracle: coefficients / bias / n_rows / accuracy from the
+    shared training chain, every value rounded in-engine."""
+    cte, p = _logreg_cte(dims, lr, iters)
     names = "\n  UNION ALL ".join(
         f"SELECT 'w{j}' AS name, t.w{j} AS value FROM it{iters} t"
         for j in range(dims)
     )
     return (
-        "WITH " + ",".join(parts)
-        + f"""
+        cte
+        + f""",
+acc AS (SELECT count(*) AS n,
+               SUM(CASE WHEN ({p} >= CAST(0.5 AS DOUBLE))
+                             = (y = CAST(1.0 AS DOUBLE))
+                        THEN 1 ELSE 0 END) AS c
+        FROM base, it{iters} t)
 SELECT name, ROUND(value, 6) AS value FROM (
   {names}
   UNION ALL SELECT 'bias' AS name, t.b AS value FROM it{iters} t
   UNION ALL SELECT 'n_rows' AS name, CAST(a.n AS DOUBLE) AS value FROM acc a
   UNION ALL SELECT 'accuracy' AS name, CAST(a.c AS DOUBLE) / a.n AS value FROM acc a
 ) ORDER BY name
+"""
+    )
+
+
+def q_logreg_calibration(spark, sf_dir):
+    """Reliability diagram / calibration bins for the trained quality
+    classifier (scoring.logreg_calibration): score every row with the
+    6-round GD fit, bin predicted p into 10 fixed-width bins, report
+    per-bin count, mean confidence, observed positive rate, and |gap|
+    (the per-bin ECE term) — the standard diagnostic before a curation
+    gate trusts classifier scores as sampling weights.  The label is the
+    learnable sign of x0+x1 (the stored 10-way label is near-noise for
+    these features, which would park every row in the base-rate bin —
+    correct but a degenerate demonstration).  Scale shape: the fit (one
+    tiny-row agg per round) + ONE map pass and a 10-group partial agg;
+    conf means use 6dp decimal sums, acc means are exact 0/1 integer
+    sums — both engine-order-free."""
+    from esa_pfa_spark.operators.scoring import logreg_calibration
+
+    emb = _ld(spark, sf_dir, "embeddings")
+    sig = F.when(
+        F.element_at("embedding", 1).cast("double")
+        + F.element_at("embedding", 2).cast("double")
+        > 0,
+        1,
+    ).otherwise(0)
+    data = emb.select("embedding", sig.alias("sig"))
+    return logreg_calibration(
+        spark, data, n_bins=10, vec_col="embedding", label_col="sig",
+        positive=1, dims=4, lr=5.0, iters=8,
+    )
+
+
+def _logreg_calibration_sql(
+    dims: int = 4, lr: float = 5.0, iters: int = 8, n_bins: int = 10
+) -> str:
+    cte, p = _logreg_cte(
+        dims, lr, iters,
+        label_sql="(CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)) > 0",
+    )
+    return (
+        cte
+        + f""",
+sc AS (SELECT LEAST(CAST(FLOOR({p} * {n_bins}) AS INT), {n_bins - 1}) AS bin,
+              CAST(ROUND({p}, 6) AS DECIMAL(18,6)) AS rp, y
+       FROM base, it{iters} t),
+ag AS (SELECT bin, count(*) AS n, SUM(rp) AS sp, SUM(y) AS sy
+       FROM sc GROUP BY bin)
+SELECT bin, n,
+       ROUND(CAST(sp AS DOUBLE) / n, 6) AS conf,
+       ROUND(sy / n, 6) AS acc,
+       ROUND(ABS(sy / n - CAST(sp AS DOUBLE) / n), 6) AS gap
+FROM ag ORDER BY bin
 """
     )
 
@@ -6280,6 +6348,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "expectations_events": (q_expectations, SQL_EXPECTATIONS),
     "entity_feature_snapshot": (q_entity_snapshot, SQL_ENTITY_SNAPSHOT),
     "logreg_train_gd6": (q_logreg_train, _logreg_sql()),
+    "logreg_calibration_10": (q_logreg_calibration, _logreg_calibration_sql()),
 }
 
 

@@ -231,3 +231,57 @@ def logreg_summary(
         .select("name", F.round("value", 6).alias("value"))
         .orderBy("name")
     )
+
+
+def logreg_calibration(
+    spark,
+    df: DataFrame,
+    n_bins: int = 10,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    positive: int = 0,
+    dims: int = 4,
+    lr: float = 0.5,
+    iters: int = 6,
+) -> DataFrame:
+    """Reliability diagram for the trained classifier: fixed-width bins
+    over predicted p, per-bin count / mean confidence / observed positive
+    rate / |gap| (the per-bin ECE term) — run this BEFORE a curation gate
+    trusts classifier scores as sampling weights (an over-confident gate
+    silently skews the mixture).
+
+    Scale shape: ONE map pass over the corpus + an ``n_bins``-group
+    partial agg (shuffle = n_bins rows).  Engine parity: conf means are
+    6dp-decimal sums (order-free), acc means are exact 0/1 integer sums,
+    and the final divisions/rounds run the identical IEEE op order as
+    the SQL oracle."""
+    w, b, _ = logreg_fit(
+        df, vec_col=vec_col, label_col=label_col, positive=positive,
+        dims=dims, lr=lr, iters=iters,
+    )
+    x = [F.col(vec_col).getItem(j).cast("double") for j in range(dims)]
+    y = F.when(F.col(label_col) == positive, F.lit(1.0)).otherwise(F.lit(0.0))
+    z = F.lit(w[0]) * x[0]
+    for j in range(1, dims):
+        z = z + F.lit(w[j]) * x[j]
+    z = z + F.lit(b)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    scored = df.select(
+        F.least(F.floor(p * n_bins).cast("int"), F.lit(n_bins - 1)).alias("bin"),
+        F.round(p, 6).cast("decimal(18,6)").alias("rp"),
+        y.alias("y"),
+    )
+    ag = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rp").alias("sp"),
+        F.sum("y").alias("sy"),
+    )
+    conf = F.col("sp").cast("double") / F.col("n")
+    acc = F.col("sy") / F.col("n")
+    return ag.select(
+        "bin",
+        "n",
+        F.round(conf, 6).alias("conf"),
+        F.round(acc, 6).alias("acc"),
+        F.round(F.abs(acc - conf), 6).alias("gap"),
+    ).orderBy("bin")

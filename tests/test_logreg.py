@@ -73,6 +73,22 @@ def test_logreg_partitioning_invariant(spark, cloud_df):
     assert w1 == w13 and b1 == b13
 
 
+def test_logreg_calibration_bins(spark, cloud_df):
+    from esa_pfa_spark.operators.scoring import logreg_calibration
+
+    out = logreg_calibration(
+        spark, cloud_df, n_bins=10, positive=1, dims=4, lr=0.5, iters=6
+    ).collect()
+    assert sum(r["n"] for r in out) == 400
+    bins = [r["bin"] for r in out]
+    assert bins == sorted(bins) and all(0 <= b <= 9 for b in bins)
+    for r in out:
+        assert 0.0 <= r["conf"] <= 1.0 and 0.0 <= r["acc"] <= 1.0
+        # mean confidence sits inside (or within rounding of) its bin
+        assert r["bin"] / 10 - 1e-6 <= r["conf"] <= (r["bin"] + 1) / 10 + 1e-6
+        assert r["gap"] == pytest.approx(abs(r["acc"] - r["conf"]), abs=2e-6)
+
+
 def test_logreg_learns_separable_direction(spark, cloud_df):
     w, b, _ = logreg_fit(cloud_df, positive=1, dims=4, lr=0.5, iters=6)
     # the shifted dimension dominates the learned direction
