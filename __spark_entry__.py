@@ -2188,6 +2188,71 @@ FROM ag ORDER BY bin
     )
 
 
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog approximate distinct users per event type
+    (profile.hll_distinct, p=8 / 256 registers) reported against the
+    exact countDistinct with observed relative error — the mergeable
+    cardinality sketch whose shuffle is m rows per group at ANY corpus
+    size (exact distinct shuffles every distinct value).  The 60-bit
+    md5 hash, bit-length rank, and exact-int64 harmonic denominator
+    make the estimate bit-portable across engines."""
+    from esa_pfa_spark.operators.profile import hll_distinct
+
+    ev = _ld(spark, sf_dir, "events")
+    sk = hll_distinct(ev, "user_id", "event_type", p=8, seed=0)
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    joined = sk.join(ex, "event_type")
+    rel = (
+        F.abs(F.col("hll_est") - F.col("exact_distinct").cast("double"))
+        / F.col("exact_distinct")
+    )
+    return joined.select(
+        "event_type", "n_rows", "hll_est", "exact_distinct",
+        F.round(rel, 6).alias("rel_err"),
+    ).orderBy("event_type")
+
+
+def _hll_sql(p: int = 8, seed: int = 0) -> str:
+    m = 1 << p
+    w1 = 60 - p + 1  # rho for rest == 0
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return f"""
+WITH h AS (
+  SELECT event_type, CAST(hv % {m} AS INT) AS reg, (hv >> {p}) AS rest
+  FROM (SELECT event_type,
+               CAST(('0x' || substr(md5('{seed}:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        FROM events WHERE user_id IS NOT NULL)),
+r AS (SELECT event_type, reg,
+             MAX(CASE WHEN rest = 0 THEN {w1}
+                      ELSE {w1} - length(bin(rest)) END) AS mreg,
+             count(*) AS c
+      FROM h GROUP BY event_type, reg),
+g AS (SELECT event_type,
+             SUM(CAST(1 AS BIGINT) << ({w1} - mreg)) AS t_ne,
+             count(*) AS v, SUM(c) AS n_rows
+      FROM r GROUP BY event_type),
+est AS (SELECT event_type, n_rows,
+               CAST({alpha!r} AS DOUBLE) * CAST({float(m * m)!r} AS DOUBLE)
+                 / (CAST(t_ne + ({m} - v) * (CAST(1 AS BIGINT) << {w1}) AS DOUBLE)
+                    / CAST({float(1 << w1)!r} AS DOUBLE)) AS e_raw,
+               {m} - v AS empty
+        FROM g),
+fin AS (SELECT event_type, n_rows,
+               ROUND(CASE WHEN e_raw <= CAST({2.5 * m!r} AS DOUBLE) AND empty > 0
+                          THEN CAST({float(m)!r} AS DOUBLE)
+                               * LN(CAST({float(m)!r} AS DOUBLE) / CAST(empty AS DOUBLE))
+                          ELSE e_raw END, 6) AS hll_est
+        FROM est),
+ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+       FROM events GROUP BY event_type)
+SELECT f.event_type, f.n_rows, f.hll_est, ex.exact_distinct,
+       ROUND(ABS(f.hll_est - CAST(ex.exact_distinct AS DOUBLE)) / ex.exact_distinct, 6) AS rel_err
+FROM fin f JOIN ex USING (event_type) ORDER BY f.event_type
+"""
+
+
 def q_flag_predicate(spark, sf_dir):
     """§2.8 flag/bit predicates (l1_flags.INVALID analog): synthesize an
     8-bit flag word from event_id, count rows matching bitmask tests."""
@@ -6349,6 +6414,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "entity_feature_snapshot": (q_entity_snapshot, SQL_ENTITY_SNAPSHOT),
     "logreg_train_gd6": (q_logreg_train, _logreg_sql()),
     "logreg_calibration_10": (q_logreg_calibration, _logreg_calibration_sql()),
+    "hll_distinct_users": (q_hll_distinct, _hll_sql()),
 }
 
 

@@ -162,6 +162,7 @@ HEADLINE = [
     "entity_feature_snapshot",
     "logreg_train_gd6",
     "logreg_calibration_10",
+    "hll_distinct_users",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",

@@ -288,3 +288,91 @@ def validate_expectations(
         ).alias("violation_rate"),
         (F.col("p.n_violations") == 0).alias("passed"),
     ).orderBy("expectation")
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    p: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """Mergeable approximate distinct count (HyperLogLog, Flajolet et
+    al. 2007) — THE 100-TB distinct-count tool: exact countDistinct
+    must co-locate every distinct value on the shuffle (O(distinct)
+    rows), while HLL reduces to ``m = 2^p`` max-registers that combine
+    map-side, so the shuffle carries m rows per group no matter how
+    many trillions of values stream through, and sketches from
+    different days / partitions / tables MERGE by register-wise max
+    (composing with incremental maintenance like ddsketch_quantiles).
+
+    Portable-determinism contract (the oracle device): the 60-bit hash
+    is the first 15 hex chars of ``md5(seed || ':' || value)`` — the
+    _hash_bucket convention — so both engines see identical registers
+    (low p bits) and identical rank ``rho = (60-p) + 1 -
+    bit_length(rest)`` (exact via ``length(bin(x))``, no float log).
+    The harmonic denominator is an EXACT int64 sum ``T = sum_j
+    2^(w+1-M_j) + empty * 2^(w+1)`` with ``w = 60-p`` (max 2^61 at
+    p=8, no float-order dependence);
+    the estimate then runs a fixed IEEE op chain, and the
+    small-range/linear-counting branch condition compares bit-identical
+    doubles, so the branch itself can never diverge between engines.
+    Standard bias terms: alpha_m for p>=7; linear counting below 2.5m
+    with empty registers.  (The 60-bit-hash large-range correction is
+    omitted: it matters past ~2^30 distincts per group — at that
+    cardinality production raises p, not the correction.)
+
+    Returns one row per group: ``n_rows``, ``hll_est`` (rounded 6dp).
+    Pair with an exact countDistinct in a demonstration query to report
+    observed error; the sketch alone is the scale path.
+    """
+    if not (4 <= p <= 14):
+        raise ValueError("p must be in [4, 14] (m = 2^p registers)")
+    m = 1 << p
+    w = 60 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    gexpr = [F.col(group_col)] if group_col else [F.lit("all").alias("grp")]
+    gname = group_col if group_col else "grp"
+    key = F.concat(F.lit(f"{seed}:"), F.col(value_col).cast("string"))
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+
+    hashed = df.filter(F.col(value_col).isNotNull()).select(
+        *gexpr,
+        (h % m).cast("int").alias("__reg"),
+        F.shiftright(h, p).alias("__rest"),
+    )
+    rho = (
+        F.when(F.col("__rest") == 0, F.lit(w + 1))
+        .otherwise(F.lit(w + 1) - F.length(F.bin(F.col("__rest"))))
+        .cast("int")
+    )
+    regs = (
+        hashed.select(gname, "__reg", rho.alias("__rho"), F.lit(1).alias("__one"))
+        .groupBy(gname, "__reg")
+        .agg(F.max("__rho").alias("__m"), F.sum("__one").alias("__c"))
+    )
+    per_group = regs.groupBy(gname).agg(
+        # SQL-function form: the Python shiftleft wrapper only takes a
+        # literal int for numBits
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {w + 1} - __m)")
+        ).alias("__t_ne"),
+        F.count(F.lit(1)).alias("__v"),
+        F.sum("__c").alias("n_rows"),
+    )
+    empty = F.lit(m) - F.col("__v")
+    t = F.col("__t_ne") + empty.cast("long") * F.shiftleft(
+        F.lit(1).cast("long"), w + 1
+    )
+    z = t.cast("double") / F.lit(float(1 << (w + 1)))
+    e_raw = F.lit(alpha) * F.lit(float(m * m)) / z
+    # linear counting when E <= 2.5m and some register is empty —
+    # the branch condition compares bit-identical doubles in both engines
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / empty.cast("double"))
+    est = F.when((e_raw <= F.lit(2.5 * m)) & (empty > 0), lc).otherwise(e_raw)
+    return per_group.select(
+        gname,
+        F.col("n_rows"),
+        F.round(est, 6).alias("hll_est"),
+    ).orderBy(gname)

@@ -122,3 +122,46 @@ def test_ddsketch_merges_across_splits(spark):
         h1.unionByName(h2), "value", [0.9], group_col="event_type"
     )
     assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_portable_hll_accuracy_and_regime_switch(spark):
+    """profile.hll_distinct (the cross-engine-exact HLL, vs the builtin
+    HLL++ above): at p=8 the standard error is 1.04/sqrt(256) ~ 6.5%, so
+    10k distincts must land within 20% (3 sigma); 40 distincts must take
+    the linear-counting branch and land within 10%."""
+    from esa_pfa_spark.operators.profile import hll_distinct
+
+    big = spark.range(20_000).select((F.col("id") % 10_000).alias("v"))
+    est = hll_distinct(big, "v", p=8).collect()[0]
+    assert est["n_rows"] == 20_000
+    assert abs(est["hll_est"] - 10_000) / 10_000 < 0.20, est["hll_est"]
+
+    small = spark.range(400).select((F.col("id") % 40).alias("v"))
+    est2 = hll_distinct(small, "v", p=8).collect()[0]
+    assert abs(est2["hll_est"] - 40) / 40 < 0.10, est2["hll_est"]
+
+
+def test_portable_hll_partitioning_invariant(spark):
+    """Register maxima are order/partitioning-free; the estimate must be
+    bit-identical under any repartitioning (the mergeability property)."""
+    from esa_pfa_spark.operators.profile import hll_distinct
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    a = hll_distinct(ev.repartition(1), "user_id", "event_type").collect()
+    b = hll_distinct(ev.repartition(17, "user_id"), "user_id", "event_type").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_portable_hll_higher_p_tightens(spark):
+    """Raising p (more registers) must tighten the estimate on the same
+    data — the knob production turns instead of exact countDistinct."""
+    from esa_pfa_spark.operators.profile import hll_distinct
+
+    big = spark.range(30_000).select((F.col("id") % 15_000).alias("v"))
+    e8 = hll_distinct(big, "v", p=8).collect()[0]["hll_est"]
+    e12 = hll_distinct(big, "v", p=12).collect()[0]["hll_est"]
+    assert abs(e12 - 15_000) <= abs(e8 - 15_000) + 0.02 * 15_000
+    assert abs(e12 - 15_000) / 15_000 < 0.05
+
+    with pytest.raises(ValueError):
+        hll_distinct(big, "v", p=2)
