@@ -2253,6 +2253,86 @@ FROM fin f JOIN ex USING (event_type) ORDER BY f.event_type
 """
 
 
+def q_pagerank_docs(spark, sf_dir):
+    """Link-graph centrality for corpus quality weighting
+    (graph.pagerank): 5 damped iterations over a deterministic synthetic
+    out-link graph on the documents table, top-20 docs by rank.
+    Web-scale curation ranks hosts exactly this way (Common Crawl-style
+    centrality weighting) before sampling.  The three link maps are
+    deliberately NOT all bijections (a quadratic map and a mod-97 hub
+    map skew in-degree; an affine map keeps connectivity) — a regular
+    graph would rank uniformly.  Per iteration: one src-partitioned
+    edges-ranks join, one dst partial-agg shuffle, one scalar dangling
+    aggregate — the Pregel decomposition; lineage cut per round."""
+    from esa_pfa_spark.operators.graph import pagerank
+
+    docs = _ld(spark, sf_dir, "documents")
+    n = docs.count()
+    d = F.col("doc_id")
+    e = None
+    for dst in [(d * d + 1) % n, (d * 13 + 5) % n, d % 97]:
+        t = docs.select(d.alias("src"), dst.alias("dst"))
+        e = t if e is None else e.unionByName(t)
+    e = e.filter(F.col("src") != F.col("dst"))
+    pr = pagerank(e, iters=5, damping=0.85)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("r").desc(), F.col("v").asc())
+    # partition-less window over n rows at sf-test scale; production
+    # takes top-k via TakeOrdered on the rank column instead
+    return (
+        pr.select(F.col("v").alias("doc_id"), F.round("r", 6).alias("pr"),
+                  F.row_number().over(w).cast("int").alias("rank"))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+def _pagerank_sql(iters: int = 5, damping: float = 0.85, topk: int = 20) -> str:
+    """Chained-CTE oracle mirroring graph.pagerank bit-for-bit: 9dp
+    decimal contribution/dangling sums, fixed IEEE rank update."""
+    d = f"CAST({damping!r} AS DOUBLE)"
+    edges = "\n  UNION ALL ".join(
+        f"SELECT doc_id AS src, {dst} AS dst FROM documents, nn"
+        for dst in [
+            "(doc_id * doc_id + 1) % nn.n",
+            "(doc_id * 13 + 5) % nn.n",
+            "doc_id % 97",
+        ]
+    )
+    parts = [f"""
+nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
+e AS MATERIALIZED (SELECT src, dst FROM (
+  {edges}
+) WHERE src != dst),
+od AS MATERIALIZED (SELECT src, count(*) AS od FROM e GROUP BY src),
+v AS MATERIALIZED (SELECT DISTINCT v FROM
+  (SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)),
+r0 AS MATERIALIZED (SELECT v.v, CAST(1.0 AS DOUBLE) / nn.n AS r FROM v, nn)"""]
+    for it in range(1, iters + 1):
+        p = f"r{it - 1}"
+        parts.append(f"""
+c{it} AS MATERIALIZED (SELECT e.dst, CAST(ROUND(r.r / od.od, 9) AS DECIMAL(18,9)) AS c
+       FROM e JOIN od USING (src) JOIN {p} r ON r.v = e.src),
+s{it} AS MATERIALIZED (SELECT dst, SUM(c) AS s FROM c{it} GROUP BY dst),
+d{it} AS MATERIALIZED (SELECT COALESCE(SUM(CAST(ROUND(r.r, 9) AS DECIMAL(18,9))),
+                       CAST(0 AS DECIMAL(18,9))) AS dm
+       FROM {p} r LEFT JOIN od ON od.src = r.v WHERE od.src IS NULL),
+r{it} AS MATERIALIZED (SELECT v.v,
+         (CAST(1.0 AS DOUBLE) - {d}) / nn.n
+           + {d} * (COALESCE(CAST(s.s AS DOUBLE), CAST(0.0 AS DOUBLE))
+                    + CAST(dd.dm AS DOUBLE) / nn.n) AS r
+       FROM v CROSS JOIN nn CROSS JOIN d{it} dd
+       LEFT JOIN s{it} s ON s.dst = v.v)""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+SELECT v AS doc_id, ROUND(r, 6) AS pr,
+       CAST(row_number() OVER (ORDER BY r DESC, v) AS INT) AS rank
+FROM r{iters} QUALIFY rank <= {topk}
+"""
+    )
+
+
 def q_flag_predicate(spark, sf_dir):
     """§2.8 flag/bit predicates (l1_flags.INVALID analog): synthesize an
     8-bit flag word from event_id, count rows matching bitmask tests."""
@@ -6415,6 +6495,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "logreg_train_gd6": (q_logreg_train, _logreg_sql()),
     "logreg_calibration_10": (q_logreg_calibration, _logreg_calibration_sql()),
     "hll_distinct_users": (q_hll_distinct, _hll_sql()),
+    "pagerank_docs_top20": (q_pagerank_docs, _pagerank_sql()),
 }
 
 

@@ -163,6 +163,7 @@ HEADLINE = [
     "logreg_train_gd6",
     "logreg_calibration_10",
     "hll_distinct_users",
+    "pagerank_docs_top20",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",
