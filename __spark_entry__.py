@@ -2333,6 +2333,78 @@ FROM r{iters} QUALIFY rank <= {topk}
     )
 
 
+def q_cms_word_counts(spark, sf_dir):
+    """Count-min sketch point-frequency estimates (profile.cms_build /
+    cms_estimate, width 1024 x depth 4) for the 30 most frequent words
+    of the documents corpus, reported against exact counts with the
+    overestimate (cms_est - exact, NEVER negative — the sketch's
+    one-sided guarantee).  The mergeable-summary trio: MG heavy hitters
+    (top-k), HLL (cardinality), CMS (point frequency) — all with
+    bounded shuffles (here depth*width counter cells) at any corpus
+    size."""
+    from esa_pfa_spark.operators.profile import cms_build, cms_estimate
+    from esa_pfa_spark.operators.textstats import _words
+
+    docs = _ld(spark, sf_dir, "documents")
+    words = docs.select(F.explode(_words("text")).alias("w"))
+    sketch = cms_build(words, "w", width=1024, depth=4, seed=0)
+    exact = words.groupBy("w").agg(F.count(F.lit(1)).alias("exact_n"))
+    from pyspark.sql import Window
+
+    top = exact.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.col("exact_n").desc(), F.col("w").asc())
+        ),
+    ).filter(F.col("rnk") <= 30)
+    est = cms_estimate(sketch, top.select("w", "exact_n", "rnk"), "w",
+                       width=1024, depth=4, seed=0)
+    return (
+        top.join(est, "w")
+        .select(
+            F.col("w").alias("word"),
+            "exact_n",
+            F.col("cms_est").cast("long").alias("cms_est"),
+            (F.col("cms_est") - F.col("exact_n")).cast("long").alias("overest"),
+            F.col("rnk").cast("int").alias("rank"),
+        )
+        .orderBy("rank")
+    )
+
+
+def _cms_sql(width: int = 1024, depth: int = 4, seed: int = 0, topk: int = 30) -> str:
+    def h(i: int, src: str) -> str:
+        return (
+            f"SELECT {i} AS row, CAST(('0x' || substr(md5('{seed}:{i}:' || w), 1, 6))"
+            f" AS INTEGER) % {width} AS col, w FROM {src}"
+        )
+
+    cell_rows = "\n    UNION ALL ".join(h(i, "words") for i in range(depth))
+    kcell_rows = "\n    UNION ALL ".join(h(i, "top") for i in range(depth))
+    return f"""
+WITH words AS MATERIALIZED (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+cells AS MATERIALIZED (
+    {cell_rows}),
+sketch AS MATERIALIZED (
+  SELECT row, col, count(*) AS cnt FROM cells GROUP BY row, col),
+exact AS MATERIALIZED (
+  SELECT w, count(*) AS exact_n FROM words GROUP BY w),
+top AS MATERIALIZED (
+  SELECT w, exact_n,
+         CAST(row_number() OVER (ORDER BY exact_n DESC, w) AS INT) AS rank
+  FROM exact QUALIFY rank <= {topk}),
+kcells AS (
+    {kcell_rows}),
+est AS (
+  SELECT k.w, MIN(COALESCE(s.cnt, 0)) AS cms_est
+  FROM kcells k LEFT JOIN sketch s USING (row, col) GROUP BY k.w)
+SELECT t.w AS word, t.exact_n, CAST(e.cms_est AS BIGINT) AS cms_est,
+       CAST(e.cms_est - t.exact_n AS BIGINT) AS overest, t.rank
+FROM top t JOIN est e USING (w) ORDER BY t.rank
+"""
+
+
 def q_flag_predicate(spark, sf_dir):
     """§2.8 flag/bit predicates (l1_flags.INVALID analog): synthesize an
     8-bit flag word from event_id, count rows matching bitmask tests."""
@@ -6496,6 +6568,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "logreg_calibration_10": (q_logreg_calibration, _logreg_calibration_sql()),
     "hll_distinct_users": (q_hll_distinct, _hll_sql()),
     "pagerank_docs_top20": (q_pagerank_docs, _pagerank_sql()),
+    "cms_word_counts_top30": (q_cms_word_counts, _cms_sql()),
 }
 
 

@@ -164,6 +164,7 @@ HEADLINE = [
     "logreg_calibration_10",
     "hll_distinct_users",
     "pagerank_docs_top20",
+    "cms_word_counts_top30",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",

@@ -376,3 +376,78 @@ def hll_distinct(
         F.col("n_rows"),
         F.round(est, 6).alias("hll_est"),
     ).orderBy(gname)
+
+
+def _cms_hash(col, row: int, seed: int, width: int):
+    key = F.concat(F.lit(f"{seed}:{row}:"), col.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(key), 1, 6), 16, 10).cast("int") % width
+    ).cast("int")
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of a value stream
+    — the mergeable point-frequency companion of ``hll_distinct``
+    (cardinality) and the Misra-Gries heavy hitters (top-k): estimates
+    ANY key's count within ``eps*N`` (eps ~ e/width) NEVER
+    underestimating, from ``depth x width`` counters that merge by
+    addition across partitions / days / tables.
+
+    ONE corpus scan: each record explodes to ``depth`` (row, col) cells
+    (md5 of ``seed:row:value`` — the _hash_bucket convention, so both
+    engines land identical cells), then a single partial-agg groupBy —
+    the shuffle carries at most depth*width rows no matter the corpus.
+    Returns the sparse sketch (row, col, cnt); absent cells are zero.
+    """
+    v = F.col(value_col)
+    cells = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(i).alias("row"), _cms_hash(v, i, seed, width).alias("col")
+            )
+            for i in range(depth)
+        ])
+    ).alias("c")
+    return (
+        df.filter(v.isNotNull())
+        .select(cells)
+        .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """Point-estimate each key against a cms_build sketch: min over the
+    ``depth`` counters the key hashes to (absent cell = 0).  The keys
+    frame is the small side (broadcast); the sketch is depth*width rows
+    at most.  Appends ``cms_est``."""
+    k = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    _cms_hash(F.col(key_col), i, seed, width).alias("col"),
+                )
+                for i in range(depth)
+            ])
+        ).alias("c"),
+    ).select(key_col, F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+    joined = k.join(F.broadcast(sketch), ["row", "col"], "left")
+    return (
+        joined.groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )

@@ -165,3 +165,55 @@ def test_portable_hll_higher_p_tightens(spark):
 
     with pytest.raises(ValueError):
         hll_distinct(big, "v", p=2)
+
+
+def test_cms_never_underestimates(spark):
+    """Count-min's one-sided guarantee: with width=32 (forced
+    collisions on ~hundreds of distinct words) every estimate must be
+    >= exact, and at least one collision must show overest > 0."""
+    from esa_pfa_spark.operators.profile import cms_build, cms_estimate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    sketch = cms_build(words, "w", width=32, depth=4)
+    exact = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    est = cms_estimate(sketch, exact, "w", width=32, depth=4)
+    joined = exact.join(est, "w").collect()
+    assert len(joined) > 20  # the synthetic corpus has ~31 distinct words
+    assert all(r["cms_est"] >= r["n"] for r in joined)
+    assert any(r["cms_est"] > r["n"] for r in joined)
+
+
+def test_cms_merges_by_addition(spark):
+    """Sketches of two halves summed cell-wise equal the whole-corpus
+    sketch — the mergeability that lets partitions/days combine."""
+    from esa_pfa_spark.operators.profile import cms_build
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    whole = cms_build(words, "w", width=64, depth=3)
+    h1 = cms_build(words.filter(F.col("doc_id") % 2 == 0), "w", width=64, depth=3)
+    h2 = cms_build(words.filter(F.col("doc_id") % 2 == 1), "w", width=64, depth=3)
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_cms_absent_key_collision_bounded(spark):
+    """An absent key's estimate is pure collision mass: bounded by
+    e/width * N with overwhelming probability at depth 4."""
+    from esa_pfa_spark.operators.profile import cms_build, cms_estimate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    n_total = words.count()
+    sketch = cms_build(words, "w", width=256, depth=4)
+    probe = spark.createDataFrame(
+        [("__never_in_corpus__",), ("__also_absent__",)], "w string"
+    )
+    est = {r["w"]: r["cms_est"] for r in cms_estimate(sketch, probe, "w", width=256, depth=4).collect()}
+    for v in est.values():
+        assert 0 <= v <= 3 * 2.72 / 256 * n_total
