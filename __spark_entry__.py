@@ -2405,6 +2405,90 @@ FROM top t JOIN est e USING (w) ORDER BY t.rank
 """
 
 
+_ZORDER_BOXES = {
+    "x_band": {"x": (32, 47)},
+    "y_band": {"y": (96, 127)},
+    "xy_box": {"x": (32, 47), "y": (96, 127)},
+}
+
+
+def q_zorder_pruning(spark, sf_dir):
+    """Layout-quality measurement (operators/layout.py): cluster the
+    events table by a z-order (Morton) key vs a linear single-column
+    sort, cut each layout into 64 simulated files, and count how many
+    files' min-max envelopes a reader must open for three predicate
+    boxes.  The z-ordered layout prunes on BOTH dimensions (the Delta
+    OPTIMIZE ZORDER / Iceberg sort-order play); the linear layout
+    prunes x perfectly and y not at all — the table shows the trade
+    honestly per box.  Exact integer bit algebra throughout; the global
+    ntile is the write simulation (production layouts come from
+    write-time range partitioning)."""
+    from esa_pfa_spark.operators.layout import (
+        file_minmax_stats, files_scanned, morton_key,
+    )
+
+    ev = _ld(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("user_id") % 256).alias("x"),
+        (F.col("event_id") % 256).alias("y"),
+        "event_id",
+    )
+    layouts = {
+        "linear_x": [F.col("x"), F.col("event_id")],
+        "zorder": [morton_key(F.col("x"), F.col("y"), bits=8), F.col("event_id")],
+    }
+    pieces = []
+    for lname, order in layouts.items():
+        stats = file_minmax_stats(base, order, n_files=64, stat_cols=["x", "y"])
+        for bname, box in _ZORDER_BOXES.items():
+            pieces.append(
+                files_scanned(stats, box).select(
+                    F.lit(lname).alias("layout"),
+                    F.lit(bname).alias("box"),
+                    F.col("n_files").cast("long").alias("n_files"),
+                    F.col("files_scanned").cast("long").alias("files_scanned"),
+                    F.round(
+                        F.col("files_scanned").cast("double") / F.col("n_files"), 6
+                    ).alias("frac_scanned"),
+                )
+            )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("layout", "box")
+
+
+def _zorder_sql(n_files: int = 64, bits: int = 8) -> str:
+    from esa_pfa_spark.operators.layout import morton_sql
+
+    mk = morton_sql("x", "y", bits)
+    selects = []
+    for lname, order in [("linear_x", "x, event_id"), ("zorder", f"{mk}, event_id")]:
+        for bname, box in _ZORDER_BOXES.items():
+            cond = " AND ".join(
+                f"max_{c} >= {lo} AND min_{c} <= {hi}" for c, (lo, hi) in box.items()
+            )
+            selects.append(f"""
+SELECT '{lname}' AS layout, '{bname}' AS box,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+       ROUND(CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS frac_scanned
+FROM (SELECT file_id, min(x) AS min_x, max(x) AS max_x,
+             min(y) AS min_y, max(y) AS max_y
+      FROM (SELECT ntile({n_files}) OVER (ORDER BY {order}) AS file_id, x, y
+            FROM base)
+      GROUP BY file_id)""")
+    return (
+        """
+WITH base AS MATERIALIZED (
+  SELECT user_id % 256 AS x, event_id % 256 AS y, event_id FROM events)
+"""
+        + "\nUNION ALL".join(selects)
+        + "\nORDER BY layout, box\n"
+    )
+
+
 def q_flag_predicate(spark, sf_dir):
     """§2.8 flag/bit predicates (l1_flags.INVALID analog): synthesize an
     8-bit flag word from event_id, count rows matching bitmask tests."""
@@ -6569,6 +6653,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "hll_distinct_users": (q_hll_distinct, _hll_sql()),
     "pagerank_docs_top20": (q_pagerank_docs, _pagerank_sql()),
     "cms_word_counts_top30": (q_cms_word_counts, _cms_sql()),
+    "zorder_pruning_64f": (q_zorder_pruning, _zorder_sql()),
 }
 
 

@@ -165,6 +165,7 @@ HEADLINE = [
     "hll_distinct_users",
     "pagerank_docs_top20",
     "cms_word_counts_top30",
+    "zorder_pruning_64f",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",
