@@ -2489,6 +2489,78 @@ WITH base AS MATERIALIZED (
     )
 
 
+_BLOOM_M, _BLOOM_K, _BLOOM_THRESH = 65536, 4, 450000
+
+
+def q_bloom_prune(spark, sf_dir):
+    """Runtime-filter join pruning (profile.bloom_build / bloom_prune):
+    the high-value orders subset builds a bloom filter whose BOUNDED
+    bit-position table (<= m rows, here 64k, regardless of how many
+    millions of keys the dim side has) broadcasts to prune lineitem
+    with k map-side semi-joins — ZERO shuffles of the big table before
+    the real join.  Output: one audit row — big-side rows, rows passing
+    the bloom, true matches, false positives (pruning is sound: no
+    false negatives, callers still run the real join), observed FP
+    rate.  This is the engine-level form of Spark's runtime bloom
+    filters (spark.sql.optimizer.runtime.bloomFilter), made portable
+    and oracle-checkable."""
+    from esa_pfa_spark.operators.profile import bloom_build, bloom_prune
+
+    orders = _ld(spark, sf_dir, "orders")
+    li = _ld(spark, sf_dir, "lineitem").select("l_orderkey")
+    dim = orders.filter(F.col("o_totalprice") > _BLOOM_THRESH).select("o_orderkey")
+    pos = bloom_build(dim, "o_orderkey", m=_BLOOM_M, k=_BLOOM_K, seed=0)
+    pruned = bloom_prune(li, "l_orderkey", pos, m=_BLOOM_M, k=_BLOOM_K, seed=0)
+    n_big = li.count()
+    n_after = pruned.count()
+    n_true = li.join(
+        dim, li["l_orderkey"] == dim["o_orderkey"], "left_semi"
+    ).count()
+    row = spark.createDataFrame(
+        [(n_big, n_after, n_true)],
+        "n_big long, n_after_bloom long, n_true long",
+    )
+    return row.select(
+        "n_big", "n_after_bloom", "n_true",
+        (F.col("n_after_bloom") - F.col("n_true")).alias("false_pos"),
+        F.round(
+            (F.col("n_after_bloom") - F.col("n_true"))
+            / (F.col("n_big") - F.col("n_true")),
+            6,
+        ).alias("fp_rate"),
+    )
+
+
+def _bloom_sql(m: int = _BLOOM_M, k: int = _BLOOM_K, seed: int = 0) -> str:
+    def h(i: int, col: str) -> str:
+        return (
+            f"CAST(('0x' || substr(md5('{seed}:{i}:' || CAST({col} AS VARCHAR)), 1, 6))"
+            f" AS INTEGER) % {m}"
+        )
+
+    build = "\n  UNION ALL ".join(
+        f"SELECT {h(i, 'o_orderkey')} AS pos FROM dim" for i in range(k)
+    )
+    member = " AND ".join(
+        f"({h(i, 'l_orderkey')}) IN (SELECT pos FROM pos)" for i in range(k)
+    )
+    return f"""
+WITH dim AS MATERIALIZED (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > {_BLOOM_THRESH}),
+pos AS MATERIALIZED (SELECT DISTINCT pos FROM (
+  {build})),
+stats AS (SELECT
+  (SELECT count(*) FROM lineitem) AS n_big,
+  (SELECT count(*) FROM lineitem WHERE {member}) AS n_after_bloom,
+  (SELECT count(*) FROM lineitem
+   WHERE l_orderkey IN (SELECT o_orderkey FROM dim)) AS n_true)
+SELECT n_big, n_after_bloom, n_true,
+       n_after_bloom - n_true AS false_pos,
+       ROUND((n_after_bloom - n_true) / (n_big - n_true), 6) AS fp_rate
+FROM stats
+"""
+
+
 def q_flag_predicate(spark, sf_dir):
     """§2.8 flag/bit predicates (l1_flags.INVALID analog): synthesize an
     8-bit flag word from event_id, count rows matching bitmask tests."""
@@ -6654,6 +6726,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pagerank_docs_top20": (q_pagerank_docs, _pagerank_sql()),
     "cms_word_counts_top30": (q_cms_word_counts, _cms_sql()),
     "zorder_pruning_64f": (q_zorder_pruning, _zorder_sql()),
+    "bloom_prune_join": (q_bloom_prune, _bloom_sql()),
 }
 
 

@@ -166,6 +166,7 @@ HEADLINE = [
     "pagerank_docs_top20",
     "cms_word_counts_top30",
     "zorder_pruning_64f",
+    "bloom_prune_join",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",

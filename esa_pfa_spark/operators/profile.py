@@ -451,3 +451,54 @@ def cms_estimate(
         joined.groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )
+
+
+def bloom_positions(col, i: int, m: int, seed: int):
+    """Bit position of hash i for a key — md5 convention, identical in
+    both engines."""
+    key = F.concat(F.lit(f"{seed}:{i}:"), col.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(key), 1, 6), 16, 10).cast("int") % m
+    ).cast("int")
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, m: int = 8192, k: int = 4, seed: int = 0
+) -> DataFrame:
+    """Bloom filter of a key set as a DISTINCT bit-position table
+    (<= m rows) — the runtime-filter device: joins at 100 TB ship this
+    BOUNDED table to every task instead of the full key set (which can
+    be millions of rows), so the big side is pruned map-side before the
+    real join's shuffle.  One pass over the keys: explode to k
+    positions, distinct."""
+    c = F.col(key_col)
+    pos = F.explode(
+        F.array(*[bloom_positions(c, i, m, seed) for i in range(k)])
+    ).alias("pos")
+    return keys.filter(c.isNotNull()).select(pos).distinct()
+
+
+def bloom_prune(
+    df: DataFrame,
+    key_col: str,
+    positions: DataFrame,
+    m: int = 8192,
+    k: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """Keep rows whose key MIGHT be in the built set (all k bit
+    positions present): k broadcast LEFT SEMI joins — every one
+    map-side, ZERO shuffles of the big table.  False positives pass
+    (callers still run the real join — pruning only shrinks its input,
+    never changes its result); true keys always pass (no false
+    negatives, the bloom guarantee)."""
+    c = F.col(key_col)
+    out = df
+    for i in range(k):
+        probe = out.withColumn("__bp", bloom_positions(c, i, m, seed))
+        out = probe.join(
+            F.broadcast(positions.withColumnRenamed("pos", "__bp")),
+            "__bp",
+            "left_semi",
+        ).drop("__bp")
+    return out

@@ -217,3 +217,47 @@ def test_cms_absent_key_collision_bounded(spark):
     est = {r["w"]: r["cms_est"] for r in cms_estimate(sketch, probe, "w", width=256, depth=4).collect()}
     for v in est.values():
         assert 0 <= v <= 3 * 2.72 / 256 * n_total
+
+
+def test_bloom_prune_no_false_negatives_and_forced_fps(spark):
+    """Bloom soundness: every true key survives pruning; at an undersized m
+    (8192 bits for ~1500 keys) collisions must produce false positives, which the real
+    join then removes — pruning never changes the join's result."""
+    from esa_pfa_spark.operators.profile import bloom_build, bloom_prune
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select("l_orderkey")
+    dim = orders.filter(F.col("o_totalprice") > 450000).select("o_orderkey")
+    pos = bloom_build(dim, "o_orderkey", m=8192, k=3)
+    pruned = bloom_prune(li, "l_orderkey", pos, m=8192, k=3)
+    true_keys = li.join(dim, li["l_orderkey"] == dim["o_orderkey"], "left_semi")
+    n_true, n_pruned = true_keys.count(), pruned.count()
+    # soundness: the true matches are a subset of the pruned survivors
+    assert true_keys.exceptAll(pruned).count() == 0
+    assert n_pruned > n_true  # forced collisions at the undersized m
+    # the survivors still shrink the big side substantially
+    assert n_pruned < li.count()
+
+
+def test_bloom_prune_is_map_side_only(spark):
+    """The pruning joins must all be broadcast semi-joins: zero shuffle
+    exchanges anywhere in the pruned plan's big-side path (the
+    positions build may shuffle its <= m distinct rows; that subtree
+    ends in the BroadcastExchange, which must be the only exchange
+    feeding the joins)."""
+    import re
+
+    from tests.test_plans import n_exchanges, plan_of
+    from esa_pfa_spark.operators.profile import bloom_build, bloom_prune
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select("l_orderkey")
+    dim = orders.filter(F.col("o_totalprice") > 450000).select("o_orderkey")
+    # materialize the <= m position rows once (the production shape: the
+    # filter is built once and shipped; its build-side shuffle of <= m
+    # rows is not part of the per-scan cost)
+    pos_rows = bloom_build(dim, "o_orderkey", m=4096, k=4).collect()
+    pos = spark.createDataFrame(pos_rows, "pos int")
+    plan = plan_of(bloom_prune(li, "l_orderkey", pos, m=4096, k=4), "simple")
+    assert len(re.findall(r"BroadcastHashJoin .*LeftSemi", plan)) == 4
+    assert n_exchanges(plan) == 0, plan
