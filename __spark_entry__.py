@@ -999,6 +999,32 @@ FROM sig a JOIN sig b
 """
 
 
+def q_editdist_rerank(spark, sf_dir):
+    """Candidate→verify funnel tail (dedup.editdist_rerank): exact
+    Levenshtein + normalized similarity over the LSH-banded candidate
+    pairs — the final exact check before a merge decision.  The O(len²)
+    DP runs ONLY on the pruned candidate set (the funnel's whole
+    point), and both engines share the DP definition, so the stage is
+    exactly oracled."""
+    cand = DD.minhash_band_candidates(_ld(spark, sf_dir, "documents"))
+    return DD.editdist_rerank(
+        _ld(spark, sf_dir, "documents"), cand
+    ).orderBy(F.col("edit_sim").desc(), "doc_id_a", "doc_id_b")
+
+
+SQL_EDITDIST_RERANK = f"""
+WITH cand AS MATERIALIZED ({SQL_MINHASH_CAND}),
+j AS (SELECT c.doc_id_a, c.doc_id_b,
+             levenshtein(da.text, db.text) AS edit_dist,
+             GREATEST(length(da.text), length(db.text)) AS mx
+      FROM cand c JOIN documents da ON da.doc_id = c.doc_id_a
+                  JOIN documents db ON db.doc_id = c.doc_id_b)
+SELECT doc_id_a, doc_id_b, CAST(edit_dist AS INT) AS edit_dist,
+       ROUND(CAST(1.0 AS DOUBLE) - CAST(edit_dist AS DOUBLE) / mx, 6) AS edit_sim
+FROM j ORDER BY edit_sim DESC, doc_id_a, doc_id_b
+"""
+
+
 def q_minhash_estimates(spark, sf_dir):
     """MinHash Jaccard estimates over the banded candidates — the cheap
     re-rank stage between candidate generation and exact verification
@@ -6727,6 +6753,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "cms_word_counts_top30": (q_cms_word_counts, _cms_sql()),
     "zorder_pruning_64f": (q_zorder_pruning, _zorder_sql()),
     "bloom_prune_join": (q_bloom_prune, _bloom_sql()),
+    "editdist_rerank_pairs": (q_editdist_rerank, SQL_EDITDIST_RERANK),
 }
 
 

@@ -167,6 +167,7 @@ HEADLINE = [
     "cms_word_counts_top30",
     "zorder_pruning_64f",
     "bloom_prune_join",
+    "editdist_rerank_pairs",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",

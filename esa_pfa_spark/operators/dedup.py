@@ -656,3 +656,45 @@ def block_dedup(
             "clean_text",
         )
     )
+
+
+def editdist_rerank(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+) -> DataFrame:
+    """Exact edit-distance verification of candidate near-dup pairs:
+    Levenshtein distance + the normalized similarity
+    ``1 - dist / max(len_a, len_b)`` per pair.
+
+    Scale contract: Levenshtein is O(len_a * len_b) PER PAIR — this
+    stage exists to run on the LSH-banded candidate set ONLY (the
+    MinHash/SimHash funnels prune the quadratic pair space first; this
+    is the final exact check before a merge decision, the standard
+    candidate→verify funnel).  Both engines implement the identical DP
+    (tested 'kitten'→'sitting' = 3), so the stage is exactly oracled.
+    The two text fetches are equi-joins on the id — at scale the pair
+    list is small relative to the corpus, so both joins broadcast the
+    pair side or shuffle only the candidate ids, never all texts.
+    """
+    a = docs.select(
+        F.col(id_col).alias(a_col),
+        F.col(text_col).alias("__ta"),
+        F.length(text_col).alias("__la"),
+    )
+    b = docs.select(
+        F.col(id_col).alias(b_col),
+        F.col(text_col).alias("__tb"),
+        F.length(text_col).alias("__lb"),
+    )
+    j = pairs.join(a, a_col).join(b, b_col)
+    dist = F.levenshtein("__ta", "__tb")
+    sim = F.round(
+        F.lit(1.0) - dist.cast("double") / F.greatest("__la", "__lb"), 6
+    )
+    return j.select(
+        a_col, b_col, dist.alias("edit_dist"), sim.alias("edit_sim")
+    )

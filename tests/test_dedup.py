@@ -254,3 +254,21 @@ def test_block_dedup_within_doc_repeat_and_tail_block(spark):
     row = DD.block_dedup(_docs(spark, [text]), block_words=4).collect()[0]
     assert row["n_blocks"] == 3 and row["n_kept"] == 2
     assert row["clean_text"] == blk + " zz"
+
+
+def test_editdist_rerank_exact_values(spark):
+    """Hand-checked Levenshtein on a fixture pair + the funnel contract:
+    only the supplied candidate pairs are scored (never all pairs)."""
+    from esa_pfa_spark.operators.dedup import editdist_rerank
+
+    docs = spark.createDataFrame(
+        [(1, "kitten sat here"), (2, "sitting sat here"), (3, "unrelated text")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_id_a long, doc_id_b long")
+    out = editdist_rerank(docs, pairs).collect()
+    assert len(out) == 1  # doc 3 never scored
+    r = out[0]
+    # kitten->sitting is 3 edits; the rest of the strings are identical
+    assert r["edit_dist"] == 3
+    assert r["edit_sim"] == round(1.0 - 3 / 16, 6)
