@@ -2587,6 +2587,60 @@ FROM stats
 """
 
 
+def q_table_diff(spark, sf_dir):
+    """Snapshot diff / CDC compute (plans/diff.py table_diff_summary):
+    classify every key across two deterministic versions of the events
+    table — v_old drops nothing; v_new deletes event_id % 97 == 0,
+    bumps value by 1 where event_id % 13 == 0, and appends synthetic
+    rows (event_id + 10^9 for event_id % 101 == 0).  One full-outer
+    co-partitioned join + map-only classification + a 4-group partial
+    agg; null-safe column compare.  This is what feeds
+    plans/incremental.py when upstream only hands full snapshots."""
+    from esa_pfa_spark.plans.diff import table_diff_summary
+
+    ev = _ld(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    old = ev
+    kept = ev.filter(F.col("event_id") % 97 != 0)
+    updated = kept.select(
+        "event_id", "event_type",
+        F.when(F.col("event_id") % 13 == 0, F.col("value") + 1)
+        .otherwise(F.col("value")).alias("value"),
+    )
+    inserted = ev.filter(F.col("event_id") % 101 == 0).select(
+        (F.col("event_id") + 1_000_000_000).alias("event_id"),
+        "event_type", "value",
+    )
+    new = updated.unionByName(inserted)
+    return table_diff_summary(old, new, ["event_id"], ["event_type", "value"])
+
+
+SQL_TABLE_DIFF = """
+WITH old AS MATERIALIZED (SELECT event_id, event_type, value FROM events),
+new AS MATERIALIZED (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 13 = 0 THEN value + 1 ELSE value END AS value
+  FROM events WHERE event_id % 97 != 0
+  UNION ALL
+  SELECT event_id + 1000000000, event_type, value
+  FROM events WHERE event_id % 101 = 0),
+d AS (SELECT
+        CASE WHEN o.event_id IS NULL THEN 'insert'
+             WHEN n.event_id IS NULL THEN 'delete'
+             WHEN (o.event_type IS DISTINCT FROM n.event_type)
+               OR (o.value IS DISTINCT FROM n.value) THEN 'update'
+             ELSE 'unchanged' END AS change_type,
+        (o.event_id IS NOT NULL AND n.event_id IS NOT NULL
+         AND o.event_type IS DISTINCT FROM n.event_type) AS chg_event_type,
+        (o.event_id IS NOT NULL AND n.event_id IS NOT NULL
+         AND o.value IS DISTINCT FROM n.value) AS chg_value
+      FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id)
+SELECT change_type, count(*) AS n_rows,
+       CAST(SUM(CASE WHEN chg_event_type THEN 1 ELSE 0 END) AS BIGINT) AS n_chg_event_type,
+       CAST(SUM(CASE WHEN chg_value THEN 1 ELSE 0 END) AS BIGINT) AS n_chg_value
+FROM d GROUP BY change_type ORDER BY change_type
+"""
+
+
 def q_flag_predicate(spark, sf_dir):
     """§2.8 flag/bit predicates (l1_flags.INVALID analog): synthesize an
     8-bit flag word from event_id, count rows matching bitmask tests."""
@@ -6754,6 +6808,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "zorder_pruning_64f": (q_zorder_pruning, _zorder_sql()),
     "bloom_prune_join": (q_bloom_prune, _bloom_sql()),
     "editdist_rerank_pairs": (q_editdist_rerank, SQL_EDITDIST_RERANK),
+    "table_diff_cdc": (q_table_diff, SQL_TABLE_DIFF),
 }
 
 

@@ -168,6 +168,7 @@ HEADLINE = [
     "zorder_pruning_64f",
     "bloom_prune_join",
     "editdist_rerank_pairs",
+    "table_diff_cdc",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",
