@@ -290,6 +290,43 @@ def validate_expectations(
     ).orderBy("expectation")
 
 
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    p: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """The mergeable core of the HLL: per (group, register) the max rank
+    ``__m`` and the row count ``__c``.  max/sum are both engine-native
+    streaming-capable aggregates with state bounded by 2^p rows per
+    group, so the SAME expression tree runs batch (hll_distinct) and as
+    a Structured Streaming stateful aggregation (streaming/sketches.py).
+    Register-wise max merges sketches from any split of the data."""
+    m = 1 << p
+    w = 60 - p
+    gexpr = [F.col(group_col)] if group_col else [F.lit("all").alias("grp")]
+    gname = group_col if group_col else "grp"
+    key = F.concat(F.lit(f"{seed}:"), F.col(value_col).cast("string"))
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+
+    hashed = df.filter(F.col(value_col).isNotNull()).select(
+        *gexpr,
+        (h % m).cast("int").alias("__reg"),
+        F.shiftright(h, p).alias("__rest"),
+    )
+    rho = (
+        F.when(F.col("__rest") == 0, F.lit(w + 1))
+        .otherwise(F.lit(w + 1) - F.length(F.bin(F.col("__rest"))))
+        .cast("int")
+    )
+    return (
+        hashed.select(gname, "__reg", rho.alias("__rho"), F.lit(1).alias("__one"))
+        .groupBy(gname, "__reg")
+        .agg(F.max("__rho").alias("__m"), F.sum("__one").alias("__c"))
+    )
+
+
 def hll_distinct(
     df: DataFrame,
     value_col: str,
@@ -332,26 +369,8 @@ def hll_distinct(
     w = 60 - p
     alpha = 0.7213 / (1.0 + 1.079 / m)
 
-    gexpr = [F.col(group_col)] if group_col else [F.lit("all").alias("grp")]
     gname = group_col if group_col else "grp"
-    key = F.concat(F.lit(f"{seed}:"), F.col(value_col).cast("string"))
-    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
-
-    hashed = df.filter(F.col(value_col).isNotNull()).select(
-        *gexpr,
-        (h % m).cast("int").alias("__reg"),
-        F.shiftright(h, p).alias("__rest"),
-    )
-    rho = (
-        F.when(F.col("__rest") == 0, F.lit(w + 1))
-        .otherwise(F.lit(w + 1) - F.length(F.bin(F.col("__rest"))))
-        .cast("int")
-    )
-    regs = (
-        hashed.select(gname, "__reg", rho.alias("__rho"), F.lit(1).alias("__one"))
-        .groupBy(gname, "__reg")
-        .agg(F.max("__rho").alias("__m"), F.sum("__one").alias("__c"))
-    )
+    regs = hll_registers(df, value_col, group_col=group_col, p=p, seed=seed)
     per_group = regs.groupBy(gname).agg(
         # SQL-function form: the Python shiftleft wrapper only takes a
         # literal int for numBits
