@@ -2641,6 +2641,38 @@ FROM d GROUP BY change_type ORDER BY change_type
 """
 
 
+def q_woe_encode(spark, sf_dir):
+    """Weight-of-Evidence categorical encoding + Information Value
+    (encode.woe_encode): event_type scored against the high-value
+    target ``value > 50`` with 0.5 additive smoothing — the global
+    (non-temporal) complement of the expanding target encoder; one
+    category-row shuffle, totals folded back as literals."""
+    from esa_pfa_spark.operators.encode import woe_encode
+
+    ev = _ld(spark, sf_dir, "events")
+    return woe_encode(ev, "event_type", F.col("value") > 50)
+
+
+SQL_WOE_ENCODE = """
+WITH per AS MATERIALIZED (
+  SELECT event_type AS category, count(*) AS n,
+         SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS n_pos,
+         SUM(CASE WHEN NOT (value > 50) THEN 1 ELSE 0 END) AS n_neg
+  FROM events GROUP BY event_type),
+tot AS MATERIALIZED (SELECT SUM(n_pos) AS tp, SUM(n_neg) AS tn FROM per),
+x AS (SELECT category, n, n_pos, n_neg,
+        (CAST(n_pos AS DOUBLE) + CAST(0.5 AS DOUBLE))
+          / (CAST(tp AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS pp,
+        (CAST(n_neg AS DOUBLE) + CAST(0.5 AS DOUBLE))
+          / (CAST(tn AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS pn
+      FROM per, tot)
+SELECT category, n, n_pos, n_neg,
+       ROUND(LN(pp / pn), 6) AS woe,
+       ROUND((pp - pn) * LN(pp / pn), 6) AS iv
+FROM x ORDER BY category
+"""
+
+
 def q_flag_predicate(spark, sf_dir):
     """§2.8 flag/bit predicates (l1_flags.INVALID analog): synthesize an
     8-bit flag word from event_id, count rows matching bitmask tests."""
@@ -6614,8 +6646,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # never driver-reconfirmed) then the queries never driver-sampled in r1-r3.
     # ROUND-5 ROTATION NOTE: the r4 operator wave (pit_decay_features_1d
     # through span_corruption_masks, appended at the END of this dict), the
-    # r4 LATE wave (trend_by_user..embedding_drift_by_label, the very tail),
-    # plus the never-reached middle block (decontaminate_bloom_8g..
+    # r4 LATE wave (trend_by_user..entity_feature_snapshot), the r4 FINAL
+    # wave (logreg_train_gd6..table_diff_cdc, the very tail), plus the
+    # never-reached middle block (decontaminate_bloom_8g..
     # nonreuse_pairs_synth, positions 50-68) have no driver row yet — promote
     # them into the first 50 next round; everything sampled in r1-r4 stays
     # covered by tests/test_entry_oracle.py locally.
@@ -6809,6 +6842,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "bloom_prune_join": (q_bloom_prune, _bloom_sql()),
     "editdist_rerank_pairs": (q_editdist_rerank, SQL_EDITDIST_RERANK),
     "table_diff_cdc": (q_table_diff, SQL_TABLE_DIFF),
+    "woe_event_type": (q_woe_encode, SQL_WOE_ENCODE),
 }
 
 

@@ -169,6 +169,7 @@ HEADLINE = [
     "bloom_prune_join",
     "editdist_rerank_pairs",
     "table_diff_cdc",
+    "woe_event_type",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",

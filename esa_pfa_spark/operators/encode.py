@@ -212,3 +212,52 @@ def hashed_cross(
         % F.lit(int(n_buckets))
     ).cast("int")
     return df.withColumn(out_col, bucket)
+
+
+def woe_encode(
+    df: DataFrame,
+    cat_col: str,
+    label_col,
+    smooth: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Weight-of-Evidence categorical encoding + Information Value — the
+    credit-scoring-standard complement of ``target_encode_expanding``
+    for NON-temporal categoricals:
+
+      WoE(c)  = ln( ((pos_c + s) / (pos + s)) / ((neg_c + s) / (neg + s)) )
+      IV(c)   = ((pos_c + s)/(pos + s) - (neg_c + s)/(neg + s)) * WoE(c)
+
+    with additive smoothing ``s`` so empty cells stay finite.  Unlike
+    target encoding this is a GLOBAL statistic (no leakage concern for
+    i.i.d. rows — for temporal data use the expanding encoder), and the
+    whole table is one partial-agg groupBy: the shuffle carries one row
+    per category, then two scalar totals broadcast back as literals via
+    a second tiny agg — never a per-row window.
+
+    ``label_col`` may be a column name or boolean Column.  Engine
+    parity: counts are exact ints, the ratio arithmetic is a fixed IEEE
+    chain, ln is libm (6dp rounding absorbs the ulp — the plogp-family
+    tolerance).  Returns (category, n, n_pos, n_neg, woe, iv).
+    """
+    y = (F.col(label_col) if isinstance(label_col, str) else label_col).cast(
+        "boolean"
+    )
+    per = df.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(y, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(~y, 1).otherwise(0)).alias("n_neg"),
+    )
+    tot = per.agg(
+        F.sum("n_pos").alias("__tp"), F.sum("n_neg").alias("__tn")
+    ).first()
+    tp, tn = int(tot["__tp"]), int(tot["__tn"])
+    s = float(smooth)
+    pp = (F.col("n_pos").cast("double") + F.lit(s)) / F.lit(float(tp) + s)
+    pn = (F.col("n_neg").cast("double") + F.lit(s)) / F.lit(float(tn) + s)
+    woe = F.log(pp / pn)
+    return per.select(
+        "category", "n", "n_pos", "n_neg",
+        F.round(woe, round_to).alias("woe"),
+        F.round((pp - pn) * woe, round_to).alias("iv"),
+    ).orderBy("category")

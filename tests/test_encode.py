@@ -226,3 +226,29 @@ def test_validate_expectations_counts(spark):
     assert out["always"]["n_violations"] == 0 and out["always"]["passed"]
     assert all(r["n_rows"] == 4 for r in out.values())
     assert out["v_nonneg"]["violation_rate"] == 0.5
+
+
+def test_woe_encode_matches_closed_form(spark):
+    """WoE/IV vs hand-computed values on a fixture where one category is
+    strongly predictive; smoothing keeps the empty-positive cell finite."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from esa_pfa_spark.operators.encode import woe_encode
+
+    rows = (
+        [("a", 1)] * 30 + [("a", 0)] * 10
+        + [("b", 1)] * 5 + [("b", 0)] * 35
+        + [("c", 0)] * 20  # no positives: smoothing territory
+    )
+    df = spark.createDataFrame(rows, "cat string, y int")
+    out = {r["category"]: r for r in woe_encode(df, "cat", F.col("y") == 1).collect()}
+    tp, tn = 35, 65
+    for cat, (p, n) in {"a": (30, 10), "b": (5, 35), "c": (0, 20)}.items():
+        pp = (p + 0.5) / (tp + 0.5)
+        pn = (n + 0.5) / (tn + 0.5)
+        assert out[cat]["woe"] == pytest.approx(math.log(pp / pn), abs=1e-6)
+        assert out[cat]["iv"] == pytest.approx((pp - pn) * math.log(pp / pn), abs=1e-6)
+        assert out[cat]["n_pos"] == p and out[cat]["n_neg"] == n
+    assert out["a"]["woe"] > 0 > out["b"]["woe"] > out["c"]["woe"]
