@@ -526,3 +526,29 @@ def test_bitemporal_asof_single_exchange(spark):
     )
     hash_ex = len(re.findall(r"Exchange hashpartitioning", plan))
     assert hash_ex == 1, f"bitemporal as-of must stay a 1-Exchange plan:\n{plan}"
+
+
+def test_sketch_plans_bounded_shuffles(spark):
+    """The mergeable sketches must keep their scale contracts in the
+    plan: cms_build is ONE partial-agg exchange; hll_distinct is two
+    (register agg, then per-group fold), both carrying bounded rows;
+    WoE is one category exchange plus the scalar-totals agg."""
+    from pyspark.sql import functions as F
+
+    from esa_pfa_spark.operators.encode import woe_encode
+    from esa_pfa_spark.operators.profile import cms_build, hll_distinct
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    cms_plan = plan_of(cms_build(ev, "user_id", width=64, depth=3), "simple")
+    assert n_exchanges(cms_plan) == 1, cms_plan
+    assert "partial_count" in cms_plan or "HashAggregate" in cms_plan
+
+    hll_plan = plan_of(hll_distinct(ev, "user_id", "event_type"), "simple")
+    # 2 hash exchanges (register agg, per-group fold); the display
+    # orderBy adds one rangepartitioning
+    assert len(re.findall(r"Exchange hashpartitioning", hll_plan)) == 2, hll_plan
+
+    woe_plan = plan_of(
+        woe_encode(ev, "event_type", F.col("value") > 50), "simple"
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", woe_plan)) == 1, woe_plan
