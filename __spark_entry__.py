@@ -4361,6 +4361,38 @@ def q_bpe_encode_sampled(spark, sf_dir):
     )
 
 
+def q_bpe_roundtrip(spark, sf_dir):
+    """Tokenizer round-trip audit (tokens.bpe_decode): encode the corpus
+    with a 256-merge sampled-trained table, decode it back, and report
+    per-doc identity with the original token sequence plus the
+    compression achieved — the invariant a tokenizer swap must preserve
+    before any retokenized corpus ships.  Decode is one map-only pass of
+    pure numpy repeat/cumsum expansion (vocabulary-sized driver table,
+    corpus-independent).  Iterative trainer => rows-only (the identity
+    columns are self-checking: roundtrip_ok must be true on every row)."""
+    from esa_pfa_spark.operators.tokens import bpe_decode, bpe_train_sampled
+
+    toks = _tokenized_docs(spark, sf_dir).select("doc_id", "tokens")
+    merges, applied, _ = bpe_train_sampled(
+        toks, n_merges=256, sample_docs=10_000, encoder="encode"
+    )
+    decoded = bpe_decode(applied, merges).select(
+        "doc_id", F.col("tokens").alias("decoded")
+    )
+    orig = toks.select("doc_id", F.col("tokens").alias("orig"))
+    enc_len = applied.select("doc_id", F.size("tokens").cast("long").alias("n_enc"))
+    return (
+        orig.join(decoded, "doc_id")
+        .join(enc_len, "doc_id")
+        .select(
+            "doc_id",
+            F.size("orig").cast("long").alias("n_orig"),
+            "n_enc",
+            (F.col("decoded") == F.col("orig")).alias("roundtrip_ok"),
+        )
+    )
+
+
 def q_salted_join(spark, sf_dir):
     """Skew-remedy salted equi-join (skew.salted_join): orders x customer
     on custkey via (key, salt) with the right side explode-replicated —
@@ -6843,6 +6875,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "editdist_rerank_pairs": (q_editdist_rerank, SQL_EDITDIST_RERANK),
     "table_diff_cdc": (q_table_diff, SQL_TABLE_DIFF),
     "woe_event_type": (q_woe_encode, SQL_WOE_ENCODE),
+    "bpe_roundtrip_256": (q_bpe_roundtrip, None),
 }
 
 

@@ -170,6 +170,7 @@ HEADLINE = [
     "editdist_rerank_pairs",
     "table_diff_cdc",
     "woe_event_type",
+    "bpe_roundtrip_256",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",

@@ -1872,3 +1872,92 @@ def novelty_curve(
         ).alias("novelty_rate"),
         F.sum("n_novel").over(w).cast("long").alias("cum_distinct"),
     ).orderBy("bucket")
+
+
+def bpe_decode(
+    df: DataFrame,
+    merges,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """BPE decode (detokenize): expand merged ids back to the base-token
+    sequence — the inverse of ``bpe_encode``/``bpe_apply``; round-trip
+    identity ``decode(encode(x)) == x`` is the tested contract.
+
+    Driver side: each ``new_id``'s base expansion is materialized once
+    by walking the merge table in rank order (a rule's t1/t2 may be
+    earlier new ids), O(total expansion length) — vocabulary-sized, not
+    corpus-sized.  Executor side: ONE map-only pass; each Arrow batch is
+    flattened to a single int64 array and expanded with pure numpy
+    (repeat/cumsum gather — no per-element Python), then re-split by the
+    expanded per-row lengths.  Per-batch cost tracks token count.
+    """
+    import numpy as np
+
+    if isinstance(merges, DataFrame):
+        merges = [r.asDict() for r in merges.collect()]
+    exp: dict[int, list[int]] = {}
+    for m in sorted(merges, key=lambda m: int(m["rank"])):
+        seq: list[int] = []
+        for t in (int(m["t1"]), int(m["t2"])):
+            seq.extend(exp.get(t, [t]))
+        exp[int(m["new_id"])] = seq
+    if exp:
+        ids_sorted = np.array(sorted(exp), dtype=np.int64)
+        lens = np.array([len(exp[i]) for i in ids_sorted], dtype=np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        flat_exp = np.array(
+            [t for i in ids_sorted for t in exp[int(i)]], dtype=np.int64
+        )
+    else:
+        ids_sorted = np.empty(0, dtype=np.int64)
+        lens = offs = flat_exp = np.empty(0, dtype=np.int64)
+
+    def _expand_flat(ids: "np.ndarray") -> tuple:
+        """(expanded flat array, per-source-token lengths)."""
+        pos = np.searchsorted(ids_sorted, ids)
+        is_m = (
+            (pos < len(ids_sorted)) & (ids_sorted[np.minimum(pos, max(len(ids_sorted) - 1, 0))] == ids)
+            if len(ids_sorted)
+            else np.zeros(len(ids), dtype=bool)
+        )
+        tok_len = np.where(is_m, lens[np.where(is_m, pos, 0)], 1)
+        total = int(tok_len.sum())
+        tok_rep = np.repeat(np.arange(len(ids)), tok_len)
+        within = np.arange(total) - np.repeat(
+            np.cumsum(tok_len) - tok_len, tok_len
+        )
+        src_off = np.where(is_m, offs[np.where(is_m, pos, 0)], 0)
+        out = np.where(
+            is_m[tok_rep],
+            flat_exp[np.minimum(src_off[tok_rep] + within, max(len(flat_exp) - 1, 0))]
+            if len(flat_exp)
+            else 0,
+            ids[tok_rep],
+        )
+        return out, tok_len
+
+    out_schema = df.schema
+
+    def decode_all(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            rows = list(pdf[tokens_col])
+            row_lens = np.array([len(r) for r in rows], dtype=np.int64)
+            if row_lens.sum() == 0:
+                yield pdf
+                continue
+            flat = np.concatenate(
+                [np.asarray(r, dtype=np.int64) for r in rows if len(r)]
+            )
+            out, tok_len = _expand_flat(flat)
+            # expanded length of each row = sum of its tokens' lengths,
+            # via cumsum differences (reduceat mishandles empty rows)
+            c = np.concatenate([[0], np.cumsum(tok_len)])
+            bounds = np.concatenate([[0], np.cumsum(row_lens)])
+            exp_row_lens = c[bounds[1:]] - c[bounds[:-1]]
+            cuts = np.cumsum(exp_row_lens)[:-1]
+            pieces = np.split(out, cuts)
+            pdf[tokens_col] = [p.tolist() for p in pieces]
+            yield pdf
+
+    return df.mapInPandas(decode_all, schema=out_schema)

@@ -283,3 +283,33 @@ def test_bpe_train_local_fast_edges():
     assert bpe_train_local_fast([[1, 2], [3, 4]], 5) == []  # no pair repeats
     got = bpe_train_local_fast([[1, 2], [1, 2]], 5)
     assert [(m["t1"], m["t2"], m["pair_count"]) for m in got] == [(1, 2, 2)]
+
+
+def test_bpe_decode_roundtrip_random(spark):
+    """decode(encode(x)) == x on random corpora, including empty rows
+    and rows with no firing merges; nested merges (a rule whose t1/t2
+    are earlier new ids) must expand transitively."""
+    import numpy as np
+
+    from esa_pfa_spark.operators.tokens import (
+        bpe_decode, bpe_encode, bpe_train_local,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [rng.integers(0, 3, size=rng.integers(0, 60)).tolist() for _ in range(60)]
+    rows[3] = []  # explicit empty
+    merges = bpe_train_local([r for r in rows if r], n_merges=24)
+    assert any(
+        m["t1"] >= 1_000_000 or m["t2"] >= 1_000_000 for m in merges
+    ), "fixture must exercise nested merges"
+    df = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(rows)], "doc_id long, tokens array<long>"
+    )
+    enc = bpe_encode(df, merges)
+    dec = {r["doc_id"]: r["tokens"] for r in bpe_decode(enc, merges).collect()}
+    changed = sum(
+        1 for r in enc.collect() if list(r["tokens"]) != rows[r["doc_id"]]
+    )
+    assert changed > 10  # merges actually fired before the round trip
+    for i, r in enumerate(rows):
+        assert dec[i] == r, i
