@@ -2095,6 +2095,17 @@ def _logreg_cte(
     iters: int = 6,
     label_sql: str = "label = 0",
 ) -> tuple[str, str]:
+    parts, p = _logreg_cte_parts(dims, lr, iters, label_sql)
+    return "WITH " + parts, p
+
+
+def _logreg_cte_parts(
+    dims: int = 4,
+    lr: float = 0.5,
+    iters: int = 6,
+    label_sql: str = "label = 0",
+    keep_cols: str = "",
+) -> tuple[str, str]:
     """Chained-CTE batch-GD trainer mirroring logreg_fit bit-for-bit:
     per-row gradient terms 6dp-rounded then decimal-summed (partition-
     order-free), the weight step `w - lr * (CAST(s AS DOUBLE) / n)` in
@@ -2106,7 +2117,7 @@ def _logreg_cte(
     xs = ", ".join(f"CAST(embedding[{j + 1}] AS DOUBLE) AS x{j}" for j in range(dims))
     w0 = ", ".join(f"CAST(0.0 AS DOUBLE) AS w{j}" for j in range(dims))
     parts = [f"""
-base AS MATERIALIZED (SELECT {xs},
+base AS MATERIALIZED (SELECT {xs}{keep_cols},
                 CASE WHEN {label_sql} THEN CAST(1.0 AS DOUBLE)
                      ELSE CAST(0.0 AS DOUBLE) END AS y
          FROM embeddings),
@@ -2132,7 +2143,7 @@ g{it} AS MATERIALIZED (SELECT count(*) AS n,
 it{it} AS MATERIALIZED (SELECT {steps},
                 t.b - {lrs} * (CAST(g.sb AS DOUBLE) / g.n) AS b
          FROM {prev} t, g{it} g)""")
-    return "WITH " + ",".join(parts), p
+    return ",".join(parts), p
 
 
 def _logreg_sql(dims: int = 4, lr: float = 0.5, iters: int = 6) -> str:
@@ -2313,44 +2324,53 @@ def q_pagerank_docs(spark, sf_dir):
     )
 
 
-def _pagerank_sql(iters: int = 5, damping: float = 0.85, topk: int = 20) -> str:
-    """Chained-CTE oracle mirroring graph.pagerank bit-for-bit: 9dp
-    decimal contribution/dangling sums, fixed IEEE rank update."""
+def _pagerank_cte_parts(
+    iters: int = 5, damping: float = 0.85, prefix: str = ""
+) -> str:
+    """The pagerank CTE chain (no WITH prefix) mirroring graph.pagerank
+    bit-for-bit: 9dp decimal contribution/dangling sums, fixed IEEE
+    rank update.  ``prefix`` namespaces the CTE names for composition
+    into larger programs; the final ranks CTE is ``{prefix}r{iters}``."""
+    x = prefix
     d = f"CAST({damping!r} AS DOUBLE)"
     edges = "\n  UNION ALL ".join(
-        f"SELECT doc_id AS src, {dst} AS dst FROM documents, nn"
+        f"SELECT doc_id AS src, {dst} AS dst FROM documents, {x}nn"
         for dst in [
-            "(doc_id * doc_id + 1) % nn.n",
-            "(doc_id * 13 + 5) % nn.n",
+            f"(doc_id * doc_id + 1) % {x}nn.n",
+            f"(doc_id * 13 + 5) % {x}nn.n",
             "doc_id % 97",
         ]
     )
     parts = [f"""
-nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
-e AS MATERIALIZED (SELECT src, dst FROM (
+{x}nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
+{x}e AS MATERIALIZED (SELECT src, dst FROM (
   {edges}
 ) WHERE src != dst),
-od AS MATERIALIZED (SELECT src, count(*) AS od FROM e GROUP BY src),
-v AS MATERIALIZED (SELECT DISTINCT v FROM
-  (SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)),
-r0 AS MATERIALIZED (SELECT v.v, CAST(1.0 AS DOUBLE) / nn.n AS r FROM v, nn)"""]
+{x}od AS MATERIALIZED (SELECT src, count(*) AS od FROM {x}e GROUP BY src),
+{x}v AS MATERIALIZED (SELECT DISTINCT v FROM
+  (SELECT src AS v FROM {x}e UNION ALL SELECT dst AS v FROM {x}e)),
+{x}r0 AS MATERIALIZED (SELECT v.v, CAST(1.0 AS DOUBLE) / {x}nn.n AS r FROM {x}v v, {x}nn)"""]
     for it in range(1, iters + 1):
-        p = f"r{it - 1}"
+        p = f"{x}r{it - 1}"
         parts.append(f"""
-c{it} AS MATERIALIZED (SELECT e.dst, CAST(ROUND(r.r / od.od, 9) AS DECIMAL(18,9)) AS c
-       FROM e JOIN od USING (src) JOIN {p} r ON r.v = e.src),
-s{it} AS MATERIALIZED (SELECT dst, SUM(c) AS s FROM c{it} GROUP BY dst),
-d{it} AS MATERIALIZED (SELECT COALESCE(SUM(CAST(ROUND(r.r, 9) AS DECIMAL(18,9))),
+{x}c{it} AS MATERIALIZED (SELECT e.dst, CAST(ROUND(r.r / od.od, 9) AS DECIMAL(18,9)) AS c
+       FROM {x}e e JOIN {x}od od USING (src) JOIN {p} r ON r.v = e.src),
+{x}s{it} AS MATERIALIZED (SELECT dst, SUM(c) AS s FROM {x}c{it} GROUP BY dst),
+{x}d{it} AS MATERIALIZED (SELECT COALESCE(SUM(CAST(ROUND(r.r, 9) AS DECIMAL(18,9))),
                        CAST(0 AS DECIMAL(18,9))) AS dm
-       FROM {p} r LEFT JOIN od ON od.src = r.v WHERE od.src IS NULL),
-r{it} AS MATERIALIZED (SELECT v.v,
+       FROM {p} r LEFT JOIN {x}od od ON od.src = r.v WHERE od.src IS NULL),
+{x}r{it} AS MATERIALIZED (SELECT v.v,
          (CAST(1.0 AS DOUBLE) - {d}) / nn.n
            + {d} * (COALESCE(CAST(s.s AS DOUBLE), CAST(0.0 AS DOUBLE))
                     + CAST(dd.dm AS DOUBLE) / nn.n) AS r
-       FROM v CROSS JOIN nn CROSS JOIN d{it} dd
-       LEFT JOIN s{it} s ON s.dst = v.v)""")
+       FROM {x}v v CROSS JOIN {x}nn nn CROSS JOIN {x}d{it} dd
+       LEFT JOIN {x}s{it} s ON s.dst = v.v)""")
+    return ",".join(parts)
+
+
+def _pagerank_sql(iters: int = 5, damping: float = 0.85, topk: int = 20) -> str:
     return (
-        "WITH " + ",".join(parts)
+        "WITH " + _pagerank_cte_parts(iters, damping)
         + f"""
 SELECT v AS doc_id, ROUND(r, 6) AS pr,
        CAST(row_number() OVER (ORDER BY r DESC, v) AS INT) AS rank
@@ -4361,6 +4381,107 @@ def q_bpe_encode_sampled(spark, sf_dir):
     )
 
 
+def q_curation_v3(spark, sf_dir):
+    """The verified-and-weighted curation chain
+    (plans.curate_documents_v3): Gopher gates -> LSH candidates
+    CONFIRMED by exact Levenshtein (v2 trusted the bands) -> best-copy
+    survivors -> PageRank authority x trained-logreg quality -> top-50
+    export.  Five independently-oracled operators proven as ONE chain
+    against an assembled SQL program (gopher/candidate CTEs + the
+    recursive-component CTE + the prefixed pagerank chain + the logreg
+    GD chain)."""
+    from esa_pfa_spark.plans.curation import curate_documents_v3
+
+    return curate_documents_v3(
+        _ld(spark, sf_dir, "documents"), _ld(spark, sf_dir, "embeddings"),
+        min_words=20, sim_thresh=0.9, pr_iters=3, topn=50,
+    )
+
+
+def _curation_v3_sql(
+    sim_thresh: float = 0.9, pr_iters: int = 3, topn: int = 50
+) -> str:
+    pr_parts = _pagerank_cte_parts(iters=pr_iters, prefix="pg")
+    lr_parts, p_expr = _logreg_cte_parts(
+        dims=4, lr=5.0, iters=4,
+        label_sql="(CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)) > 0",
+        keep_cols=", vec_id",
+    )
+    return f"""
+WITH RECURSIVE
+gq AS MATERIALIZED (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS mean_len,
+         (length(text) - length(replace(text, '#', '')))
+           + CAST(floor((length(text) - length(replace(text, '...', ''))) / 3) AS BIGINT) AS symbols,
+         CAST(len(list_filter(string_split(text, ' '), x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS alpha_frac,
+         len(list_filter([{_GOPHER_STOPS}], s -> list_contains(string_split(text, ' '), s))) AS stop_hits
+  FROM documents),
+gated AS MATERIALIZED (
+  SELECT d.* FROM documents d JOIN gq USING (doc_id)
+  WHERE NOT (gq.n_words < 20 OR gq.n_words > 100000)
+    AND NOT (gq.mean_len < 3.0 OR gq.mean_len > 10.0)
+    AND NOT (CAST(gq.symbols AS DOUBLE) / gq.n_words > 0.1)
+    AND NOT (gq.alpha_frac < 0.8)),
+wv AS (SELECT doc_id, string_split(text, ' ') AS ws FROM gated),
+shv AS (SELECT doc_id, unnest(list_distinct(
+         list_transform(generate_series(1, len(ws)-2),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+       FROM wv WHERE len(ws) >= 3),
+sigv AS (SELECT doc_id,
+        min(md5('s0:' || shingle)) AS mh0, min(md5('s1:' || shingle)) AS mh1,
+        min(md5('s2:' || shingle)) AS mh2, min(md5('s3:' || shingle)) AS mh3,
+        min(md5('s4:' || shingle)) AS mh4, min(md5('s5:' || shingle)) AS mh5
+        FROM shv GROUP BY doc_id),
+candv AS MATERIALIZED (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+         FROM sigv a JOIN sigv b
+           ON a.doc_id < b.doc_id
+          AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.mh2 = b.mh2)
+            OR (a.mh3 = b.mh3 AND a.mh4 = b.mh4 AND a.mh5 = b.mh5))),
+ver AS MATERIALIZED (
+  SELECT c.u, c.v FROM candv c
+  JOIN gated da ON da.doc_id = c.u
+  JOIN gated db ON db.doc_id = c.v
+  WHERE ROUND(CAST(1.0 AS DOUBLE)
+              - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+                / GREATEST(length(da.text), length(db.text)), 6)
+        >= {sim_thresh!r}),
+e2g AS (SELECT u, v FROM ver UNION SELECT v, u FROM ver),
+nodes AS (SELECT DISTINCT u AS id FROM e2g),
+reach(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e2g.v, r.lbl FROM reach r JOIN e2g ON e2g.u = r.id WHERE r.lbl < e2g.v),
+comp AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY 1),
+best AS (SELECT comp, id AS canon FROM (
+           SELECT c.id, c.comp, g.n_chars,
+                  row_number() OVER (PARTITION BY c.comp
+                                     ORDER BY g.n_chars DESC, c.id ASC) AS rn
+           FROM comp c JOIN gated g ON g.doc_id = c.id)
+         WHERE rn = 1),
+mm AS (SELECT c.id, b.canon FROM comp c JOIN best b USING (comp)),
+surv AS MATERIALIZED (
+  SELECT g.doc_id, g.source FROM gated g LEFT JOIN mm ON mm.id = g.doc_id
+  WHERE coalesce(mm.canon, g.doc_id) = g.doc_id),
+{pr_parts},
+{lr_parts},
+qual AS MATERIALIZED (SELECT base.vec_id AS doc_id, {p_expr} AS p
+                      FROM base, it4 t),
+joined AS (
+  SELECT s.doc_id, s.source, r.r AS pr_raw, q.p
+  FROM surv s JOIN pgr{pr_iters} r ON r.v = s.doc_id
+  JOIN qual q ON q.doc_id = s.doc_id
+  WHERE q.p >= CAST(0.5 AS DOUBLE))
+SELECT doc_id, source,
+       ROUND(pr_raw, 6) AS pr, ROUND(p, 6) AS p_quality,
+       ROUND(pr_raw * p, 9) AS export_score,
+       CAST(row_number() OVER (ORDER BY ROUND(pr_raw * p, 9) DESC, doc_id) AS INT) AS rank
+FROM joined QUALIFY rank <= {topn}
+"""
+
+
 def q_bpe_roundtrip(spark, sf_dir):
     """Tokenizer round-trip audit (tokens.bpe_decode): encode the corpus
     with a 256-merge sampled-trained table, decode it back, and report
@@ -5363,8 +5484,7 @@ gated AS (
   WHERE NOT (gq.n_words < 20 OR gq.n_words > 100000)
     AND NOT (gq.mean_len < 3.0 OR gq.mean_len > 10.0)
     AND NOT (CAST(gq.symbols AS DOUBLE) / gq.n_words > 0.1)
-    AND NOT (gq.alpha_frac < 0.8)
-    AND NOT (gq.stop_hits < 2)),
+    AND NOT (gq.alpha_frac < 0.8)),
 w2 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM gated),
 freq AS (SELECT w, count(*) AS wc FROM w2 GROUP BY 1),
 tot AS (SELECT count(*) AS n_total FROM w2),
@@ -6876,6 +6996,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "table_diff_cdc": (q_table_diff, SQL_TABLE_DIFF),
     "woe_event_type": (q_woe_encode, SQL_WOE_ENCODE),
     "bpe_roundtrip_256": (q_bpe_roundtrip, None),
+    "curation_v3_export": (q_curation_v3, _curation_v3_sql()),
 }
 
 

@@ -171,6 +171,7 @@ HEADLINE = [
     "table_diff_cdc",
     "woe_event_type",
     "bpe_roundtrip_256",
+    "curation_v3_export",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",

@@ -99,6 +99,7 @@ def curate_documents_v2(
     min_words: int = 20,
     keep_frac: float = 0.6,
     alpha: float = 0.5,
+    min_stop_hits: int = 0,
 ) -> DataFrame:
     """The 2023-era curation chain, composed from the round-4 operator
     wave — Gopher document-shape gates -> CCNet perplexity tiers (drop the
@@ -121,8 +122,12 @@ def curate_documents_v2(
     Returns ``(doc_id, source, ppl_bucket, rate)``.  Each stage runs over
     the previous stage's (strictly smaller) survivor set — the expensive
     shingle join sees only gated, tiered docs."""
+    # min_stop_hits=0 by default HERE (not in gopher_rules itself): the
+    # synthetic corpus has no English function words, and a stopword
+    # gate that rejects 100% of input reduces the whole chain to a
+    # 0-row no-op — every downstream stage would go untested.
     gated = docs.join(
-        TS.gopher_rules(docs, min_words=min_words)
+        TS.gopher_rules(docs, min_words=min_words, min_stop_hits=min_stop_hits)
         .filter(F.col("keep") == 1)
         .select("doc_id"),
         "doc_id",
@@ -148,3 +153,106 @@ def curate_documents_v2(
         alpha=alpha, keep_frac=keep_frac, group_col="source",
     )
     return mixed.select("doc_id", "source", "ppl_bucket", F.round("rate", 6).alias("rate"))
+
+
+def curate_documents_v3(
+    docs: DataFrame,
+    emb: DataFrame,
+    min_words: int = 20,
+    sim_thresh: float = 0.9,
+    pr_iters: int = 3,
+    topn: int = 50,
+) -> DataFrame:
+    """The verified-and-weighted curation chain, composed from the
+    round-4 final operator wave:
+
+      1. `textstats.gopher_rules` structural gates (map-only).
+      2. Near-dup with EXACT VERIFICATION: `minhash_band_candidates`
+         over the gated docs, then `dedup.editdist_rerank` confirms each
+         candidate by Levenshtein similarity >= ``sim_thresh`` — v2
+         trusted the bands; v3 only merges verified duplicates (the
+         candidate->verify funnel).  `dedup_survivors_by_score` keeps
+         each cluster's longest copy.
+      3. `graph.pagerank` over the deterministic doc link graph — the
+         centrality weight a web pipeline takes from the host graph.
+      4. A trained quality gate: `scoring.logreg_fit` on the embeddings
+         table (vec_id is the doc's embedding id; label = the learnable
+         sign(x0+x1)), keep p >= 0.5.
+      5. Export the top ``topn`` by ``pagerank x p`` (the combined
+         authority x quality weight), rank deterministic.
+
+    Every stage is an independently-oracled operator; the registry
+    query proves the CHAIN against one assembled SQL program (the
+    entity_feature_snapshot precedent).
+    """
+    from esa_pfa_spark.operators import dedup as DD
+    from esa_pfa_spark.operators import textstats as TS
+    from esa_pfa_spark.operators.graph import pagerank
+    from esa_pfa_spark.operators.scoring import logreg_fit
+    from pyspark.sql import Window
+
+    gated = docs.join(
+        TS.gopher_rules(docs, min_words=min_words, min_stop_hits=0)
+        .filter(F.col("keep") == 1)
+        .select("doc_id"),
+        "doc_id",
+    )
+    cand = DD.minhash_band_candidates(gated)
+    verified = (
+        DD.editdist_rerank(gated, cand)
+        .filter(F.col("edit_sim") >= sim_thresh)
+        .select("doc_id_a", "doc_id_b")
+    )
+    surv = gated.join(
+        DD.dedup_survivors_by_score(gated, verified, score="n_chars")
+        .filter(F.col("survives"))
+        .select("doc_id"),
+        "doc_id",
+    )
+
+    n = docs.count()
+    d = F.col("doc_id")
+    e = None
+    for dst in [(d * d + 1) % n, (d * 13 + 5) % n, d % 97]:
+        t = docs.select(d.alias("src"), dst.alias("dst"))
+        e = t if e is None else e.unionByName(t)
+    pr = pagerank(e.filter(F.col("src") != F.col("dst")), iters=pr_iters)
+
+    sig = F.when(
+        F.element_at("embedding", 1).cast("double")
+        + F.element_at("embedding", 2).cast("double")
+        > 0,
+        1,
+    ).otherwise(0)
+    data = emb.select("vec_id", "embedding", sig.alias("sig"))
+    w, b, _ = logreg_fit(
+        data, vec_col="embedding", label_col="sig", positive=1,
+        dims=4, lr=5.0, iters=4,
+    )
+    x = [F.col("embedding").getItem(j).cast("double") for j in range(4)]
+    z = F.lit(w[0]) * x[0]
+    for j in range(1, 4):
+        z = z + F.lit(w[j]) * x[j]
+    z = z + F.lit(b)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    quality = data.select(F.col("vec_id").alias("doc_id"), p.alias("__p"))
+
+    out = (
+        surv.select("doc_id", "source")
+        .join(pr.select(F.col("v").alias("doc_id"), F.col("r").alias("__pr")), "doc_id")
+        .join(quality, "doc_id")
+        .filter(F.col("__p") >= 0.5)
+    )
+    score = F.round(F.col("__pr") * F.col("__p"), 9)
+    ranked = out.select(
+        "doc_id", "source",
+        F.round("__pr", 6).alias("pr"),
+        F.round("__p", 6).alias("p_quality"),
+        score.alias("export_score"),
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("export_score").desc(), F.col("doc_id").asc())
+        ).cast("int"),
+    )
+    return ranked.filter(F.col("rank") <= topn)

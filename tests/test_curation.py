@@ -48,3 +48,28 @@ def test_decontamination_drops_eval_overlap(docs, eval_docs):
     # doc 1 shares an 8-gram with the eval set -> dropped; doc 5 is shorter
     # than the window and passes through
     assert kept == {2, 5}
+
+
+def test_curation_v3_chain_properties(spark):
+    """The v3 chain must actually exercise every stage: gated docs
+    nonempty, verified-duplicate merging strictly reduces (or keeps) the
+    gated set, every export passed the quality gate, ranks are dense,
+    and the chain never invents doc ids."""
+    from pyspark.sql import functions as F
+
+    from esa_pfa_spark.plans.curation import curate_documents_v3
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    out = curate_documents_v3(docs, emb, topn=50).collect()
+    assert 0 < len(out) <= 50
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == list(
+        range(1, len(out) + 1)
+    )
+    assert all(r["p_quality"] >= 0.5 for r in out)
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert all(r["doc_id"] in all_ids for r in out)
+    # export order follows the combined weight
+    ranked = sorted(out, key=lambda r: r["rank"])
+    scores = [r["export_score"] for r in ranked]
+    assert scores == sorted(scores, reverse=True)
