@@ -172,7 +172,17 @@ def cmd_curate(args) -> None:
 
     spark = get_spark(app_name="esa_pfa_curate")
     docs = spark.read.parquet(args.input)
-    if args.recipe == "v2":
+    if args.recipe == "v3":
+        # verified near-dup + PageRank x trained-quality export weighting
+        from esa_pfa_spark.plans.curation import curate_documents_v3
+
+        emb = spark.read.parquet(args.embeddings) if args.embeddings else None
+        if emb is None:
+            raise SystemExit("--recipe v3 needs --embeddings <parquet>")
+        surv = curate_documents_v3(
+            docs, emb, min_words=args.min_words, topn=args.topn,
+        )
+    elif args.recipe == "v2":
         # Gopher gates -> CCNet tiers -> best-copy dedup -> temperature mix
         from esa_pfa_spark.plans.curation import curate_documents_v2
 
@@ -252,7 +262,11 @@ def main(argv=None) -> None:
     p.add_argument("--eval", default=None, help="held-out eval corpus parquet for decontamination")
     p.add_argument("--min-words", type=int, default=5)
     p.add_argument("--jaccard", type=float, default=0.2)
-    p.add_argument("--recipe", choices=["v1", "v2"], default="v1",
+    p.add_argument("--embeddings", default=None,
+                   help="embeddings parquet for --recipe v3's quality gate")
+    p.add_argument("--topn", type=int, default=1000,
+                   help="v3 export size (top-N by authority x quality)")
+    p.add_argument("--recipe", choices=["v1", "v2", "v3"], default="v1",
                    help="v1: quality/exact-dedup/near-dup(/decontam); "
                         "v2: Gopher gates -> CCNet tiers -> best-copy dedup -> temperature mix")
     p.add_argument("--keep-frac", type=float, default=0.6, help="v2 mixture budget")
