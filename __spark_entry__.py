@@ -4482,6 +4482,49 @@ FROM joined QUALIFY rank <= {topn}
 """
 
 
+def q_quantile_normalize(spark, sf_dir):
+    """Cross-source quantile normalization (encode.quantile_normalize):
+    per-event-type value distributions mapped onto the global
+    distribution — the batch-effect correction a multi-instrument /
+    multi-scraper corpus needs before features are comparable across
+    sources.  Exact rank + interpolation chain, bit-oracled; the global
+    indexed order is the test-scale device (production interpolates
+    against a ddsketch quantile table instead — see the docstring)."""
+    from esa_pfa_spark.operators.encode import quantile_normalize
+
+    ev = _ld(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    return quantile_normalize(ev, "value", "event_type", "event_id")
+
+
+SQL_QUANTILE_NORMALIZE = """
+WITH src AS MATERIALIZED (
+  SELECT event_type, event_id, CAST(value AS DOUBLE) AS v
+  FROM events WHERE event_id % 7 = 0),
+ranked AS (
+  SELECT event_type, event_id, v,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY v, event_id) - 1 AS DOUBLE) AS rk,
+         CAST(count(*) OVER (PARTITION BY event_type) - 1 AS DOUBLE) AS ng
+  FROM src),
+idx AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY v, event_type, event_id) - 1 AS gi, v AS gv
+  FROM src),
+nt AS (SELECT count(*) AS n FROM src),
+based AS (
+  SELECT r.event_type, r.event_id, r.v,
+         (CASE WHEN r.ng = 0 THEN CAST(0.5 AS DOUBLE) ELSE r.rk / r.ng END)
+           * CAST(nt.n - 1 AS DOUBLE) AS pos
+  FROM ranked r, nt),
+b2 AS (
+  SELECT b.*, CAST(FLOOR(pos) AS BIGINT) AS lo,
+         LEAST(CAST(FLOOR(pos) AS BIGINT) + 1, (SELECT n - 1 FROM nt)) AS hi
+  FROM based b)
+SELECT b2.event_type, b2.event_id, b2.v AS value,
+       ROUND(l.gv + (b2.pos - b2.lo) * (h.gv - l.gv), 6) AS qnorm
+FROM b2 JOIN idx l ON l.gi = b2.lo JOIN idx h ON h.gi = b2.hi
+"""
+
+
 def q_bpe_roundtrip(spark, sf_dir):
     """Tokenizer round-trip audit (tokens.bpe_decode): encode the corpus
     with a 256-merge sampled-trained table, decode it back, and report
@@ -6997,6 +7040,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "woe_event_type": (q_woe_encode, SQL_WOE_ENCODE),
     "bpe_roundtrip_256": (q_bpe_roundtrip, None),
     "curation_v3_export": (q_curation_v3, _curation_v3_sql()),
+    "quantile_normalize_by_type": (q_quantile_normalize, SQL_QUANTILE_NORMALIZE),
 }
 
 

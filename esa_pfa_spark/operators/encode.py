@@ -261,3 +261,69 @@ def woe_encode(
         F.round(woe, round_to).alias("woe"),
         F.round((pp - pn) * woe, round_to).alias("iv"),
     ).orderBy("category")
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cross-source quantile normalization (batch-effect correction):
+    replace each value by the GLOBAL distribution's value at the row's
+    within-group percentile — after which every group's feature
+    distribution matches the corpus, so a model can't exploit
+    per-source calibration drift (the multi-instrument harmonization
+    step; the reference's per-product normalizeFeatures analog across
+    products rather than within one).
+
+    Mechanics (exact, both engines): within-group percent_rank over the
+    total order (value, id); global position ``pr * (N-1)``; the output
+    linearly interpolates between the global sorted values at
+    floor/ceil of that position — two equi-joins against the indexed
+    global order.  Ranks and interpolation are fixed IEEE chains, so
+    the SQL oracle is bit-exact.
+
+    Scale note (documented trade): the global sorted index is a global
+    sort — the simulation device at test scale (same as layout.py's
+    ntile files).  At 100 TB swap the indexed-order join for a
+    ddsketch_quantiles table (bounded bins, mergeable) and interpolate
+    against bin midpoints: same shape, sketch-bounded accuracy.
+    Returns the input columns + ``qnorm``.
+    """
+    v = F.col(value_col).cast("double")
+    wg = Window.partitionBy(group_col).orderBy(v.asc(), F.col(id_col).asc())
+    ng = Window.partitionBy(group_col)
+    ranked = df.select(
+        group_col, id_col, v.alias("__v"),
+        (F.row_number().over(wg) - 1).cast("double").alias("__rk"),
+        (F.count(F.lit(1)).over(ng) - 1).cast("double").alias("__ng"),
+    )
+    pr = F.when(F.col("__ng") == 0, F.lit(0.5)).otherwise(
+        F.col("__rk") / F.col("__ng")
+    )
+
+    wglob = Window.orderBy(v.asc(), F.col(group_col).asc(), F.col(id_col).asc())
+    idx = df.select(
+        (F.row_number().over(wglob) - 1).alias("__gi"), v.alias("__gv")
+    )
+    n_total = df.count()
+    pos = pr * F.lit(float(n_total - 1))
+    lo = F.floor(pos).cast("long")
+    based = ranked.select(
+        group_col, id_col, "__v",
+        pos.alias("__pos"), lo.alias("__lo"),
+        F.least(lo + 1, F.lit(n_total - 1)).alias("__hi"),
+    )
+    j = (
+        based.join(idx.withColumnRenamed("__gi", "__lo").withColumnRenamed("__gv", "__vlo"), "__lo")
+        .join(idx.withColumnRenamed("__gi", "__hi").withColumnRenamed("__gv", "__vhi"), "__hi")
+    )
+    out = F.col("__vlo") + (F.col("__pos") - F.col("__lo")) * (
+        F.col("__vhi") - F.col("__vlo")
+    )
+    return j.select(
+        group_col, id_col, F.col("__v").alias(value_col),
+        F.round(out, round_to).alias("qnorm"),
+    )

@@ -252,3 +252,42 @@ def test_woe_encode_matches_closed_form(spark):
         assert out[cat]["iv"] == pytest.approx((pp - pn) * math.log(pp / pn), abs=1e-6)
         assert out[cat]["n_pos"] == p and out[cat]["n_neg"] == n
     assert out["a"]["woe"] > 0 > out["b"]["woe"] > out["c"]["woe"]
+
+
+def test_quantile_normalize_properties_and_numpy_parity(spark):
+    """qnorm is monotone within each group, spans the global min/max at
+    the group extremes, and matches the np.interp reference exactly."""
+    import numpy as np
+
+    from esa_pfa_spark.operators.encode import quantile_normalize
+
+    rng = np.random.default_rng(5)
+    rows = []
+    rid = 0
+    for g, (mu, sd) in {"a": (0, 1), "b": (10, 3), "c": (-5, 0.5)}.items():
+        for v in rng.normal(mu, sd, size=40):
+            rows.append((g, rid, float(v)))
+            rid += 1
+    df = spark.createDataFrame(rows, "grp string, rid long, value double")
+    out = quantile_normalize(df, "value", "grp", "rid").collect()
+
+    all_v = np.sort(np.array([r[2] for r in rows]))
+    got = {(r["grp"], r["rid"]): r["qnorm"] for r in out}
+    for g in "abc":
+        gvals = sorted((r[2], r[1]) for r in rows if r[0] == g)
+        n = len(gvals)
+        qs = [got[(g, rid)] for _, rid in gvals]
+        assert qs == sorted(qs)  # order preserved within group
+        assert qs[0] == round(float(all_v[0]), 6)      # pr=0 -> global min
+        assert qs[-1] == round(float(all_v[-1]), 6)    # pr=1 -> global max
+        for i, (_, rid) in enumerate(gvals):
+            pos = i / (n - 1) * (len(all_v) - 1)
+            lo = int(np.floor(pos))
+            hi = min(lo + 1, len(all_v) - 1)
+            want = all_v[lo] + (pos - lo) * (all_v[hi] - all_v[lo])
+            assert got[(g, rid)] == round(float(want), 6), (g, rid)
+    # after normalization the groups share the distribution family:
+    # group means pull together vs the raw spread
+    raw_means = {g: np.mean([r[2] for r in rows if r[0] == g]) for g in "abc"}
+    q_means = {g: np.mean([got[(g, r[1])] for r in rows if r[0] == g]) for g in "abc"}
+    assert np.ptp(list(q_means.values())) < np.ptp(list(raw_means.values())) / 3
