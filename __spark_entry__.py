@@ -4525,6 +4525,50 @@ FROM b2 JOIN idx l ON l.gi = b2.lo JOIN idx h ON h.gi = b2.hi
 """
 
 
+def q_mutual_information(spark, sf_dir):
+    """Model-free feature ranking (encode.mutual_information): MI of
+    three candidate categorical features — event_type, hour-of-day,
+    and a deterministic user cohort — against the high-value label
+    (value > 50), all in ONE corpus pass whose shuffle carries only
+    the distinct (feature, value, label) cells."""
+    from esa_pfa_spark.operators.encode import mutual_information
+
+    ev = _ld(spark, sf_dir, "events")
+    return mutual_information(
+        ev,
+        {
+            "event_type": F.col("event_type"),
+            "hour": F.hour("ts"),
+            "user_cohort": F.col("user_id") % 8,
+        },
+        (F.col("value") > 50),
+    )
+
+
+SQL_MUTUAL_INFORMATION = """
+WITH pairs AS MATERIALIZED (
+  SELECT feat, fv, CAST(value > 50 AS VARCHAR) AS y FROM (
+    SELECT 'event_type' AS feat, CAST(event_type AS VARCHAR) AS fv, value FROM events
+    UNION ALL
+    SELECT 'hour', CAST(hour(ts) AS VARCHAR), value FROM events
+    UNION ALL
+    SELECT 'user_cohort', CAST(user_id % 8 AS VARCHAR), value FROM events)),
+joint AS (SELECT feat, fv, y, count(*) AS nxy FROM pairs GROUP BY 1, 2, 3),
+nx AS (SELECT feat, fv, count(*) AS nx FROM pairs GROUP BY 1, 2),
+ny AS (SELECT feat, y, count(*) AS ny FROM pairs GROUP BY 1, 2),
+nn AS (SELECT feat, count(*) AS n FROM pairs GROUP BY 1)
+SELECT j.feat AS feat, count(*) AS n_cells,
+       ROUND(CAST(SUM(CAST(ROUND(
+         (CAST(j.nxy AS DOUBLE) / nn.n)
+           * LN(CAST(j.nxy AS DOUBLE) * nn.n
+                / (CAST(nx.nx AS DOUBLE) * ny.ny)), 9) AS DECIMAL(18,9)))
+         AS DOUBLE), 6) AS mi
+FROM joint j
+JOIN nx USING (feat, fv) JOIN ny USING (feat, y) JOIN nn USING (feat)
+GROUP BY j.feat ORDER BY j.feat
+"""
+
+
 def q_bpe_roundtrip(spark, sf_dir):
     """Tokenizer round-trip audit (tokens.bpe_decode): encode the corpus
     with a 256-merge sampled-trained table, decode it back, and report
@@ -7041,6 +7085,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "bpe_roundtrip_256": (q_bpe_roundtrip, None),
     "curation_v3_export": (q_curation_v3, _curation_v3_sql()),
     "quantile_normalize_by_type": (q_quantile_normalize, SQL_QUANTILE_NORMALIZE),
+    "mutual_information_rank": (q_mutual_information, SQL_MUTUAL_INFORMATION),
 }
 
 

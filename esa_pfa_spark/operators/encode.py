@@ -327,3 +327,64 @@ def quantile_normalize(
         group_col, id_col, F.col("__v").alias(value_col),
         F.round(out, round_to).alias("qnorm"),
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    features: dict,
+    label_col,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mutual information I(feature; label) for several categorical
+    features in ONE corpus pass — the model-free feature-selection
+    ranking (which columns are worth a model's capacity), complementing
+    ``woe_encode`` (per-category strength of one feature).
+
+    ``features`` maps feature name -> categorical Column (cast to
+    string; NULL is its own category in both engines).  The corpus
+    explodes to one row per (feature, value, label) — the shuffle then
+    carries only the distinct cells (sum over features of |categories|
+    x |labels|; map-side partial agg), never the corpus.  MI per
+    feature is ``sum_cells (nxy/n) * ln(nxy*n / (nx*ny))`` with the
+    repo's decimal-sum device (9dp-rounded terms, order-free); ln ulps
+    are absorbed by the 6dp output rounding (the plogp family).
+
+    Returns (feature, n_cells, mi) — mi >= 0 up to rounding, 0 iff
+    independent.
+    """
+    y = (F.col(label_col) if isinstance(label_col, str) else label_col).cast(
+        "string"
+    )
+    cells = F.explode(
+        F.array(*[
+            F.struct(F.lit(n).alias("feat"), c.cast("string").alias("fv"))
+            for n, c in features.items()
+        ])
+    ).alias("p")
+    pairs = df.select(cells, y.alias("__y")).select("p.feat", "p.fv", "__y")
+    joint = pairs.groupBy("feat", "fv", "__y").agg(
+        F.count(F.lit(1)).alias("nxy")
+    )
+    nx = pairs.groupBy("feat", "fv").agg(F.count(F.lit(1)).alias("nx"))
+    ny = pairs.groupBy("feat", "__y").agg(F.count(F.lit(1)).alias("ny"))
+    n = pairs.groupBy("feat").agg(F.count(F.lit(1)).alias("n"))
+    full = (
+        joint.join(nx, ["feat", "fv"])
+        .join(ny, ["feat", "__y"])
+        .join(n, "feat")
+    )
+    term = (F.col("nxy").cast("double") / F.col("n")) * F.log(
+        F.col("nxy").cast("double") * F.col("n")
+        / (F.col("nx").cast("double") * F.col("ny"))
+    )
+    dec = "decimal(18,9)"
+    return (
+        full.groupBy("feat")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(
+                F.sum(F.round(term, 9).cast(dec)).cast("double"), round_to
+            ).alias("mi"),
+        )
+        .orderBy("feat")
+    )

@@ -291,3 +291,39 @@ def test_quantile_normalize_properties_and_numpy_parity(spark):
     raw_means = {g: np.mean([r[2] for r in rows if r[0] == g]) for g in "abc"}
     q_means = {g: np.mean([got[(g, r[1])] for r in rows if r[0] == g]) for g in "abc"}
     assert np.ptp(list(q_means.values())) < np.ptp(list(raw_means.values())) / 3
+
+
+def test_mutual_information_known_values(spark):
+    """MI fixtures: a feature fully determined by the label carries
+    H(label) nats; an independent feature carries ~0; a half-informative
+    feature sits strictly between.  Verified against sklearn-free
+    closed forms."""
+    import math
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from esa_pfa_spark.operators.encode import mutual_information
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(400):
+        y = int(rng.random() < 0.5)
+        perfect = y                       # = label
+        indep = int(rng.random() < 0.5)   # independent coin
+        rows.append((i, y, perfect, indep))
+    df = spark.createDataFrame(rows, "rid long, y int, perfect int, indep int")
+    out = {
+        r["feat"]: r["mi"]
+        for r in mutual_information(
+            df, {"perfect": F.col("perfect"), "indep": F.col("indep")},
+            F.col("y") == 1,
+        ).collect()
+    }
+    n1 = sum(r[1] for r in rows)
+    p = n1 / len(rows)
+    h = -(p * math.log(p) + (1 - p) * math.log(1 - p))
+    assert out["perfect"] == pytest.approx(h, abs=1e-4)
+    assert out["indep"] == pytest.approx(0.0, abs=0.01)
+    assert out["perfect"] > 10 * max(out["indep"], 1e-9)
