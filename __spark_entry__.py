@@ -4569,6 +4569,57 @@ GROUP BY j.feat ORDER BY j.feat
 """
 
 
+def q_cramers_v(spark, sf_dir):
+    """Chi-square + Cramér's V effect size per candidate feature vs the
+    high-value label (encode.cramers_v) — the cardinality-comparable
+    companion of mutual_information_rank; zero cells folded in by the
+    chi2 = sum nxy^2*n/(nx*ny) - n identity (no cross-product plan)."""
+    from esa_pfa_spark.operators.encode import cramers_v
+
+    ev = _ld(spark, sf_dir, "events")
+    return cramers_v(
+        ev,
+        {
+            "event_type": F.col("event_type"),
+            "hour": F.hour("ts"),
+            "user_cohort": F.col("user_id") % 8,
+        },
+        (F.col("value") > 50),
+    )
+
+
+SQL_CRAMERS_V = """
+WITH pairs AS MATERIALIZED (
+  SELECT feat, fv, CAST(value > 50 AS VARCHAR) AS y FROM (
+    SELECT 'event_type' AS feat, CAST(event_type AS VARCHAR) AS fv, value FROM events
+    UNION ALL
+    SELECT 'hour', CAST(hour(ts) AS VARCHAR), value FROM events
+    UNION ALL
+    SELECT 'user_cohort', CAST(user_id % 8 AS VARCHAR), value FROM events)),
+joint AS (SELECT feat, fv, y, count(*) AS nxy FROM pairs GROUP BY 1, 2, 3),
+nx AS (SELECT feat, fv, count(*) AS nx FROM pairs GROUP BY 1, 2),
+ny AS (SELECT feat, y, count(*) AS ny FROM pairs GROUP BY 1, 2),
+nn AS (SELECT feat, count(*) AS n,
+              count(DISTINCT fv) AS r, count(DISTINCT y) AS c
+       FROM pairs GROUP BY 1),
+agg AS (
+  SELECT j.feat, nn.n, nn.r, nn.c,
+         CAST(SUM(CAST(ROUND(
+           (CAST(j.nxy AS DOUBLE) * j.nxy
+              / (CAST(nx.nx AS DOUBLE) * ny.ny)) * nn.n, 9)
+           AS DECIMAL(28,9))) AS DOUBLE) AS s
+  FROM joint j
+  JOIN nx USING (feat, fv) JOIN ny USING (feat, y) JOIN nn USING (feat)
+  GROUP BY 1, 2, 3, 4)
+SELECT feat, CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+       ROUND(s - n, 6) AS chi2,
+       ROUND(CASE WHEN LEAST(r, c) - 1 > 0
+                  THEN SQRT(((s - n) / n) / (LEAST(r, c) - 1))
+                  ELSE NULL END, 6) AS cramers_v
+FROM agg ORDER BY feat
+"""
+
+
 def q_bpe_roundtrip(spark, sf_dir):
     """Tokenizer round-trip audit (tokens.bpe_decode): encode the corpus
     with a 256-merge sampled-trained table, decode it back, and report
@@ -7086,6 +7137,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "curation_v3_export": (q_curation_v3, _curation_v3_sql()),
     "quantile_normalize_by_type": (q_quantile_normalize, SQL_QUANTILE_NORMALIZE),
     "mutual_information_rank": (q_mutual_information, SQL_MUTUAL_INFORMATION),
+    "cramers_v_rank": (q_cramers_v, SQL_CRAMERS_V),
 }
 
 

@@ -174,6 +174,7 @@ HEADLINE = [
     "curation_v3_export",
     "quantile_normalize_by_type",
     "mutual_information_rank",
+    "cramers_v_rank",
     # -- perf continuity (driver-green since r1/r2, tracked every round) --
     "asof_backward_7d",
     "asof_nearest_12h",

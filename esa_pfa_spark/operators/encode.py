@@ -388,3 +388,68 @@ def mutual_information(
         )
         .orderBy("feat")
     )
+
+
+def cramers_v(
+    df: DataFrame,
+    features: dict,
+    label_col,
+    round_to: int = 6,
+) -> DataFrame:
+    """Chi-square independence test + Cramér's V per categorical
+    feature against a label — the bounded-[0,1] effect-size companion
+    of ``mutual_information`` (V is comparable across features with
+    different cardinalities; MI is not).
+
+    Same one-pass cell shape as MI.  Zero cells are handled by algebra,
+    not enumeration: over ALL r x c cells,
+    ``chi2 = sum (nxy - E)^2 / E = sum_observed nxy^2 * n/(nx*ny) - n``
+    (absent cells contribute exactly their E, which telescopes into the
+    identity), so the plan never materializes the full cross product.
+    ``V = sqrt((chi2/n) / (min(r,c) - 1))``; NULL when a feature or the
+    label is constant (min(r,c) = 1).  Decimal-sum parity as usual.
+    Returns (feature, dof, chi2, cramers_v)."""
+    y = (F.col(label_col) if isinstance(label_col, str) else label_col).cast(
+        "string"
+    )
+    cells = F.explode(
+        F.array(*[
+            F.struct(F.lit(n).alias("feat"), c.cast("string").alias("fv"))
+            for n, c in features.items()
+        ])
+    ).alias("p")
+    pairs = df.select(cells, y.alias("__y")).select("p.feat", "p.fv", "__y")
+    joint = pairs.groupBy("feat", "fv", "__y").agg(
+        F.count(F.lit(1)).alias("nxy")
+    )
+    nx = pairs.groupBy("feat", "fv").agg(F.count(F.lit(1)).alias("nx"))
+    ny = pairs.groupBy("feat", "__y").agg(F.count(F.lit(1)).alias("ny"))
+    nn = pairs.groupBy("feat").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("fv").alias("r"),
+        F.count_distinct("__y").alias("c"),
+    )
+    full = (
+        joint.join(nx, ["feat", "fv"])
+        .join(ny, ["feat", "__y"])
+        .join(nn, "feat")
+    )
+    term = (
+        F.col("nxy").cast("double") * F.col("nxy")
+        / (F.col("nx").cast("double") * F.col("ny"))
+    ) * F.col("n")
+    dec = "decimal(28,9)"
+    agg = full.groupBy("feat", "n", "r", "c").agg(
+        F.sum(F.round(term, 9).cast(dec)).cast("double").alias("__s")
+    )
+    chi2 = F.col("__s") - F.col("n")
+    kmin = F.least(F.col("r"), F.col("c")) - 1
+    v = F.when(
+        kmin > 0, F.sqrt((chi2 / F.col("n")) / kmin)
+    ).otherwise(F.lit(None).cast("double"))
+    return agg.select(
+        F.col("feat"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        F.round(chi2, round_to).alias("chi2"),
+        F.round(v, round_to).alias("cramers_v"),
+    ).orderBy("feat")

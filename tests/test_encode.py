@@ -327,3 +327,35 @@ def test_mutual_information_known_values(spark):
     assert out["perfect"] == pytest.approx(h, abs=1e-4)
     assert out["indep"] == pytest.approx(0.0, abs=0.01)
     assert out["perfect"] > 10 * max(out["indep"], 1e-9)
+
+
+def test_cramers_v_fixtures(spark):
+    """V = 1 for a feature identical to the label, ~0 for an independent
+    coin; chi2 matches the scipy-free closed form on a hand 2x2 table;
+    constant feature -> NULL V (min(r,c)=1)."""
+    from pyspark.sql import functions as F
+
+    from esa_pfa_spark.operators.encode import cramers_v
+
+    # hand 2x2: a=30 b=10 / c=10 d=30 -> chi2 = n(ad-bc)^2/(r1 r2 c1 c2)
+    rows = (
+        [(i, 1, 1, 1, 0) for i in range(30)]
+        + [(i + 30, 1, 0, 1, 0) for i in range(10)]
+        + [(i + 40, 0, 1, 0, 0) for i in range(10)]
+        + [(i + 50, 0, 0, 0, 0) for i in range(30)]
+    )
+    df = spark.createDataFrame(rows, "rid long, y int, f int, same int, const int")
+    out = {
+        r["feat"]: r
+        for r in cramers_v(
+            df,
+            {"f": F.col("f"), "same": F.col("same"), "const": F.col("const")},
+            F.col("y") == 1,
+        ).collect()
+    }
+    n, a, b, c, d = 80, 30, 10, 10, 30
+    chi2 = n * (a * d - b * c) ** 2 / ((a + b) * (c + d) * (a + c) * (b + d))
+    assert out["f"]["chi2"] == pytest.approx(chi2, abs=1e-4)
+    assert out["f"]["cramers_v"] == pytest.approx((chi2 / n) ** 0.5, abs=1e-4)
+    assert out["same"]["cramers_v"] == pytest.approx(1.0, abs=1e-6)
+    assert out["const"]["cramers_v"] is None and out["const"]["dof"] == 0
