@@ -6937,7 +6937,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # ROUND-5 ROTATION NOTE: the r4 operator wave (pit_decay_features_1d
     # through span_corruption_masks, appended at the END of this dict), the
     # r4 LATE wave (trend_by_user..entity_feature_snapshot), the r4 FINAL
-    # wave (logreg_train_gd6..quantile_normalize_by_type, the very tail), plus the
+    # wave (logreg_train_gd6..cramers_v_rank, the very tail), plus the
     # never-reached middle block (decontaminate_bloom_8g..
     # nonreuse_pairs_synth, positions 50-68) have no driver row yet — promote
     # them into the first 50 next round; everything sampled in r1-r4 stays
