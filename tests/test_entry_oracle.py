@@ -96,3 +96,14 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_no_vacuous_oracles(ddb):
+    """Every oracle must return at least one row at sf0.01 — a 0-row
+    oracle match is a vacuous pass (curation_v2_survivors was green for
+    two rounds on the empty set before this was institutionalized)."""
+    empty = [
+        name for name, sql in ORACLES.items()
+        if len(ddb.execute(sql).fetchall()) == 0
+    ]
+    assert not empty, f"vacuous (0-row) oracles: {empty}"
