@@ -109,14 +109,19 @@ def cyclical_time_features(
     (sin, cos) pairs — distance-preserving across the wrap (23h is close
     to 0h), plus the raw ordinals.  ``dow`` is 0=Sunday..6=Saturday
     (DuckDB's convention; Spark's dayofweek is 1-based, shifted here).
-    Map-only column math."""
+    Map-only column math.
+
+    The ``+ 0.0`` after each round normalizes IEEE signed zero: at e.g.
+    hour=18, cos() is a tiny negative (-1.84e-16) that rounds to -0.0 in
+    sign-preserving engines (DuckDB) but +0.0 through Spark's BigDecimal
+    round — bit-hash gates would mismatch without it (-0.0 + 0.0 = +0.0)."""
     hour = F.hour(ts)
     dow = F.dayofweek(ts) - 1
     def enc(val, period):
         ang = val.cast("double") * (TWO_PI / period)
         return (
-            F.round(F.sin(ang), round_to),
-            F.round(F.cos(ang), round_to),
+            F.round(F.sin(ang), round_to) + F.lit(0.0),
+            F.round(F.cos(ang), round_to) + F.lit(0.0),
         )
     h_sin, h_cos = enc(hour, 24.0)
     d_sin, d_cos = enc(dow, 7.0)
@@ -444,12 +449,17 @@ def cramers_v(
     )
     chi2 = F.col("__s") - F.col("n")
     kmin = F.least(F.col("r"), F.col("c")) - 1
+    # greatest(chi2, 0) before the sqrt: chi2 >= 0 mathematically, but the
+    # floating finish can land at a tiny negative, and sqrt(-1e-16) is NaN
+    # in exactly one engine for exactly one data draw.  Same guard, same op
+    # order (x / n / kmin) as the DuckDB oracle.
     v = F.when(
-        kmin > 0, F.sqrt((chi2 / F.col("n")) / kmin)
+        kmin > 0,
+        F.sqrt(F.greatest(chi2, F.lit(0.0)) / F.col("n") / kmin),
     ).otherwise(F.lit(None).cast("double"))
     return agg.select(
         F.col("feat"),
         ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
-        F.round(chi2, round_to).alias("chi2"),
-        F.round(v, round_to).alias("cramers_v"),
+        (F.round(chi2, round_to) + F.lit(0.0)).alias("chi2"),
+        (F.round(v, round_to) + F.lit(0.0)).alias("cramers_v"),
     ).orderBy("feat")

@@ -1575,6 +1575,31 @@ def bigram_pmi_topk(
     )
 
 
+# Winnowing selection keys embed the gram position as lpad(999999 - i, 6):
+# past 10^6 k-grams the suffix goes negative and lpad of "-NNN…" corrupts
+# the lexicographic rightmost-min tie-break SILENTLY.  Enforce the bound in
+# the plan itself so an oversized doc fails the job loudly instead of
+# fingerprinting wrong.
+_WINNOW_MAX_GRAMS = 999_999
+
+
+def _winnow_guard(m, id_col: str):
+    """Pass ``m`` (k-gram count) through unchanged, raising at execution
+    time for any doc whose gram count exceeds the position-key bound."""
+    return F.when(m <= F.lit(_WINNOW_MAX_GRAMS), m).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("winnow: doc "),
+                F.col(id_col).cast("string"),
+                F.lit(
+                    f" exceeds {_WINNOW_MAX_GRAMS} k-grams; chunk it "
+                    "upstream (position key would corrupt the tie-break)"
+                ),
+            )
+        )
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     k: int = 4,
@@ -1601,14 +1626,15 @@ def winnow_fingerprints(
     ``array_min`` over key slices) — no explode, no shuffle, whole-stage
     codegen; O(n_grams * w) string comparisons per doc.  Selection keys are
     ``md5(gram) || zero-padded (999999 - pos)`` so lexicographic min gives
-    min-hash with rightmost-position tie-break (doc length bound 10^6,
-    asserted nowhere hot: longer docs should be chunked upstream anyway).
+    min-hash with rightmost-position tie-break.  The 10^6-gram doc-length
+    bound is ENFORCED in-plan (``_winnow_guard`` raises at execution time);
+    longer docs must be chunked upstream.
 
     Reference analog: per-patch feature hashing in the reference's
     AbstractApplicationDescriptor — a per-record, no-shuffle featurizer.
     """
     toks = F.col(tokens_col)
-    m = F.size(toks) - F.lit(k - 1)  # number of k-grams
+    m = _winnow_guard(F.size(toks) - F.lit(k - 1), id_col)  # number of k-grams
     # gram keys: md5 of comma-joined k-gram, suffixed with reversed 0-based
     # position so array_min = (min hash, rightmost pos).
     keys = F.transform(
@@ -1662,7 +1688,7 @@ def winnow_selected_fps(
     60x slower at sf0.1 (35.3s -> 0.6s for the identical selection).
     Same device as winnow_fingerprints' ``__keys`` column."""
     toks = F.col(tokens_col)
-    m = F.size(toks) - F.lit(k - 1)
+    m = _winnow_guard(F.size(toks) - F.lit(k - 1), id_col)
     keys = F.transform(
         F.sequence(F.lit(0), m - 1),
         lambda i: F.concat(

@@ -38,3 +38,31 @@ def test_diff_single_join_plan(spark):
     # one exchange per side of the single full-outer join, nothing more
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
     assert n_exchanges(plan) <= 2, plan
+
+
+def test_diff_duplicate_key_fails_loudly_when_validated(spark):
+    # Duplicate keys cross-multiply through the full-outer join and would
+    # silently inflate the audit counts; with validate_keys=True the job
+    # must fail instead (the documented per-unique-key precondition).
+    import pytest
+
+    old = spark.createDataFrame([(1, 1.0), (1, 2.0), (2, 3.0)], "k long, v double")
+    new = spark.createDataFrame([(1, 1.0), (2, 3.0)], "k long, v double")
+    with pytest.raises(Exception, match="duplicate key in 'old' snapshot"):
+        table_diff(old, new, ["k"], validate_keys=True).collect()
+    # ...and a clean pair still diffs identically with the guard on.
+    clean_old = spark.createDataFrame([(1, 1.0), (2, 3.0)], "k long, v double")
+    rows = {
+        r["k"]: r["change_type"]
+        for r in table_diff(clean_old, new, ["k"], validate_keys=True).collect()
+    }
+    assert rows == {1: "unchanged", 2: "unchanged"}
+
+
+def test_diff_duplicate_key_inflation_documented(spark):
+    # Without validation, the inflation the guard exists for: key 1 is
+    # duplicated in old (2 rows x 1 new row = 2 join rows), so 2 unique
+    # keys come back as 3 classified rows — a wrong audit, silently.
+    old = spark.createDataFrame([(1, 1.0), (1, 2.0), (2, 3.0)], "k long, v double")
+    new = spark.createDataFrame([(1, 1.0), (2, 3.0)], "k long, v double")
+    assert table_diff(old, new, ["k"]).count() == 3

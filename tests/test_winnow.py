@@ -112,6 +112,29 @@ def test_winnow_selected_fps_unique_per_doc(spark):
     assert len(fps) == 1
 
 
+def test_winnow_oversized_doc_fails_loudly(spark):
+    # Past 10^6 k-grams the lpad(999999 - i) position suffix goes negative
+    # and would silently corrupt the rightmost-min tie-break; the guard
+    # must instead fail the job at execution time.
+    import pytest
+    from esa_pfa_spark.operators.tokens import _WINNOW_MAX_GRAMS
+
+    big = _docs(spark, [("huge", list(range(_WINNOW_MAX_GRAMS + 4)))])
+    with pytest.raises(Exception, match="exceeds 999999 k-grams"):
+        winnow_fingerprints(big, k=4, w=4).collect()
+
+
+def test_winnow_bound_edge_is_accepted(spark):
+    # m == _WINNOW_MAX_GRAMS exactly (suffix 000000) must still work: pin
+    # the boundary so a future off-by-one in the guard fails here.
+    from esa_pfa_spark.operators.tokens import _WINNOW_MAX_GRAMS
+
+    n_tok = _WINNOW_MAX_GRAMS + 3  # m = n_tok - k + 1 = bound
+    edge = _docs(spark, [("edge", [1] * n_tok)])
+    row = winnow_fingerprints(edge, k=4, w=4).collect()[0]
+    assert row["n_grams"] == _WINNOW_MAX_GRAMS
+
+
 def test_rank_drift_bounds_and_self_similarity(spark):
     df = spark.createDataFrame(
         pd.DataFrame(
