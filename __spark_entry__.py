@@ -2307,17 +2307,10 @@ def q_pagerank_docs(spark, sf_dir):
     graph would rank uniformly.  Per iteration: one src-partitioned
     edges-ranks join, one dst partial-agg shuffle, one scalar dangling
     aggregate — the Pregel decomposition; lineage cut per round."""
-    from esa_pfa_spark.operators.graph import pagerank
+    from esa_pfa_spark.operators.graph import demo_link_graph, pagerank
 
     docs = _ld(spark, sf_dir, "documents")
-    n = docs.count()
-    d = F.col("doc_id")
-    e = None
-    for dst in [(d * d + 1) % n, (d * 13 + 5) % n, d % 97]:
-        t = docs.select(d.alias("src"), dst.alias("dst"))
-        e = t if e is None else e.unionByName(t)
-    e = e.filter(F.col("src") != F.col("dst"))
-    pr = pagerank(e, iters=5, damping=0.85)
+    pr = pagerank(demo_link_graph(docs), iters=5, damping=0.85)
     from pyspark.sql import Window
 
     w = Window.orderBy(F.col("r").desc(), F.col("v").asc())

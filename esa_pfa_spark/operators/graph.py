@@ -99,3 +99,28 @@ def pagerank(
         verts.unpersist()
         e.unpersist()
         dangling.unpersist()
+
+
+def demo_link_graph(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic out-link graph over a document table —
+    the demo stand-in for the host link graph a production pipeline
+    takes as an input (reference analog: the fixed patch-adjacency
+    neighborhoods of ConnectivityMetrics.java, likewise derived from
+    the data rather than supplied).
+
+    Three link maps per doc (a quadratic map and a mod-97 hub map skew
+    in-degree; an affine map keeps connectivity), self-loops dropped.
+    The vertex-count modulus is computed IN-PLAN: a 1-row count
+    aggregate broadcast-cross-joined onto the scan, so building the
+    graph triggers no driver action — plan builders stay lazy
+    end-to-end and the count is evaluated once, inside the same job
+    that consumes the edges.
+    """
+    nn = docs.agg(F.count(F.lit(1)).alias("__n"))
+    base = docs.select(id_col).crossJoin(F.broadcast(nn))
+    d, n = F.col(id_col), F.col("__n")
+    e = None
+    for dst in [(d * d + 1) % n, (d * 13 + 5) % n, d % 97]:
+        t = base.select(d.alias("src"), dst.alias("dst"))
+        e = t if e is None else e.unionByName(t)
+    return e.filter(F.col("src") != F.col("dst"))

@@ -187,7 +187,7 @@ def curate_documents_v3(
     """
     from esa_pfa_spark.operators import dedup as DD
     from esa_pfa_spark.operators import textstats as TS
-    from esa_pfa_spark.operators.graph import pagerank
+    from esa_pfa_spark.operators.graph import demo_link_graph, pagerank
     from esa_pfa_spark.operators.scoring import logreg_fit
     from pyspark.sql import Window
 
@@ -210,13 +210,10 @@ def curate_documents_v3(
         "doc_id",
     )
 
-    n = docs.count()
-    d = F.col("doc_id")
-    e = None
-    for dst in [(d * d + 1) % n, (d * 13 + 5) % n, d % 97]:
-        t = docs.select(d.alias("src"), dst.alias("dst"))
-        e = t if e is None else e.unionByName(t)
-    pr = pagerank(e.filter(F.col("src") != F.col("dst")), iters=pr_iters)
+    # demo link graph (production takes the host graph as an input);
+    # the modulus is computed in-plan so the builder stays lazy — no
+    # Spark action hides inside this function.
+    pr = pagerank(demo_link_graph(docs), iters=pr_iters)
 
     sig = F.when(
         F.element_at("embedding", 1).cast("double")
