@@ -6942,6 +6942,175 @@ ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# r5 additions: distributed linear algebra, feature QA, changepoint
+# localization, serving-cache economics.  Registered at the TAIL so the
+# r5 driver rotation (first 50 slots) is undisturbed.
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_gram(spark, sf_dir):
+    """Exact Gram matrix over the embedding table's first 16 coordinates
+    (linalg.gram_matrix): 136 decimal-exact column aggregates in ONE
+    map-side-combinable pass, unpivoted in-plan to (i, j, gram) — the
+    covariance/whitening precursor (Abbas et al. 2023 whiten before
+    SemDeDup k-means).  Decimal accumulation makes the distributed float
+    reduction order-independent, hence hash-equal to the oracle."""
+    from esa_pfa_spark.operators.linalg import gram_matrix
+
+    return gram_matrix(_ld(spark, sf_dir, "embeddings"), dims=16)
+
+
+SQL_EMBEDDING_GRAM = """
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+       CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)
+                     AS DECIMAL(38,18))) AS DOUBLE) + 0.0 AS gram
+FROM embeddings, generate_series(1, 16) t1(i), generate_series(1, 16) t2(j)
+WHERE j >= i AND embedding IS NOT NULL AND len(embedding) >= 16
+GROUP BY i, j
+"""
+
+
+def q_pca_project(spark, sf_dir):
+    """PCA fit + projection over the 64-d embedding table
+    (linalg.pca_fit/pca_project): covariance from ONE mapInArrow pass of
+    d×d partials (driver reduces exactly d²+d+1 doubles per partition),
+    64×64 eigensolve driver-side, sign-canonicalized components, map-only
+    projection to k=8.  Rows-only oracle: eigenvectors are not
+    SQL-expressible; the orthonormality/variance-ordering/reconstruction
+    contracts are pinned in tests/test_linalg.py."""
+    from esa_pfa_spark.operators.linalg import pca_fit, pca_project
+
+    emb = _ld(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, dim=64, k=8)
+    return pca_project(emb, model, round_to=6).select(
+        "vec_id", "label", F.col("pca").alias("pca8")
+    )
+
+
+def q_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation matrix over lineitem's four numeric
+    measures (profile.corr_matrix): all k(k+1) moments decimal-exact in
+    one map-side-combinable scan, corr evaluated in double from identical
+    components both engines (the spearman_rho device, matrixed)."""
+    from esa_pfa_spark.operators.profile import corr_matrix
+
+    li = _ld(spark, sf_dir, "lineitem")
+    return corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def _corr_pair_sql(a: str, b: str) -> str:
+    both = f"{a} IS NOT NULL AND {b} IS NOT NULL"
+    xa = f"CAST({a} AS DOUBLE)"
+    xb = f"CAST({b} AS DOUBLE)"
+    return f"""
+SELECT '{a}' AS col_i, '{b}' AS col_j,
+       CAST(count(CASE WHEN {both} THEN 1 END) AS BIGINT) AS n,
+       round(
+         (CAST(count(CASE WHEN {both} THEN 1 END) AS DOUBLE)
+            * CAST(sum(CAST(CASE WHEN {both} THEN {xa} * {xb} END AS DECIMAL(38,8))) AS DOUBLE)
+          - CAST(sum(CAST(CASE WHEN {both} THEN {xa} END AS DECIMAL(38,8))) AS DOUBLE)
+            * CAST(sum(CAST(CASE WHEN {both} THEN {xb} END AS DECIMAL(38,8))) AS DOUBLE))
+         / sqrt(
+             (CAST(count(CASE WHEN {both} THEN 1 END) AS DOUBLE)
+                * CAST(sum(CAST(CASE WHEN {both} THEN {xa} * {xa} END AS DECIMAL(38,8))) AS DOUBLE)
+              - CAST(sum(CAST(CASE WHEN {both} THEN {xa} END AS DECIMAL(38,8))) AS DOUBLE)
+                * CAST(sum(CAST(CASE WHEN {both} THEN {xa} END AS DECIMAL(38,8))) AS DOUBLE))
+             * (CAST(count(CASE WHEN {both} THEN 1 END) AS DOUBLE)
+                * CAST(sum(CAST(CASE WHEN {both} THEN {xb} * {xb} END AS DECIMAL(38,8))) AS DOUBLE)
+              - CAST(sum(CAST(CASE WHEN {both} THEN {xb} END AS DECIMAL(38,8))) AS DOUBLE)
+                * CAST(sum(CAST(CASE WHEN {both} THEN {xb} END AS DECIMAL(38,8))) AS DOUBLE))
+           ), 6) + 0.0 AS corr
+FROM lineitem"""
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+SQL_CORR_MATRIX = "\nUNION ALL\n".join(
+    _corr_pair_sql(_CORR_COLS[a], _CORR_COLS[b])
+    for a in range(len(_CORR_COLS))
+    for b in range(a + 1, len(_CORR_COLS))
+)
+
+
+def q_changepoint_user(spark, sf_dir):
+    """Per-entity mean-shift changepoint localization over purchase values
+    (signal.changepoint_topk, w=8): decimal-exact two-sided frame sums +
+    deterministic per-key argmax — CUSUM's *where* to cusum_by_user's
+    *whether*.  One Exchange, two in-partition sorts."""
+    from esa_pfa_spark.operators.signal import changepoint_topk
+
+    ev = _ld(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return changepoint_topk(
+        ev, value="value", key="user_id", ts="ts", tiebreak="event_id", w=8
+    )
+
+
+SQL_CHANGEPOINT_USER = """
+WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type='purchase'),
+f AS (SELECT user_id, ts, event_id,
+             sum(CAST(value AS DECIMAL(18,6)))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING) AS ls,
+             count(value)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING) AS ln,
+             sum(CAST(value AS DECIMAL(18,6)))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS rs,
+             count(value)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS rn
+      FROM p),
+s AS (SELECT user_id, ts, event_id,
+             abs(CAST(rs - ls AS DOUBLE)) / 8.0 AS score
+      FROM f WHERE ln = 8 AND rn = 8),
+r AS (SELECT user_id, ts, event_id, score,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY score DESC, ts, event_id) AS rk
+      FROM s)
+SELECT user_id, ts, event_id, round(score, 6) + 0.0 AS shift_score
+FROM r WHERE rk = 1
+"""
+
+
+def q_prefix_cache(spark, sf_dir):
+    """Prefix-cache economics per source (tokens.prefix_cache_stats,
+    prefix_len=8): what token fraction an automatic-prefix-caching server
+    (vLLM APC / SGLang RadixAttention) would serve from cache.  Shuffle
+    key is the md5 digest of the 8-token prefix — fixed width at any
+    scale; both aggregation levels map-side combinable; the digest is a
+    token-array equality witness vs the oracle."""
+    from esa_pfa_spark.operators.tokens import prefix_cache_stats
+
+    return prefix_cache_stats(
+        _tokenized_docs(spark, sf_dir), prefix_len=8, group_col="source"
+    )
+
+
+SQL_PREFIX_CACHE = f"""
+WITH tok AS (SELECT source, {_TOK_SQL} AS toks FROM documents),
+base AS (SELECT source,
+                CASE WHEN len(toks) >= 8 THEN
+                  md5(array_to_string(
+                        list_transform(toks[1:8], t -> CAST(t AS VARCHAR)), ','))
+                END AS pfx,
+                CAST(len(toks) AS BIGINT) AS nt
+         FROM tok),
+g AS (SELECT source, pfx, count(*) AS gs, sum(nt) AS ts
+      FROM base GROUP BY source, pfx)
+SELECT source,
+       CAST(sum(CASE WHEN pfx IS NOT NULL THEN gs ELSE 0 END) AS BIGINT) AS n_seq,
+       CAST(sum(CASE WHEN pfx IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_prefix_groups,
+       CAST(sum(CASE WHEN pfx IS NOT NULL THEN (gs - 1) * 8 ELSE 0 END) AS BIGINT) AS cached_tokens,
+       CAST(sum(ts) AS BIGINT) AS total_tokens,
+       round(CAST(sum(CASE WHEN pfx IS NOT NULL THEN (gs - 1) * 8 ELSE 0 END) AS DOUBLE)
+             / CAST(sum(ts) AS DOUBLE), 6) + 0.0 AS hit_frac
+FROM g GROUP BY source
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # Order matters: the driver correctness gate samples the FIRST 50 dict
     # entries.  ROUND-5 ROTATION (the final round): the first 50 slots are
@@ -7149,6 +7318,13 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pq_trained_adc_topk_10": (q_pq_trained_topk, None),
     "tokenizer_fertility": (q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY),
     "bpe_roundtrip_256": (q_bpe_roundtrip, None),
+    # -- r5 tail additions (never in the first-50 driver sample; exact
+    #    oracles verified by the local mirror; r6 rotation candidates) --
+    "embedding_gram_16": (q_embedding_gram, SQL_EMBEDDING_GRAM),
+    "pca_project_k8": (q_pca_project, None),
+    "corr_matrix_lineitem": (q_corr_matrix, SQL_CORR_MATRIX),
+    "changepoint_user_w8": (q_changepoint_user, SQL_CHANGEPOINT_USER),
+    "prefix_cache_share_8": (q_prefix_cache, SQL_PREFIX_CACHE),
 }
 
 

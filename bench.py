@@ -8,10 +8,12 @@ synthetic as-of + window feature build, and prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ..., "sequences_per_sec": ...}
 
 --scaling mode: runs the flagship pipeline in two fresh subprocesses at
-local[8] (N) and local[32] (4N) on the SAME synthetic input and writes
-BENCH/BASELINE.md with throughput at both and the scaling efficiency
-(BASELINE.json two-cluster-size criterion, evidenced by parallelism
-levels since the sandbox has no multi-node cluster).
+local[N] and local[4N] (pair from BENCH_SCALING_PAIR, default "4,16")
+on the SAME synthetic input and writes BENCH/BASELINE.md with throughput
+at both and the scaling efficiency (BASELINE.json two-cluster-size
+criterion, evidenced by parallelism levels since the sandbox has no
+multi-node cluster).  Run --calibrate first: it records each pair's
+hardware ceiling to BENCH/CALIBRATION.json, which BASELINE.md cites.
 
 Execution is forced with a noop-sink write (count() alone can prune
 projections and undercount the work).
@@ -198,6 +200,12 @@ HEADLINE = [
     "ann_lsh_topk",
     "salted_agg_by_user",
     "unigram_logprob_quality",
+    # -- r5 additions --
+    "embedding_gram_16",
+    "pca_project_k8",
+    "corr_matrix_lineitem",
+    "changepoint_user_w8",
+    "prefix_cache_share_8",
 ]
 
 # flagship synthetic scale (distributed generation, written once to parquet)
@@ -367,12 +375,14 @@ def main() -> None:
         # (measured flagship 5.2s vs 9.7s across two "idle" runs); the min
         # of two spaced samples is a far better steady-state estimator and
         # the first pass doubles as the second's warm-up
+        all_draws: dict[str, list[float]] = {}
         for _pass in range(2):
             for name in HEADLINE:
                 t0 = time.time()
                 _force(qs[name](spark, sf_dir))
                 dt_q = round(time.time() - t0, 3)
                 timings[name] = min(timings.get(name, dt_q), dt_q)
+                all_draws.setdefault(name, []).append(dt_q)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -386,6 +396,16 @@ def main() -> None:
         "flagship_variant": FLAGSHIP_VARIANT,
         "sequences_per_sec": round(n_seq / fsec, 1),
     }
+    if not args.flagship_only:
+        # both raw draws for the 10 slowest queries: round-over-round
+        # regression calls on a noisy shared host should rest on the
+        # spread, not a single min (VERDICT r4 ask; headline numbers
+        # above stay min-of-2 as before)
+        slowest = sorted(timings, key=lambda k: -timings[k])[:10]
+        out["draws"] = 2
+        out["slowest_query_draws"] = {
+            k: all_draws[k] for k in slowest if k in all_draws
+        }
     line = json.dumps(out)
     print(line)
     # truncation-proof copy: the driver captures stdout tails, which have
@@ -397,10 +417,18 @@ def main() -> None:
     spark.stop()
 
 
-N_CORES, N4_CORES = 4, 16  # see BENCH/BASELINE.md: host has 16 physical cores
-                           # (32 SMT threads); 8->32 crosses the SMT boundary
-                           # where 4x capacity physically does not exist, so
-                           # the N vs 4N pair is taken within physical cores.
+# N vs 4N parallelism pair for --scaling, overridable per measurement:
+# BENCH_SCALING_PAIR="1,4" | "2,8" | "4,16" | "8,32".  The pair choice is
+# informed by --calibrate: on a real cluster, 4N executors are 4x the
+# MACHINES at identical per-core throughput (hardware ceiling 1.0); on
+# this single shared host, per-core throughput degrades with total
+# occupancy (hypervisor-level, independent of WHICH vCPUs are pinned —
+# probed), so each pair has a measurable hardware ceiling that bounds any
+# software's ratio.  --scaling records every pair run into
+# BENCH/SCALING_HISTORY.json and the generated BASELINE.md shows all
+# pairs side-by-side with their calibration ceilings.
+_pair = os.environ.get("BENCH_SCALING_PAIR", "4,16").split(",")
+N_CORES, N4_CORES = int(_pair[0]), int(_pair[1])
 
 
 SCALING_ENTITIES = int(os.environ.get("BENCH_SCALING_ENTITIES", "240000"))
@@ -443,17 +471,35 @@ def run_calibrate() -> None:
     levels = [1, 2, 4, 8, 16, 32]
     t1 = t_at(1)
     caps = {p: round(p * t1 / t_at(p), 2) for p in levels}
-    ceiling_4_16 = round(caps[16] / caps[4] / 4.0, 3)
+    # hardware ceiling for every N->4N pair the host can express: the
+    # best N->4N ratio ANY software could measure here, because the burn
+    # is embarrassingly parallel with zero coordination.
+    ceilings = {
+        f"{n}->{n * 4}": round(caps[n * 4] / caps[n] / 4.0, 3)
+        for n in (1, 2, 4, 8)
+    }
+    sha = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True, cwd=str(REPO),
+    ).stdout.strip()
     out = {
         "metric": "parallel_capacity", "unit": "effective_cores",
         "capacity": caps, "t1_sec": round(t1, 2),
-        "ceiling_eff_4_to_16": ceiling_4_16,
+        "ceiling_eff_4_to_16": ceilings["4->16"],
+        "pair_ceilings": ceilings, "sha": sha,
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
+    hist_path = REPO / "BENCH" / "CALIBRATION.json"
+    hist_path.parent.mkdir(exist_ok=True)
+    hist = json.loads(hist_path.read_text()) if hist_path.exists() else []
+    hist.append(out)
+    hist_path.write_text(json.dumps(hist, indent=1) + "\n")
     print(json.dumps(out))
 
 
 def run_scaling() -> None:
-    """N vs 4N parallelism (local[4] vs local[16]) on identical input.
+    """N vs 4N parallelism (local[N_CORES] vs local[N4_CORES]) on
+    identical input.
 
     Methodology notes:
       * The scaling input is 4x the default bench input (~10M sequences).
@@ -562,6 +608,52 @@ def run_scaling() -> None:
     draws_4n = ", ".join(f"{d:,.0f}" for d in draws[N4_CORES])
     pairs_str = ", ".join(f"{e:.3f}" for e in pair_effs)
 
+    # persist this pair's measurement; BASELINE.md renders ALL pairs on
+    # file so a single-pair headline can never hide a weaker pair.
+    hist_path = REPO / "BENCH" / "SCALING_HISTORY.json"
+    hist_path.parent.mkdir(exist_ok=True)
+    hist = json.loads(hist_path.read_text()) if hist_path.exists() else []
+    hist.append({
+        "sha": sha, "pair": [N_CORES, N4_CORES],
+        "entities": SCALING_ENTITIES,
+        "variant": scale_env["BENCH_FLAGSHIP_VARIANT"],
+        "draws_n": draws[N_CORES], "draws_4n": draws[N4_CORES],
+        "pair_ratios": [round(e, 3) for e in pair_effs],
+        "eff_median_paired": round(eff, 3),
+        "eff_ratio_of_bests": round(eff_best, 3),
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    })
+    hist_path.write_text(json.dumps(hist, indent=1) + "\n")
+
+    # latest calibration (hardware ceilings) for the generated report
+    cal_path = REPO / "BENCH" / "CALIBRATION.json"
+    cal = json.loads(cal_path.read_text())[-1] if cal_path.exists() else None
+    pair_key = f"{N_CORES}->{N4_CORES}"
+    ceiling = cal["pair_ceilings"].get(pair_key) if cal else None
+    caps_str = (
+        " / ".join(f"{cal['capacity'][str(p)]}" for p in (1, 2, 4, 8, 16, 32))
+        if cal else "n/a"
+    )
+    ceil_str = f"{ceiling:.3f}" if ceiling else "n/a"
+    sw_term = f"{eff / ceiling:.3f}" if ceiling else "n/a"
+    # most recent record per pair at any sha (latest wins), for the table
+    latest_per_pair: dict[str, dict] = {}
+    for rec in hist:
+        latest_per_pair[f"{rec['pair'][0]}->{rec['pair'][1]}"] = rec
+    pair_rows = []
+    for pk in sorted(latest_per_pair, key=lambda k: int(k.split("->")[0])):
+        rec = latest_per_pair[pk]
+        c = cal["pair_ceilings"].get(pk) if cal else None
+        c_str = f"{c:.3f}" if c is not None else "n/a"
+        s_str = f"{rec['eff_median_paired'] / c:.3f}" if c else "n/a"
+        ratios = ", ".join(f"{r:.3f}" for r in rec["pair_ratios"])
+        pair_rows.append(
+            f"| local[{rec['pair'][0]}] -> local[{rec['pair'][1]}] | "
+            f"{rec['eff_median_paired']:.3f} | {ratios} | {c_str} | {s_str} | "
+            f"{rec['entities']:,} | {rec['sha']} |"
+        )
+    pair_table = "\n".join(pair_rows)
+
     variant_desc = {
         "slim": (
             "narrow-shuffle plan, `feature_table_slim`: the tokens array "
@@ -591,16 +683,34 @@ as they would be at production scale.
 
 The BASELINE.json two-cluster-size criterion (N vs 4N executors) is
 evidenced by parallelism levels on the same input — no multi-node cluster
-exists in this sandbox.  **Choice of levels**: the host exposes 32 logical
-CPUs but only 16 physical cores (SMT, hypervisor-hidden).  A calibration
-burn (multiprocessing, pure integer loop) measured effective parallel
-capacity 1.9 / 3.7 / 6.6 / 13.5 / 17.5 at 2 / 4 / 8 / 16 / 32 processes —
-i.e. 8->32 crosses the SMT boundary where 4x capacity physically does not
-exist (hardware ceiling ~0.56 efficiency regardless of software).  The
-N vs 4N pair is therefore taken within physical cores: local[{N_CORES}]
-vs local[{N4_CORES}] (hardware ceiling ~0.91).
+exists in this sandbox.  **Host topology and the hardware ceiling**:
+lscpu reports 32 single-threaded vCPUs (virtualized; earlier rounds'
+"16 physical + SMT" reading was the same phenomenon mislabeled).  A
+pure-CPU calibration burn (`python bench.py --calibrate`: p pinned
+processes, identical integer loop, zero coordination) measures effective
+parallel capacity {caps_str} at 1 / 2 / 4 / 8 / 16 / 32 processes this
+session — per-core throughput degrades as total host occupancy rises,
+and a pin-set probe showed the degradation is occupancy-dependent, not
+vCPU-specific (any 16-vCPU set yields the same capacity).  Because the
+burn is embarrassingly parallel, capacity(4N)/capacity(N)/4 is the
+hardware ceiling on ANY software's N->4N ratio for that pair — a real
+4N-executor cluster (4x the machines at identical clocks) has ceiling
+1.0, so the least-confounded proxy for the cluster criterion is the pair
+whose ceiling is closest to 1.0.  Full calibration history:
+BENCH/CALIBRATION.json.
 
-**CPU affinity (new this round):** each timed run is pinned with
+**All measured pairs** (latest measurement per pair; full history in
+BENCH/SCALING_HISTORY.json):
+
+| N -> 4N pair | median paired efficiency | per-round paired ratios | hardware ceiling (this session) | software term (raw/ceiling) | entities | sha |
+|---|---|---|---|---|---|---|
+{pair_table}
+
+This file's headline below is the most recent `--scaling` run
+(local[{N_CORES}] vs local[{N4_CORES}], hardware ceiling {ceil_str},
+software term {sw_term}).
+
+**CPU affinity (since r4):** each timed run is pinned with
 `taskset -c 0-(cpus-1)` so the WHOLE process tree — JVM task threads AND
 the separate Python/Arrow worker processes — shares exactly `cpus`
 vCPUs.  Without pinning, the "N=4" config's Arrow stage silently ran its
@@ -644,9 +754,12 @@ Measured at git SHA `{sha}`.
     out_path.write_text(md)
     print(json.dumps({
         "metric": "scaling_efficiency", "value": round(eff, 3), "unit": "ratio",
-        "estimator": "median_paired", "pair_ratios": [round(e, 3) for e in pair_effs],
+        "estimator": "median_paired", "pair": [N_CORES, N4_CORES],
+        "pair_ratios": [round(e, 3) for e in pair_effs],
         "ratio_of_bests": round(eff_best, 3),
-        "seq_per_sec_local8": t8, "seq_per_sec_local32": t32,
+        "hardware_ceiling": ceiling, "software_term": (
+            round(eff / ceiling, 3) if ceiling else None),
+        "seq_per_sec_n": t8, "seq_per_sec_4n": t32,
     }))
 
 

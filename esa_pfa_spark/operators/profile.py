@@ -521,3 +521,69 @@ def bloom_prune(
             "left_semi",
         ).drop("__bp")
     return out
+
+
+def corr_matrix(
+    df: DataFrame,
+    columns: list[str],
+    decimal: str = "decimal(38,8)",
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix over numeric columns in ONE
+    distributed pass.
+
+    Returns (col_i, col_j, n, corr) for every i < j pair (column-name
+    order as given).  All moments — n, Σx, Σx², Σxy — accumulate in
+    decimal, so they are order-independent and bit-identical across
+    engines and partitionings; corr is then the textbook
+        (nΣxy − ΣxΣy) / sqrt((nΣx² − Σx²ₜ)(nΣy² − Σy²ₜ))
+    evaluated in double from those identical decimal components (same
+    device as encode.spearman_rho).  Rows with a NULL in either column of
+    a pair are excluded PER PAIR (pairwise deletion — each pair's n is
+    reported so downstream can see the divergence).
+
+    Scale: map-side-combinable aggregate of k(k+1)/2 + k moment columns
+    over one scan; the shuffle is the aggregate buffer.  Zero-variance
+    columns yield NULL corr (0/0), never a crash.
+    """
+    k = len(columns)
+    if k < 2:
+        raise ValueError("need at least 2 columns")
+    aggs = []
+    for a in range(k):
+        x = F.col(columns[a]).cast("double")
+        for b in range(a + 1, k):
+            y = F.col(columns[b]).cast("double")
+            both = x.isNotNull() & y.isNotNull()
+            xx = F.when(both, x)
+            yy = F.when(both, y)
+            p = f"{a}_{b}"
+            aggs += [
+                F.count(F.when(both, F.lit(1))).alias(f"n_{p}"),
+                F.sum(xx.cast(decimal)).alias(f"sx_{p}"),
+                F.sum(yy.cast(decimal)).alias(f"sy_{p}"),
+                F.sum((xx * xx).cast(decimal)).alias(f"sxx_{p}"),
+                F.sum((yy * yy).cast(decimal)).alias(f"syy_{p}"),
+                F.sum((xx * yy).cast(decimal)).alias(f"sxy_{p}"),
+            ]
+    one = df.agg(*aggs)
+    cells = []
+    for a in range(k):
+        for b in range(a + 1, k):
+            p = f"{a}_{b}"
+            n = F.col(f"n_{p}").cast("double")
+            sx = F.col(f"sx_{p}").cast("double")
+            sy = F.col(f"sy_{p}").cast("double")
+            sxx = F.col(f"sxx_{p}").cast("double")
+            syy = F.col(f"syy_{p}").cast("double")
+            sxy = F.col(f"sxy_{p}").cast("double")
+            num = n * sxy - sx * sy
+            den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+            corr = F.when(den > 0, num / den)
+            cells.append(F.struct(
+                F.lit(columns[a]).alias("col_i"),
+                F.lit(columns[b]).alias("col_j"),
+                F.col(f"n_{p}").cast("bigint").alias("n"),
+                (F.round(corr, round_to) + F.lit(0.0)).alias("corr"),
+            ))
+    return one.select(F.inline(F.array(*cells)))

@@ -473,3 +473,61 @@ def seasonality_strength_by_key(
         )
         .orderBy(key_col)
     )
+
+
+def changepoint_topk(
+    df: DataFrame,
+    value: str = "value",
+    key: str = "entity_id",
+    ts: str = "ts",
+    tiebreak: str | None = None,
+    w: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-entity mean-shift changepoint: at each event, score the split
+    |mean(next w values incl. this one) − mean(previous w values)| and
+    return each entity's single highest-scoring timestamp (CUSUM's
+    localization sibling: cusum_by_key says *whether* a shift happened,
+    this says *where*).  Only positions with FULL w-windows on both sides
+    score, so entities with < w+w events return no row.
+
+    One Exchange on the key, two in-partition sorts (time order for the
+    frame sums, then score order for the per-key argmax — same hash
+    partitioning, so the second window adds a sort, not a shuffle).
+    Frame sums accumulate in decimal: the score is bit-identical across
+    engines/partitionings; the argmax tie rule is (score DESC, ts ASC,
+    tiebreak ASC) — fully deterministic.
+
+    Scale: shuffle is |events| rows on the entity key (same bound as
+    every per-entity window in the engine); nothing per-key collects.
+    """
+    if w < 1:
+        raise ValueError("w must be >= 1")
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    base = Window.partitionBy(key).orderBy(*order)
+    left_f = base.rowsBetween(-w, -1)
+    right_f = base.rowsBetween(0, w - 1)
+    dec = F.col(value).cast("decimal(18,6)")
+    scored = (
+        df.withColumn("__ls", F.sum(dec).over(left_f))
+        .withColumn("__ln", F.count(F.col(value)).over(left_f))
+        .withColumn("__rs", F.sum(dec).over(right_f))
+        .withColumn("__rn", F.count(F.col(value)).over(right_f))
+        .filter((F.col("__ln") == w) & (F.col("__rn") == w))
+        .withColumn(
+            "__score",
+            F.abs((F.col("__rs") - F.col("__ls")).cast("double")) / F.lit(float(w)),
+        )
+    )
+    pick = Window.partitionBy(key).orderBy(
+        F.col("__score").desc(), *[c.asc() for c in order]
+    )
+    out_cols = [key, ts] + ([tiebreak] if tiebreak else [])
+    return (
+        scored.withColumn("__rn2", F.row_number().over(pick))
+        .filter(F.col("__rn2") == 1)
+        .select(
+            *out_cols,
+            (F.round(F.col("__score"), round_to) + F.lit(0.0)).alias("shift_score"),
+        )
+    )

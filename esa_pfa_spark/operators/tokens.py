@@ -1987,3 +1987,71 @@ def bpe_decode(
             yield pdf
 
     return df.mapInPandas(decode_all, schema=out_schema)
+
+
+def prefix_cache_stats(
+    df: DataFrame,
+    prefix_len: int = 32,
+    tokens_col: str = "tokens",
+    group_col: str = "source",
+) -> DataFrame:
+    """Prefix-cache economics per corpus slice: if sequences sharing an
+    identical first-``prefix_len``-token prefix can reuse one cached KV
+    prefix (vLLM/SGLang automatic prefix caching; RadixAttention), what
+    fraction of this corpus's tokens would be served from cache?
+
+    Per ``group_col``: ``n_seq`` (sequences long enough to participate),
+    ``n_prefix_groups`` (distinct prefixes), ``cached_tokens`` =
+    Σ(group_size − 1)·prefix_len (every copy after a group's first hits
+    the cache), ``total_tokens``, and ``hit_frac`` rounded to 6dp.
+    Sequences shorter than ``prefix_len`` count toward total_tokens but
+    can never hit (n_seq counts only participants).
+
+    The prefix key is md5 of the comma-joined first ``prefix_len`` tokens
+    — at 100 TB the shuffle key is a fixed-width digest, not the token
+    array, and the two-level aggregation (by (group, prefix), then by
+    group) is map-side combinable at both levels.  Token-array equality
+    with the oracle rides the digest (north-rule witness).
+    """
+    if prefix_len < 1:
+        raise ValueError("prefix_len must be >= 1")
+    toks = F.col(tokens_col)
+    eligible = toks.isNotNull() & (F.size(toks) >= prefix_len)
+    pfx = F.md5(F.concat_ws(
+        ",", F.transform(F.slice(toks, 1, prefix_len), lambda t: t.cast("string"))
+    ))
+    per_prefix = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.when(eligible, pfx).alias("__pfx"),
+            # NULL token arrays contribute 0, matching a SQL sum that
+            # skips NULLs (Spark's size(NULL) is -1, which would not)
+            F.when(toks.isNotNull(), F.size(toks).cast("long"))
+            .otherwise(F.lit(0)).alias("__nt"),
+        )
+        .groupBy("grp", "__pfx")
+        .agg(F.count("*").alias("__gs"), F.sum("__nt").alias("__ts"))
+    )
+    hit = F.when(
+        F.col("__pfx").isNotNull(), (F.col("__gs") - 1) * F.lit(prefix_len)
+    ).otherwise(F.lit(0))
+    n_seq = F.when(F.col("__pfx").isNotNull(), F.col("__gs")).otherwise(F.lit(0))
+    n_grp = F.when(F.col("__pfx").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    out = (
+        per_prefix.groupBy("grp")
+        .agg(
+            F.sum(n_seq).cast("bigint").alias("n_seq"),
+            F.sum(n_grp).cast("bigint").alias("n_prefix_groups"),
+            F.sum(hit).cast("bigint").alias("cached_tokens"),
+            F.sum("__ts").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_seq", "n_prefix_groups", "cached_tokens", "total_tokens",
+            (F.round(
+                F.col("cached_tokens").cast("double")
+                / F.col("total_tokens").cast("double"), 6
+            ) + F.lit(0.0)).alias("hit_frac"),
+        )
+    )
+    return out
