@@ -39,11 +39,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Raise scan parallelism for wide decimal aggregations when the
+    input has fewer splits than the cluster has slots (the small-file /
+    small-SF regime: one ~25 MB parquet file scans as 2-3 partitions, so
+    a 36-column decimal agg runs 3-way on a 32-slot session — measured
+    7.8s -> <1s at sf0.1).  Only fires when partitions < parallelism:
+    at production scale the scan has thousands of natural splits and
+    this is a no-op.  Caller must project FIRST so the reshuffled rows
+    are just the aggregated columns; decimal accumulation is
+    order-independent, so the repartition cannot change the result."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def gram_matrix(
     df: DataFrame,
     vec_col: str = "embedding",
     dims: int = 16,
     decimal: str = "decimal(38,18)",
+    exact: bool = True,
 ) -> DataFrame:
     """Exact upper-triangle Gram matrix over the first ``dims`` coordinates.
 
@@ -58,19 +75,35 @@ def gram_matrix(
     map-side, single-row reduce.  For full-dimension Gram at large d use
     ``pca_fit``'s Arrow path (this form's expression count is O(d²) and is
     meant for the exact-oracle regime, d <= ~24).
+
+    ``exact=True`` (default) accumulates in decimal — BigDecimal-backed
+    per row, ~10-30x the cost of a double sum, the price of the
+    cross-engine hash gate.  ``exact=False`` is the production path:
+    plain double partial sums (whole-stage codegen, hardware adds) whose
+    result is reduction-order-dependent in the last ulps — fine for
+    every numeric consumer (PCA, whitening, covariance), not for
+    bit-equality audits.
     """
     if dims < 1:
         raise ValueError("dims must be >= 1")
     v = F.col(vec_col)
-    src = df.filter(v.isNotNull() & (F.size(v) >= dims))
+    # project each coordinate ONCE before the agg: d simple columns feed
+    # d(d+1)/2 product sums instead of every agg re-deriving two
+    # element_at casts — the flat tree codegens ~5x faster (measured
+    # 5.6s -> 1.2s cold at d=16) and evaluates each extraction once/row
+    src = _fan_out(
+        df.filter(v.isNotNull() & (F.size(v) >= dims)).select(
+            *[F.element_at(v, i).cast("double").alias(f"e{i}")
+              for i in range(1, dims + 1)]
+        )
+    )
     aggs = []
     for i in range(1, dims + 1):
-        xi = F.element_at(v, i).cast("double")
+        xi = F.col(f"e{i}")
         for j in range(i, dims + 1):
-            xj = F.element_at(v, j).cast("double")
-            aggs.append(
-                F.sum((xi * xj).cast(decimal)).alias(f"g_{i}_{j}")
-            )
+            xj = F.col(f"e{j}")
+            s = F.sum((xi * xj).cast(decimal)) if exact else F.sum(xi * xj)
+            aggs.append(s.alias(f"g_{i}_{j}"))
     one = src.agg(*aggs)
     cells = F.array(*[
         F.struct(

@@ -528,6 +528,7 @@ def corr_matrix(
     columns: list[str],
     decimal: str = "decimal(38,8)",
     round_to: int = 6,
+    exact: bool = True,
 ) -> DataFrame:
     """Pairwise Pearson correlation matrix over numeric columns in ONE
     distributed pass.
@@ -545,10 +546,24 @@ def corr_matrix(
     Scale: map-side-combinable aggregate of k(k+1)/2 + k moment columns
     over one scan; the shuffle is the aggregate buffer.  Zero-variance
     columns yield NULL corr (0/0), never a crash.
+
+    ``exact=True`` (default) pays the BigDecimal accumulation cost
+    (~10-30x a double sum per moment) for the cross-engine hash gate;
+    ``exact=False`` is the production path — double partial sums in
+    whole-stage codegen, identical formula, result order-dependent in
+    the last ulps (irrelevant after ``round_to``, but not guaranteed
+    bit-equal to a serial oracle).
     """
     k = len(columns)
     if k < 2:
         raise ValueError("need at least 2 columns")
+    from esa_pfa_spark.operators.linalg import _fan_out
+
+    df = _fan_out(df.select(*columns))
+
+    def _acc(col):
+        return col.cast(decimal) if exact else col
+
     aggs = []
     for a in range(k):
         x = F.col(columns[a]).cast("double")
@@ -560,11 +575,11 @@ def corr_matrix(
             p = f"{a}_{b}"
             aggs += [
                 F.count(F.when(both, F.lit(1))).alias(f"n_{p}"),
-                F.sum(xx.cast(decimal)).alias(f"sx_{p}"),
-                F.sum(yy.cast(decimal)).alias(f"sy_{p}"),
-                F.sum((xx * xx).cast(decimal)).alias(f"sxx_{p}"),
-                F.sum((yy * yy).cast(decimal)).alias(f"syy_{p}"),
-                F.sum((xx * yy).cast(decimal)).alias(f"sxy_{p}"),
+                F.sum(_acc(xx)).alias(f"sx_{p}"),
+                F.sum(_acc(yy)).alias(f"sy_{p}"),
+                F.sum(_acc(xx * xx)).alias(f"sxx_{p}"),
+                F.sum(_acc(yy * yy)).alias(f"syy_{p}"),
+                F.sum(_acc(xx * yy)).alias(f"sxy_{p}"),
             ]
     one = df.agg(*aggs)
     cells = []
