@@ -47,6 +47,24 @@ def _ld(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _ldw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Wide load for compute-heavy per-row pipelines (shingling, minhash,
+    regex gates, edit distance, winnowing, k-means): the small-SF parquet
+    files are one or two row groups, so their scans plan 1-2 tasks and the
+    expensive first map stage serializes on a 32-slot session.  Fans the
+    scan out to slot parallelism when (and only when) it has fewer splits
+    than slots — at production scale a table scan has thousands of row
+    groups and this is a no-op.  Consumers must be partitioning-invariant
+    (the oracle mirror pins that); queries whose plan shape is asserted
+    (shuffle_order, token_pack_capacity) deliberately keep plain _ld, as
+    do the long composed chains (curation v2/v3, pagerank) where an A/B
+    measured the extra scan shuffle as a net loss — their wall time is
+    stage-count-bound, not first-map-bound."""
+    from esa_pfa_spark.operators.linalg import _fan_out
+
+    return _fan_out(_ld(spark, sf_dir, name))
+
+
 def _r6(c):
     """6dp engine-side round, signed-zero normalized.  Spark's round goes
     through BigDecimal and already returns +0.0 for tiny negatives (verified),
@@ -941,7 +959,7 @@ def q_ngram_jaccard(spark, sf_dir):
     oracle): shingles with doc-frequency > 1000 are excluded from both
     intersections and sizes — bounds the shingle-bucket self-join's
     per-bucket fan-out at web scale (see ngram_jaccard_pairs docstring)."""
-    return DD.ngram_jaccard_pairs(_ld(spark, sf_dir, "documents"), threshold=0.2)
+    return DD.ngram_jaccard_pairs(_ldw(spark, sf_dir, "documents"), threshold=0.2)
 
 
 SQL_NGRAM_JACCARD = f"""
@@ -1012,7 +1030,7 @@ def q_editdist_rerank(spark, sf_dir):
     DP runs ONLY on the pruned candidate set (the funnel's whole
     point), and both engines share the DP definition, so the stage is
     exactly oracled."""
-    cand = DD.minhash_band_candidates(_ld(spark, sf_dir, "documents"))
+    cand = DD.minhash_band_candidates(_ldw(spark, sf_dir, "documents"))
     return DD.editdist_rerank(
         _ld(spark, sf_dir, "documents"), cand
     ).orderBy(F.col("edit_sim").desc(), "doc_id_a", "doc_id_b")
@@ -1074,7 +1092,7 @@ def q_dedup_survivors(spark, sf_dir):
     """Survivor selection over the MinHash-LSH candidate pairs: clusters
     by alternating large-star/small-star connected components (O(log n)
     rounds — see dedup.graph_components), canonical = cluster-min id."""
-    docs = _ld(spark, sf_dir, "documents")
+    docs = _ldw(spark, sf_dir, "documents")
     return DD.dedup_survivors(docs, DD.minhash_band_candidates(docs))
 
 
@@ -3080,6 +3098,15 @@ def _tokenized_docs(spark, sf_dir):
     return tokenize(_ld(spark, sf_dir, "documents"))
 
 
+def _tokenized_docs_w(spark, sf_dir):
+    """_tokenized_docs over the fanned-out scan (_ldw) — for the
+    fingerprint/winnowing/BPE pipelines whose per-row token kernels
+    dominate their wall time."""
+    from esa_pfa_spark.operators.tokens import tokenize
+
+    return tokenize(_ldw(spark, sf_dir, "documents"))
+
+
 def q_token_chunks(spark, sf_dir):
     """Fixed-window LM chunking (max_len=16, stride=12 => overlapping
     windows): map-only column math, no shuffle.  chunk_fp is the md5 of the
@@ -3236,7 +3263,7 @@ def q_dup_ngram_spans(spark, sf_dir):
     no all-pairs stage (see tokens.dup_ngram_summary scale notes)."""
     from esa_pfa_spark.operators.tokens import dup_ngram_summary
 
-    return dup_ngram_summary(_tokenized_docs(spark, sf_dir), n=8, min_count=2)
+    return dup_ngram_summary(_tokenized_docs_w(spark, sf_dir), n=8, min_count=2)
 
 
 SQL_DUP_NGRAM = f"""
@@ -3274,7 +3301,7 @@ def q_token_loss_mask(spark, sf_dir):
     dedup when the doc is kept but the repeated span leaves the loss."""
     from esa_pfa_spark.operators.tokens import token_loss_mask
 
-    out = token_loss_mask(_tokenized_docs(spark, sf_dir), n=8, min_count=2)
+    out = token_loss_mask(_tokenized_docs_w(spark, sf_dir), n=8, min_count=2)
     return out.select("doc_id", "n_tok", "n_masked", "mask_fp")
 
 
@@ -4342,7 +4369,7 @@ def q_bpe_sampled_apply(spark, sf_dir):
     vs the per-round trainer is tested in tests/test_bpe.py."""
     from esa_pfa_spark.operators.tokens import bpe_train_sampled
 
-    toks = _tokenized_docs(spark, sf_dir).select("doc_id", "tokens")
+    toks = _tokenized_docs_w(spark, sf_dir).select("doc_id", "tokens")
     _, applied, _ = bpe_train_sampled(toks, n_merges=256, sample_docs=10_000)
     merged_str = F.array_join(
         F.transform(F.col("tokens"), lambda x: x.cast("string")), ","
@@ -4720,7 +4747,7 @@ def q_semantic_dedup(spark, sf_dir):
     from esa_pfa_spark.operators.similarity import semantic_dedup
 
     out = semantic_dedup(
-        _ld(spark, sf_dir, "embeddings"),
+        _ldw(spark, sf_dir, "embeddings"),
         threshold=0.3, n_iter=2, target_cluster_rows=100, k_min=4,
     )
     return out.select(
@@ -5519,7 +5546,7 @@ def q_ngram_containment(spark, sf_dir):
     quote-inclusion that symmetric Jaccard misses; same one-df-pass +
     shingle equi-join skeleton as ngram_jaccard_pairs."""
     return DD.ngram_containment_pairs(
-        _ld(spark, sf_dir, "documents"), threshold=0.5
+        _ldw(spark, sf_dir, "documents"), threshold=0.5
     )
 
 
@@ -6033,7 +6060,7 @@ def q_block_dedup(spark, sf_dir):
     from esa_pfa_spark.operators.dedup import block_dedup
 
     return block_dedup(
-        _ld(spark, sf_dir, "documents"), block_words=16
+        _ldw(spark, sf_dir, "documents"), block_words=16
     ).select("doc_id", "n_blocks", "n_kept", "clean_text")
 
 
@@ -6320,7 +6347,7 @@ def q_winnow_fingerprints(spark, sf_dir):
     the cell-level equality witness."""
     from esa_pfa_spark.operators.tokens import winnow_fingerprints
 
-    return winnow_fingerprints(_tokenized_docs(spark, sf_dir), k=4, w=4)
+    return winnow_fingerprints(_tokenized_docs_w(spark, sf_dir), k=4, w=4)
 
 
 _WINNOW_G = f"""
@@ -6354,7 +6381,7 @@ def q_winnow_dup_pairs(spark, sf_dir):
     from esa_pfa_spark.operators.tokens import winnow_dup_pairs
 
     return winnow_dup_pairs(
-        _tokenized_docs(spark, sf_dir), k=4, w=4, min_shared=2, max_fp_freq=50
+        _tokenized_docs_w(spark, sf_dir), k=4, w=4, min_shared=2, max_fp_freq=50
     )
 
 
