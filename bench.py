@@ -383,6 +383,13 @@ def main() -> None:
                 dt_q = round(time.time() - t0, 3)
                 timings[name] = min(timings.get(name, dt_q), dt_q)
                 all_draws.setdefault(name, []).append(dt_q)
+            # several queries pin internal caches (pack_offsets' numbering
+            # relation, curation intermediates) and rightly never unpersist
+            # mid-query; across 2 x 156 queries those leak into the 8g
+            # driver heap.  Clearing between passes keeps each query's
+            # timing isolated (no cross-query cache wins) and the JVM
+            # healthy through the tail of the run.
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     out = {

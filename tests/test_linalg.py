@@ -111,3 +111,16 @@ def test_pca_project_null_and_short_rows(spark):
     rows = {r["vec_id"]: r["pca"] for r in pca_project(df, model).collect()}
     assert rows[12] is None and rows[13] is None  # short + NULL rows
     assert all(v is not None for k, v in rows.items() if k < 12)
+
+
+def test_fan_out_semantics(spark):
+    from esa_pfa_spark.operators.linalg import _fan_out
+
+    par = spark.sparkContext.defaultParallelism
+    small = spark.range(100).coalesce(1)
+    assert _fan_out(small).rdd.getNumPartitions() == par
+    wide = spark.range(1000).repartition(par + 3)
+    # already at/above slot parallelism: no extra shuffle inserted
+    assert _fan_out(wide) is wide
+    # results unchanged (fan-out is pure repartitioning)
+    assert sorted(r["id"] for r in _fan_out(small).collect()) == list(range(100))
