@@ -7138,6 +7138,69 @@ FROM g GROUP BY source
 """
 
 
+def q_interval_overlap(spark, sf_dir):
+    """Interval x interval overlap join (ranges.interval_overlap_join):
+    per-user purchase attention windows [ts, ts + 1..7d] vs click
+    windows [ts, ts + 1..3d], every overlapping pair counted EXACTLY
+    once via bucket-ownership dedup (owner bucket = the one containing
+    max(lo_a, lo_b)) — no theta-join BroadcastNestedLoop, no distinct.
+    Window lengths derive deterministically from event_id; bounds compare
+    as IEEE doubles computed identically in both engines (epoch-days),
+    and the output is pure integer counts — hash-safe with no rounding."""
+    from esa_pfa_spark.operators.ranges import interval_overlap_join
+
+    from esa_pfa_spark.functions.time import epoch_s
+
+    ev = _ld(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_id", "event_type",
+        (epoch_s(F.col("ts")) / F.lit(86400.0)).alias("d"),
+    )
+    pur = base.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("aid"),
+        F.col("d").alias("alo"),
+        (F.col("d") + (F.col("event_id") % 7 + 1)).alias("ahi"),
+    )
+    clk = base.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("bid"),
+        F.col("d").alias("blo"),
+        (F.col("d") + (F.col("event_id") % 3 + 1)).alias("bhi"),
+    )
+    pairs = interval_overlap_join(
+        pur, clk, key_cols=["user_id"],
+        a_lo="alo", a_hi="ahi", b_lo="blo", b_hi="bhi", bucket_width=4.0,
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_overlaps"),
+            F.countDistinct("aid").cast("long").alias("n_purchases_hit"),
+            F.countDistinct("bid").cast("long").alias("n_clicks_hit"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_INTERVAL_OVERLAP = """
+WITH e AS (SELECT user_id, event_id, event_type,
+                  (epoch_us(ts) / 1000000.0) / 86400.0 AS d FROM events),
+a AS (SELECT user_id, event_id AS aid, d AS alo,
+             d + (event_id % 7 + 1) AS ahi
+      FROM e WHERE event_type = 'purchase'),
+b AS (SELECT user_id, event_id AS bid, d AS blo,
+             d + (event_id % 3 + 1) AS bhi
+      FROM e WHERE event_type = 'click'),
+p AS (SELECT a.user_id, aid, bid FROM a JOIN b
+      ON a.user_id = b.user_id AND alo <= bhi AND blo <= ahi)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_overlaps,
+       CAST(count(DISTINCT aid) AS BIGINT) AS n_purchases_hit,
+       CAST(count(DISTINCT bid) AS BIGINT) AS n_clicks_hit
+FROM p GROUP BY user_id ORDER BY user_id
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # Order matters: the driver correctness gate samples the FIRST 50 dict
     # entries.  ROUND-5 ROTATION (the final round): the first 50 slots are
@@ -7352,6 +7415,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "corr_matrix_lineitem": (q_corr_matrix, SQL_CORR_MATRIX),
     "changepoint_user_w8": (q_changepoint_user, SQL_CHANGEPOINT_USER),
     "prefix_cache_share_8": (q_prefix_cache, SQL_PREFIX_CACHE),
+    "interval_overlap_pairs": (q_interval_overlap, SQL_INTERVAL_OVERLAP),
 }
 
 

@@ -206,6 +206,7 @@ HEADLINE = [
     "corr_matrix_lineitem",
     "changepoint_user_w8",
     "prefix_cache_share_8",
+    "interval_overlap_pairs",
 ]
 
 # flagship synthetic scale (distributed generation, written once to parquet)

@@ -144,3 +144,78 @@ def funnel(
     # any earlier step is null (the chain condition), so greatest() is the
     # prefix length.
     return out.select(key, *cols, depth.cast("int").alias("funnel_depth"))
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: list[str] | None = None,
+    a_lo: str = "lo",
+    a_hi: str = "hi",
+    b_lo: str = "lo",
+    b_hi: str = "hi",
+    bucket_width: float | None = None,
+) -> DataFrame:
+    """Interval x interval overlap join: every (a, b) row pair (sharing
+    ``key_cols``, if given) whose CLOSED intervals intersect —
+    ``a.lo <= b.hi AND b.lo <= a.hi`` — emitted EXACTLY once.
+
+    ``interval_lookup``'s sibling for two interval sets (shift overlaps,
+    validity-window intersections, session-vs-campaign attribution).  The
+    naive theta join is a BroadcastNestedLoopJoin (O(|a| x |b|) compares);
+    here BOTH sides explode into the fixed-width buckets they span and
+    equi-join on (keys..., bucket) — per-task work is rows-per-bucket
+    products, the bucketed-candidates decomposition again.
+
+    A pair spanning k shared buckets would join k times; instead of a
+    quadratic-input ``distinct``, each pair is OWNED by exactly one
+    bucket — the bucket containing the overlap's start ``max(a.lo,
+    b.lo)`` (always inside both intervals, hence in both explode sets)
+    — and all other bucket collisions are filtered in-place.  Map-only
+    dedup: no extra shuffle, no state.
+
+    Column names across ``a`` and ``b`` must be disjoint apart from
+    ``key_cols`` (alias before calling; Spark would otherwise emit
+    ambiguous duplicates).  ``bucket_width`` ~ the typical interval
+    length: explode factor is len/width + 1, skew bound is rows per
+    (key, bucket) — same tuning trade as ``interval_lookup``.
+
+    Scale: one shuffle on (keys..., bucket) for each side; skewed hot
+    buckets split further by AQE skew-join handling; nothing quadratic
+    in either input materializes.
+    """
+    if bucket_width is None:
+        raise ValueError("pass bucket_width (~ the typical interval length)")
+    w = float(bucket_width)
+    if w <= 0:
+        raise ValueError("bucket_width must be positive")
+    keys = key_cols or []
+    dup = (set(a.columns) & set(b.columns)) - set(keys)
+    if dup:
+        raise ValueError(
+            f"a/b share non-key columns {sorted(dup)}; alias them first"
+        )
+
+    ea = a.withColumn("__bk", F.explode(F.sequence(
+        F.floor(F.col(a_lo) / w).cast("long"),
+        F.floor(F.col(a_hi) / w).cast("long"),
+    )))
+    eb = b.withColumn("__bk", F.explode(F.sequence(
+        F.floor(F.col(b_lo) / w).cast("long"),
+        F.floor(F.col(b_hi) / w).cast("long"),
+    )))
+    cond = [ea["__bk"] == eb["__bk"]]
+    for k in keys:
+        cond.append(ea[k] == eb[k])
+    # overlap + exactly-once ownership: this bucket is the overlap start's
+    overlap = (
+        (ea[a_lo] <= eb[b_hi])
+        & (eb[b_lo] <= ea[a_hi])
+        & (ea["__bk"]
+           == F.floor(F.greatest(ea[a_lo], eb[b_lo]) / w).cast("long"))
+    )
+    out = ea.join(eb, cond, "inner").filter(overlap)
+    keep = [ea[k] for k in keys]
+    keep += [ea[c] for c in a.columns if c not in keys]
+    keep += [eb[c] for c in b.columns if c not in keys]
+    return out.select(*keep)

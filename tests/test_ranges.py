@@ -96,3 +96,50 @@ def test_funnel_strictly_after(spark):
     rows = [("u", T0, "signup"), ("u", T0, "view")]  # same instant
     out = funnel(_ev(spark, rows), ["signup", "view"]).collect()[0]
     assert out["funnel_depth"] == 1  # view at the same ts does NOT count
+
+
+def test_interval_overlap_join_matches_theta_join(spark):
+    from esa_pfa_spark.operators.ranges import interval_overlap_join
+
+    rng = __import__("random").Random(41)
+    a_rows = [(k % 3, i, float(rng.randint(0, 400)), 0.0) for k, i in
+              enumerate(range(80))]
+    a_rows = [(g, i, lo, lo + rng.randint(0, 35)) for g, i, lo, _ in a_rows]
+    b_rows = [(k % 3, i, float(rng.randint(0, 400)), 0.0) for k, i in
+              enumerate(range(70))]
+    b_rows = [(g, i, lo, lo + rng.randint(0, 20)) for g, i, lo, _ in b_rows]
+    a = spark.createDataFrame(a_rows, "g int, aid int, alo double, ahi double")
+    b = spark.createDataFrame(b_rows, "g int, bid int, blo double, bhi double")
+
+    naive = {
+        (r["g"], r["aid"], r["bid"])
+        for r in a.join(
+            b, (a["g"] == b["g"]) & (a["alo"] <= b["bhi"])
+               & (b["blo"] <= a["ahi"])
+        ).select(a["g"], "aid", "bid").collect()
+    }
+    assert naive, "fixture must produce overlaps"
+    # exactly-once at several widths, including widths much smaller and
+    # much larger than interval lengths (many shared buckets either way)
+    for w in (3.0, 10.0, 50.0, 500.0):
+        got = [
+            (r["g"], r["aid"], r["bid"])
+            for r in interval_overlap_join(
+                a, b, key_cols=["g"], a_lo="alo", a_hi="ahi",
+                b_lo="blo", b_hi="bhi", bucket_width=w,
+            ).collect()
+        ]
+        assert len(got) == len(set(got)), f"duplicate pairs at width {w}"
+        assert set(got) == naive, f"mismatch vs theta join at width {w}"
+
+
+def test_interval_overlap_join_guards(spark):
+    import pytest as _pt
+
+    from esa_pfa_spark.operators.ranges import interval_overlap_join
+
+    df = spark.createDataFrame([(1, 0.0, 1.0)], "g int, lo double, hi double")
+    with _pt.raises(ValueError, match="bucket_width"):
+        interval_overlap_join(df, df.withColumnRenamed("lo", "l2"))
+    with _pt.raises(ValueError, match="alias them first"):
+        interval_overlap_join(df, df, key_cols=["g"], bucket_width=1.0)
