@@ -7201,6 +7201,162 @@ FROM p GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_pack_attention(spark, sf_dir):
+    """Cross-document attention-contamination audit of packed windows
+    (tokens.pack_attention_stats, capacity=128): per training window,
+    the exact count and fraction of causal attention pairs that cross a
+    document boundary — the sizing artifact for block-diagonal attention
+    masks (Krell et al. 2021).  One map-side-combinable groupBy over the
+    pack_offsets span table; integer pair counts are exact."""
+    from esa_pfa_spark.operators.tokens import pack_attention_stats
+
+    return pack_attention_stats(_tokenized_docs(spark, sf_dir), capacity=128)
+
+
+SQL_PACK_ATTENTION = """
+WITH tok AS (SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+             FROM documents),
+cum AS (SELECT source, doc_id, n_tok,
+               sum(n_tok) OVER (ORDER BY source, doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tok AS gs
+        FROM tok WHERE n_tok > 0),
+sp AS (SELECT source, doc_id, n_tok, gs,
+              unnest(generate_series(CAST(gs // 128 AS BIGINT),
+                                     CAST((gs + n_tok - 1) // 128 AS BIGINT))) AS chunk_id
+       FROM cum),
+pieces AS (SELECT chunk_id,
+                  least(chunk_id * 128 + 128 - gs, n_tok)
+                  - greatest(chunk_id * 128 - gs, 0) AS t
+           FROM sp)
+SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(t) AS BIGINT) AS n_tok,
+       CAST((sum(t) * (sum(t) + 1) - sum(t * (t + 1))) / 2 AS BIGINT) AS cross_pairs,
+       CAST(sum(t) * (sum(t) + 1) / 2 AS BIGINT) AS total_pairs,
+       round(CAST(sum(t) * (sum(t) + 1) - sum(t * (t + 1)) AS DOUBLE)
+             / (sum(t) * (sum(t) + 1)), 6) AS contamination_frac
+FROM pieces GROUP BY chunk_id
+"""
+
+
+def q_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM quality
+    (textstats.kneser_ney_logprob, D=0.75): per-doc mean ln P_KN(w|v)
+    with the continuation-probability correction — the KenLM-shaped
+    upgrade of the stupid-backoff bigram gate.  Bigram table equi-joins
+    back (never broadcast); context/continuation tables are
+    vocab-bounded broadcasts; 6dp decimal term accumulation."""
+    from esa_pfa_spark.operators.textstats import kneser_ney_logprob
+
+    return kneser_ney_logprob(_ld(spark, sf_dir, "documents"))
+
+
+SQL_KNESER_NEY = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+pr AS (SELECT doc_id, len(ws) AS n_words,
+              unnest(list_zip(ws[1:-2], ws[2:-1])) AS p
+       FROM w WHERE len(ws) >= 2),
+ex AS (SELECT doc_id, n_words, p[1] AS v, p[2] AS wd FROM pr),
+bg AS (SELECT v, wd, count(*) AS c_vw FROM ex GROUP BY 1, 2),
+ctx AS (SELECT v, sum(c_vw) AS c_v, count(*) AS n1_v FROM bg GROUP BY 1),
+cont AS (SELECT wd, count(*) AS n1_w FROM bg GROUP BY 1),
+bt AS (SELECT count(*) AS b_types FROM bg),
+terms AS (
+  SELECT ex.doc_id, ex.n_words,
+         CAST(round(ln(
+           (greatest(CAST(bg.c_vw AS DOUBLE) - 0.75, 0.0)
+            + 0.75 * CAST(ctx.n1_v AS DOUBLE)
+                   * (CAST(cont.n1_w AS DOUBLE) / bt.b_types))
+           / CAST(ctx.c_v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS term
+  FROM ex
+  JOIN bg ON bg.v = ex.v AND bg.wd = ex.wd
+  JOIN ctx ON ctx.v = ex.v
+  JOIN cont ON cont.wd = ex.wd
+  CROSS JOIN bt)
+SELECT doc_id,
+       CAST(max(n_words) AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(sum(term) AS DOUBLE) / count(*), 6) + 0.0 AS kn_logprob
+FROM terms GROUP BY doc_id
+"""
+
+
+def q_doremi(spark, sf_dir):
+    """DoReMi domain-mixture reweighting (dataset.doremi_weights, Xie et
+    al. 2023): 5 multiplicative-weights rounds over per-source excess
+    loss (proxy loss = -unigram_logprob), uniform smoothing 0.1 — the
+    trajectory of training-mixture weights a Group-DRO curation step
+    emits.  One corpus-sized aggregate; every round after is k-row
+    algebra on broadcast scalars (cost independent of corpus size)."""
+    from esa_pfa_spark.operators.dataset import doremi_weights
+    from esa_pfa_spark.operators.textstats import unigram_logprob
+
+    docs = _ld(spark, sf_dir, "documents")
+    loss = (
+        unigram_logprob(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", (-F.col("avg_logprob")).alias("loss"))
+    )
+    return doremi_weights(
+        loss, domain_col="source", loss_col="loss",
+        iters=5, eta=1.0, smoothing=0.1,
+    ).orderBy("iter", "source")
+
+
+def _doremi_sql(iters: int = 5, eta: float = 1.0, s: float = 0.1) -> str:
+    """Chained-CTE oracle mirroring dataset.doremi_weights bit-for-bit
+    (the logreg/pagerank discipline): 9dp-decimal mixture-loss sums,
+    12dp-decimal weight sums, alpha re-rounded to 9dp per round."""
+    parts = ["""
+uw AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                    FROM documents),
+ufreq AS MATERIALIZED (SELECT w, count(*) AS wc FROM uw GROUP BY 1),
+utot AS MATERIALIZED (SELECT count(*) AS n_total FROM uw),
+ul AS MATERIALIZED (
+  SELECT doc_id,
+         round(CAST(sum(CAST(ln(wc * 1.0 / n_total) AS DECIMAL(18,6)))
+                    AS DOUBLE) / count(*), 6) AS avg_logprob
+  FROM uw JOIN ufreq USING (w) CROSS JOIN utot GROUP BY doc_id),
+uls AS MATERIALIZED (SELECT d.source, -ul.avg_logprob AS loss
+                     FROM ul JOIN documents d USING (doc_id)),
+dom AS MATERIALIZED (
+  SELECT source, count(*) AS n_docs,
+         round(CAST(sum(CAST(loss AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*), 9) AS loss
+  FROM uls GROUP BY source),
+kk AS MATERIALIZED (SELECT count(*) AS k FROM dom),
+a0 AS MATERIALIZED (SELECT source, n_docs, loss, round(1.0 / kk.k, 9) AS alpha
+                    FROM dom CROSS JOIN kk)"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+m{t} AS MATERIALIZED (
+  SELECT CAST(sum(CAST(round(alpha * loss, 9) AS DECIMAL(20,9))) AS DOUBLE) AS mix
+  FROM a{t - 1}),
+w{t} AS MATERIALIZED (
+  SELECT source, n_docs, loss,
+         round(alpha * exp({eta!r} * (loss - m{t}.mix)), 12) AS wgt
+  FROM a{t - 1} CROSS JOIN m{t}),
+z{t} AS MATERIALIZED (
+  SELECT CAST(sum(CAST(wgt AS DECIMAL(28,12))) AS DOUBLE) AS z FROM w{t}),
+a{t} AS MATERIALIZED (
+  SELECT source, n_docs, loss,
+         round({1.0 - s!r} * (wgt / z{t}.z) + {s!r} / kk.k, 9) AS alpha
+  FROM w{t} CROSS JOIN z{t} CROSS JOIN kk)""")
+    snaps = "\n  UNION ALL ".join(
+        f"SELECT {t} AS iter, source, n_docs, round(loss, 6) AS base_loss, alpha FROM a{t}"
+        for t in range(0, iters + 1)
+    )
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+SELECT CAST(iter AS INT) AS iter, source, CAST(n_docs AS BIGINT) AS n_docs,
+       base_loss, alpha
+FROM ({snaps})
+ORDER BY iter, source
+"""
+    )
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # Order matters: the driver correctness gate samples the FIRST 50 dict
     # entries.  ROUND-5 ROTATION (the final round): the first 50 slots are
@@ -7416,6 +7572,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "changepoint_user_w8": (q_changepoint_user, SQL_CHANGEPOINT_USER),
     "prefix_cache_share_8": (q_prefix_cache, SQL_PREFIX_CACHE),
     "interval_overlap_pairs": (q_interval_overlap, SQL_INTERVAL_OVERLAP),
+    "pack_attention_stats_128": (q_pack_attention, SQL_PACK_ATTENTION),
+    "kneser_ney_quality": (q_kneser_ney, SQL_KNESER_NEY),
+    "doremi_domain_weights": (q_doremi, _doremi_sql()),
 }
 
 

@@ -207,6 +207,9 @@ HEADLINE = [
     "changepoint_user_w8",
     "prefix_cache_share_8",
     "interval_overlap_pairs",
+    "pack_attention_stats_128",
+    "kneser_ney_quality",
+    "doremi_domain_weights",
 ]
 
 # flagship synthetic scale (distributed generation, written once to parquet)

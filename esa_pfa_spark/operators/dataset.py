@@ -615,3 +615,115 @@ def weighted_sample_topk(
         .orderBy("priority", id_col)
         .limit(k)
     )
+
+
+def doremi_weights(
+    df: DataFrame,
+    domain_col: str = "source",
+    loss_col: str = "loss",
+    iters: int = 5,
+    eta: float = 1.0,
+    smoothing: float = 0.1,
+) -> DataFrame:
+    """DoReMi-style domain-mixture reweighting (Xie et al. 2023,
+    "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining"): iterated multiplicative-weights (Group-DRO) updates
+    that UP-weight domains whose loss exceeds the current mixture's
+    expected loss and down-weight easy ones.  This engine's
+    deterministic analog uses a fixed per-domain proxy loss (the paper
+    retrains a proxy model per round; at a data-engine's station the
+    loss column arrives from a scorer such as ``-unigram_logprob``):
+
+        alpha^0_i = 1/k
+        mix_t     = sum_i alpha^t_i * loss_i        (expected mixture loss)
+        w_i       = alpha^t_i * exp(eta * (loss_i - mix_t))
+        alpha^{t+1}_i = (1-s) * w_i / sum_j w_j  +  s / k
+
+    The smoothing term ``s`` is the paper's uniform mixing that keeps
+    every domain sampled.  Fixed point: domains at the mixture loss keep
+    their weight; the output trajectory (iter 0..iters) exposes the
+    convergence the paper plots.
+
+    Scale shape: ONE corpus-sized aggregate (groupBy domain: count +
+    decimal-exact loss sum) produces the k-row domain table; every
+    iteration after that is algebra over k rows (two 1-row aggregates
+    riding broadcast crossJoins), lineage-cut per round with a k-row
+    localCheckpoint (the pagerank discipline) — cost independent of
+    corpus size, no collect of per-row data, no window.  Determinism
+    across engines: the two cross-domain
+    sums (mix_t, Z_t) accumulate ROUNDED decimal terms (9/12 dp) so
+    partial-agg order cannot wiggle them; alpha is re-rounded to 9 dp
+    each iteration, pinning the trajectory bit-for-bit to the DuckDB
+    chained-CTE oracle (the logreg_fit / pagerank discipline).
+
+    Returns one row per (iter, domain): ``iter``, ``domain_col``,
+    ``n_docs``, ``base_loss`` (the proxy loss, 6 dp), ``alpha`` (9 dp).
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    s = float(smoothing)
+    if not 0.0 <= s < 1.0:
+        raise ValueError("smoothing must be in [0, 1)")
+
+    dom = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.col(loss_col).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("__loss"),
+    )
+    kk = dom.agg(F.count(F.lit(1)).alias("__k"))
+    # k-row localCheckpoint per round — the pagerank lineage-cut
+    # discipline.  Each round composes crossJoins OF AGGREGATES of the
+    # previous round; without the cut the lazy lineage re-derives the
+    # corpus-sized dom aggregate ~3^iters times and the plan (not the
+    # data) blows up.  The checkpoint materializes k rows.
+    cur = (
+        dom.crossJoin(F.broadcast(kk))
+        .withColumn("alpha", F.round(F.lit(1.0) / F.col("__k"), 9))
+        .localCheckpoint()
+    )
+
+    def _snap(frame: DataFrame, it: int) -> DataFrame:
+        return frame.select(
+            F.lit(it).cast("int").alias("iter"),
+            F.col(domain_col),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round("__loss", 6).alias("base_loss"),
+            F.col("alpha"),
+        )
+
+    out = _snap(cur, 0)
+    for it in range(1, iters + 1):
+        mix = cur.agg(
+            F.sum(
+                F.round(F.col("alpha") * F.col("__loss"), 9).cast("decimal(20,9)")
+            ).cast("double").alias("__mix")
+        )
+        wgt = cur.crossJoin(F.broadcast(mix)).withColumn(
+            "__w",
+            F.round(
+                F.col("alpha")
+                * F.exp(F.lit(float(eta)) * (F.col("__loss") - F.col("__mix"))),
+                12,
+            ),
+        )
+        z = wgt.agg(
+            F.sum(F.col("__w").cast("decimal(28,12)")).cast("double").alias("__z")
+        )
+        cur = (
+            wgt.crossJoin(F.broadcast(z))
+            .withColumn(
+                "alpha",
+                F.round(
+                    F.lit(1.0 - s) * (F.col("__w") / F.col("__z"))
+                    + F.lit(s) / F.col("__k"),
+                    9,
+                ),
+            )
+            .drop("__w", "__mix", "__z")
+            .localCheckpoint()
+        )
+        out = out.unionByName(_snap(cur, it))
+    return out

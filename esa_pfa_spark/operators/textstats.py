@@ -615,3 +615,103 @@ def bigram_logprob(
         F.col("__n").cast("long").alias("n_words"),
         F.round(s_all.cast("double") / np_all, round_to).alias("avg_logprob"),
     )
+
+
+def kneser_ney_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    discount: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM quality score (Kneser & Ney
+    1995; Chen & Goodman 1999, the fixed-discount interpolated form):
+    per-doc mean ``ln P_KN(w|v)`` over the doc's bigram positions, where
+
+        P_KN(w|v) = (max(c(v,w) - D, 0) + D * N1+(v,*) * Pcont(w)) / c(v,*)
+        Pcont(w)  = N1+(*,w) / B
+
+    with ``c(v,*)`` = total bigram occurrences with context ``v``,
+    ``N1+(v,*)`` = distinct continuations of ``v``, ``N1+(*,w)`` =
+    distinct contexts preceding ``w``, ``B`` = distinct bigram TYPES.
+    The continuation probability is exactly what raises KN above stupid
+    backoff (``bigram_logprob``): a word frequent only inside one
+    collocation gets a LOW continuation score even though its raw
+    unigram count is high — the classic "Francisco" correction.  This is
+    the KenLM-shaped gate CCNet-style curation uses where
+    ``unigram_logprob`` is the cheap stand-in.
+
+    Scoring the training corpus itself guarantees every scored ``(v,w)``
+    was counted, so ``c(v,*) >= c(v,w) >= 1`` and the ln argument is
+    > 0; held-out scoring falls back through the same expression with
+    the unseen-bigram term ``D * N1+(v,*) * Pcont(w) / c(v,*)`` and, for
+    an unseen CONTEXT, plain ``Pcont(w)`` (left joins + coalesce below).
+    Single-word docs have no bigram position and are excluded (n >= 2).
+
+    Shape (the bigram_logprob scale discipline): pairs built map-side
+    via ``zip_with`` — no positional self-join; the bigram count table
+    joins back by EQUI-join on ``(v, w)`` (corpus-sized,
+    hash-partitioned, NOT broadcast — the bigram vocabulary outgrows
+    any broadcast at web scale); the per-context table ``(c_v, n1_v)``
+    and the per-continuation table ``n1_w`` are vocab-bounded
+    broadcasts; ``B`` rides a 1-row crossJoin.  Per-term 6dp decimal
+    accumulation keeps the distributed per-doc sum order-independent
+    (engine-exact vs the DuckDB oracle).
+
+    Reference anchor: the per-product statistical descriptors of
+    pfa-core's FexOperator are the same compute-over-own-corpus shape
+    (derive the model from the data being scored)."""
+    words = _words(text_col)
+    n = F.size(words)
+    pairs = F.zip_with(
+        F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("v"), b.alias("w")),
+    )
+    ex = (
+        df.filter(n >= 2)
+        .select("doc_id", n.alias("__n"), F.explode(pairs).alias("p"))
+        .select(
+            "doc_id", "__n", F.col("p.v").alias("v"), F.col("p.w").alias("w")
+        )
+    )
+    big = ex.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c_vw"))
+    ctx = big.groupBy("v").agg(
+        F.sum("c_vw").alias("c_v"), F.count(F.lit(1)).alias("n1_v")
+    )
+    cont = big.groupBy("w").agg(F.count(F.lit(1)).alias("n1_w"))
+    btot = big.agg(F.count(F.lit(1)).alias("b_types"))
+
+    d = F.lit(float(discount))
+    scored = (
+        ex.join(big, ["v", "w"], "left")
+        .join(F.broadcast(ctx), "v", "left")
+        .join(F.broadcast(cont), "w", "left")
+        .crossJoin(F.broadcast(btot))
+    )
+    pcont = (
+        F.coalesce(F.col("n1_w"), F.lit(0)).cast("double") / F.col("b_types")
+    )
+    p_seen = (
+        F.greatest(
+            F.coalesce(F.col("c_vw"), F.lit(0)).cast("double") - d, F.lit(0.0)
+        )
+        + d * F.col("n1_v").cast("double") * pcont
+    ) / F.col("c_v").cast("double")
+    p = F.when(F.col("c_v").isNotNull(), p_seen).otherwise(pcont)
+    term = F.round(F.log(p), round_to).cast("decimal(18,6)")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.max("__n").alias("__nw"),
+            F.sum(term).alias("__s"),
+            F.count(F.lit(1)).alias("__np"),
+        )
+        .select(
+            "doc_id",
+            F.col("__nw").cast("long").alias("n_words"),
+            F.col("__np").cast("long").alias("n_pairs"),
+            F.round(F.col("__s").cast("double") / F.col("__np"), round_to).alias(
+                "kn_logprob"
+            ),
+        )
+    )

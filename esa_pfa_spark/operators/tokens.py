@@ -2055,3 +2055,70 @@ def prefix_cache_stats(
         )
     )
     return out
+
+
+def pack_attention_stats(
+    df: DataFrame,
+    capacity: int = 128,
+    order_cols: tuple[str, ...] = ("source", "doc_id"),
+    ntok_col: str = "n_tok",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Cross-document attention-contamination audit of packed training
+    windows: for each ``pack_offsets`` window, how many causal attention
+    pairs cross a document boundary?  Naive packing concatenates
+    unrelated documents, and without a document-boundary attention mask
+    every token attends to the foreign prefix — the contamination that
+    motivates block-diagonal masks / sequence-id resets (Krell et al.
+    2021 "Efficient sequence packing"; T5 / LLaMA-3 packed pretraining).
+    This is the sizing artifact for that decision: the measured fraction
+    of wasted (cross-document) attention at a given capacity.
+
+    Per window of T tokens cut into per-doc runs t_1..t_m (so
+    ``sum t_d = T``):
+
+        total_pairs  = T * (T + 1) / 2          (causal incl. self)
+        within_pairs = sum_d t_d * (t_d + 1) / 2
+        cross_pairs  = total_pairs - within_pairs
+        contamination_frac = cross_pairs / total_pairs
+
+    Scale shape: one groupBy(chunk_id) over ``pack_offsets`` output —
+    the span table is corpus-sized, the aggregate is map-side
+    combinable, and nothing else shuffles; integer pair counts are exact
+    (no float accumulation), so the only rounded value is the final
+    per-window ratio.  The packing pass itself keeps the
+    range-partitioned offset decomposition (never a global window); the
+    numbering relation's pinned cache is propagated for
+    ``dictionary.release_pin``."""
+    spans = pack_offsets(
+        df, capacity=capacity, order_cols=order_cols,
+        ntok_col=ntok_col, n_partitions=n_partitions,
+    )
+    t = F.col("n_in_chunk")
+    out = (
+        spans.groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(t).cast("long").alias("n_tok"),
+            F.sum(t * (t + 1)).cast("long").alias("__2w"),
+        )
+        .select(
+            "chunk_id",
+            "n_docs",
+            "n_tok",
+            (
+                (F.col("n_tok") * (F.col("n_tok") + 1) - F.col("__2w")) / 2
+            ).cast("long").alias("cross_pairs"),
+            (F.col("n_tok") * (F.col("n_tok") + 1) / 2).cast("long").alias(
+                "total_pairs"
+            ),
+            F.round(
+                (F.col("n_tok") * (F.col("n_tok") + 1) - F.col("__2w"))
+                .cast("double")
+                / (F.col("n_tok") * (F.col("n_tok") + 1)),
+                6,
+            ).alias("contamination_frac"),
+        )
+    )
+    out._pinned_cache = getattr(spans, "_pinned_cache", None)
+    return out
