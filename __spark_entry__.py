@@ -7281,6 +7281,60 @@ FROM terms GROUP BY doc_id
 """
 
 
+def q_rho_select(spark, sf_dir):
+    """RHO-loss learnability selection (importance.rho_select, Mindermann
+    et al. 2022): top-100 docs by reducible loss — weak-model (unigram)
+    NLL minus reference-model (Kneser-Ney bigram) NLL.  Selects
+    structured, learnable text; skips noise that is hard under BOTH
+    models.  Composition of two already-oracled LM scorers + one
+    TakeOrderedAndProject; the rounded score carries the signed-zero
+    +0.0 normalization (a near-zero gap can round to -0.0 in exactly
+    one engine)."""
+    from esa_pfa_spark.operators.importance import rho_select
+
+    return rho_select(_ld(spark, sf_dir, "documents"), k=100)
+
+
+SQL_RHO_SELECT = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+uw AS (SELECT doc_id, unnest(ws) AS wd FROM w),
+ufreq AS (SELECT wd, count(*) AS wc FROM uw GROUP BY 1),
+utot AS (SELECT count(*) AS n_total FROM uw),
+ul AS (SELECT doc_id,
+              round(CAST(sum(CAST(ln(wc * 1.0 / n_total) AS DECIMAL(18,6)))
+                         AS DOUBLE) / count(*), 6) AS u_logprob
+       FROM uw JOIN ufreq USING (wd) CROSS JOIN utot GROUP BY doc_id),
+pr AS (SELECT doc_id, len(ws) AS n_words,
+              unnest(list_zip(ws[1:-2], ws[2:-1])) AS p
+       FROM w WHERE len(ws) >= 2),
+ex AS (SELECT doc_id, n_words, p[1] AS v, p[2] AS wd FROM pr),
+bg AS (SELECT v, wd, count(*) AS c_vw FROM ex GROUP BY 1, 2),
+ctx AS (SELECT v, sum(c_vw) AS c_v, count(*) AS n1_v FROM bg GROUP BY 1),
+cont AS (SELECT wd, count(*) AS n1_w FROM bg GROUP BY 1),
+bt AS (SELECT count(*) AS b_types FROM bg),
+terms AS (
+  SELECT ex.doc_id, ex.n_words,
+         CAST(round(ln(
+           (greatest(CAST(bg.c_vw AS DOUBLE) - 0.75, 0.0)
+            + 0.75 * CAST(ctx.n1_v AS DOUBLE)
+                   * (CAST(cont.n1_w AS DOUBLE) / bt.b_types))
+           / CAST(ctx.c_v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS term
+  FROM ex
+  JOIN bg ON bg.v = ex.v AND bg.wd = ex.wd
+  JOIN ctx ON ctx.v = ex.v
+  JOIN cont ON cont.wd = ex.wd
+  CROSS JOIN bt),
+knd AS (SELECT doc_id,
+               CAST(max(n_words) AS BIGINT) AS n_words,
+               round(CAST(sum(term) AS DOUBLE) / count(*), 6) + 0.0 AS kn_logprob
+        FROM terms GROUP BY doc_id)
+SELECT knd.doc_id, knd.n_words, ul.u_logprob, knd.kn_logprob,
+       round(knd.kn_logprob - ul.u_logprob, 6) + 0.0 AS rho_score
+FROM knd JOIN ul USING (doc_id)
+ORDER BY rho_score DESC, knd.doc_id ASC LIMIT 100
+"""
+
+
 def q_doremi(spark, sf_dir):
     """DoReMi domain-mixture reweighting (dataset.doremi_weights, Xie et
     al. 2023): 5 multiplicative-weights rounds over per-source excess
@@ -7575,6 +7629,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pack_attention_stats_128": (q_pack_attention, SQL_PACK_ATTENTION),
     "kneser_ney_quality": (q_kneser_ney, SQL_KNESER_NEY),
     "doremi_domain_weights": (q_doremi, _doremi_sql()),
+    "rho_select_top100": (q_rho_select, SQL_RHO_SELECT),
 }
 
 

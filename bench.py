@@ -210,6 +210,7 @@ HEADLINE = [
     "pack_attention_stats_128",
     "kneser_ney_quality",
     "doremi_domain_weights",
+    "rho_select_top100",
 ]
 
 # flagship synthetic scale (distributed generation, written once to parquet)

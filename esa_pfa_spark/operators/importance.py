@@ -206,3 +206,61 @@ def dsir_topk_sample(
         .orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def rho_select(
+    docs: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """RHO-loss-style learnability selection (Mindermann et al. 2022,
+    "Prioritized training on points that are learnable, worth learning,
+    and not yet learnt"): rank examples by REDUCIBLE loss — the gap
+    between the training model's loss and a stronger reference
+    (holdout) model's loss — and keep the top ``k``.  High train loss
+    with LOW reference loss marks a learnable, not-yet-learnt example;
+    high loss under BOTH models marks noise the selection correctly
+    skips (where plain hard-example mining fails).
+
+    This engine's deterministic analog scores both sides with its own
+    already-oracled LMs: the weak "training" proxy is the order-blind
+    unigram model (``textstats.unigram_logprob``) and the stronger
+    reference is the interpolated Kneser-Ney bigram model
+    (``textstats.kneser_ney_logprob``), so
+
+        rho_score = NLL_unigram - NLL_KN = kn_logprob - avg_logprob
+
+    is large exactly where word ORDER makes the doc much more
+    predictable than its vocabulary alone — structured, learnable text —
+    and negative for scrambled/boilerplate-atypical docs.
+
+    Scale shape: both scorers are corpus aggregates + equi-joins (see
+    their docstrings; nothing new shuffles here), the score is map-only
+    column math over their inner join (docs with >= 2 words — the KN
+    domain), and the cut is a deterministic top-k
+    (TakeOrderedAndProject; score DESC, id ASC).  The rounded score
+    carries the repo's signed-zero normalization (+ 0.0) since a
+    near-zero gap can round to -0.0 in exactly one engine."""
+    from esa_pfa_spark.operators.textstats import (
+        kneser_ney_logprob,
+        unigram_logprob,
+    )
+
+    u = unigram_logprob(docs, text_col=text_col).select(
+        id_col, F.col("avg_logprob").alias("u_logprob")
+    )
+    kn = kneser_ney_logprob(docs, text_col=text_col).select(
+        id_col, "n_words", F.col("kn_logprob")
+    )
+    rho = (
+        F.round(F.col("kn_logprob") - F.col("u_logprob"), round_to)
+        + F.lit(0.0)
+    ).alias("rho_score")
+    scored = kn.join(u, id_col).select(id_col, "n_words", "u_logprob",
+                                       "kn_logprob", rho)
+    return (
+        scored.orderBy(F.col("rho_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -181,3 +181,48 @@ class TestDoremi:
             doremi_weights(df, iters=0)
         with pytest.raises(ValueError):
             doremi_weights(df, smoothing=1.0)
+
+
+class TestRhoSelect:
+    def test_structured_beats_scrambled(self, spark):
+        from esa_pfa_spark.operators.importance import rho_select
+
+        # ten copies of the structured phrase, one scrambled permutation:
+        # identical unigram profile, but the scrambled doc's bigrams are
+        # corpus-rare -> lower KN logprob -> lower reducible-loss score
+        rows = [(i, "a b c d") for i in range(10)] + [(99, "d a c b")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = rho_select(docs, k=11).collect()
+        scores = {r["doc_id"]: r["rho_score"] for r in out}
+        assert scores[0] > scores[99]
+        # deterministic ordering: score desc, id asc
+        pairs = [(r["rho_score"], r["doc_id"]) for r in out]
+        assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+
+    def test_matches_component_scorers(self, spark):
+        from esa_pfa_spark.operators.importance import rho_select
+        from esa_pfa_spark.operators.textstats import (
+            kneser_ney_logprob,
+            unigram_logprob,
+        )
+
+        rows = [(i, t) for i, t in enumerate(
+            ["a b c", "b c a", "a a b b", "c b a", "d"]
+        )]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        u = {r["doc_id"]: r["avg_logprob"] for r in unigram_logprob(docs).collect()}
+        kn = {r["doc_id"]: r["kn_logprob"] for r in kneser_ney_logprob(docs).collect()}
+        out = rho_select(docs, k=10).collect()
+        # single-word doc 4 has no KN score and must be absent
+        assert {r["doc_id"] for r in out} == set(kn)
+        for r in out:
+            assert r["rho_score"] == pytest.approx(
+                round(kn[r["doc_id"]] - u[r["doc_id"]], 6)
+            )
+
+    def test_k_limits(self, spark):
+        from esa_pfa_spark.operators.importance import rho_select
+
+        rows = [(i, f"w{i} x w{i} y") for i in range(20)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        assert rho_select(docs, k=5).count() == 5
