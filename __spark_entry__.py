@@ -7281,6 +7281,53 @@ FROM terms GROUP BY doc_id
 """
 
 
+def q_sa_longest_dup(spark, sf_dir):
+    """Exact longest duplicated token substring in the corpus
+    (suffix.longest_duplicate_span over a prefix-doubling generalized
+    suffix array — the Lee et al. 2022 exact-substring-dedup machinery;
+    the fixed-n fingerprint spans answer one n, this answers ALL n).
+    Engine: log(max_doc_len) doubling rounds of shifted self-joins +
+    range-partitioned dense numbering (no global window, no suffix
+    materialization), then adjacent-pair LCP via JVM zip_with.  Oracle:
+    DuckDB sorts the materialized suffix lists directly (lexicographic
+    list ORDER BY — the naive small-scale construction) and takes the
+    max adjacent LCP; span_fp = min md5 across max-ties, well-defined
+    under any tie arrangement between equal suffixes."""
+    from esa_pfa_spark.operators.suffix import longest_duplicate_span
+
+    from esa_pfa_spark.operators.tokens import DEFAULT_VOCAB
+
+    # the portable tokenizer's vocab bound lets the doubling start from
+    # 4-token packed keys (k0 = floor(62/log2(V+2))) instead of 2
+    return longest_duplicate_span(
+        _tokenized_docs_w(spark, sf_dir), max_token=DEFAULT_VOCAB - 1
+    )
+
+
+SQL_SA_LONGEST_DUP = f"""
+WITH tok AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+pos0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS off FROM tok),
+pos AS (SELECT doc_id, off, list_slice(toks, off, len(toks)) AS suf FROM pos0),
+ord AS (SELECT doc_id, off, suf,
+               lead(suf) OVER (ORDER BY suf, doc_id, off) AS nsuf
+        FROM pos),
+fb AS (SELECT suf, nsuf,
+              list_position(list_transform(list_zip(suf, nsuf),
+                            p -> p[1] IS DISTINCT FROM p[2]), true) AS fpos
+       FROM ord WHERE nsuf IS NOT NULL),
+lcps AS (SELECT suf,
+                CASE WHEN fpos = 0 THEN least(len(suf), len(nsuf))
+                     ELSE fpos - 1 END AS lcp
+         FROM fb),
+mx AS (SELECT max(lcp) AS m FROM lcps)
+SELECT CAST(mx.m AS BIGINT) AS dup_len,
+       min(md5(coalesce(array_to_string(
+           list_transform(list_slice(suf, 1, mx.m), t -> CAST(t AS VARCHAR)),
+           ','), ''))) AS span_fp
+FROM lcps, mx WHERE lcp = mx.m GROUP BY mx.m
+"""
+
+
 def q_rho_select(spark, sf_dir):
     """RHO-loss learnability selection (importance.rho_select, Mindermann
     et al. 2022): top-100 docs by reducible loss — weak-model (unigram)
@@ -7630,6 +7677,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "kneser_ney_quality": (q_kneser_ney, SQL_KNESER_NEY),
     "doremi_domain_weights": (q_doremi, _doremi_sql()),
     "rho_select_top100": (q_rho_select, SQL_RHO_SELECT),
+    "sa_longest_dup": (q_sa_longest_dup, SQL_SA_LONGEST_DUP),
 }
 
 

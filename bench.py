@@ -211,6 +211,7 @@ HEADLINE = [
     "kneser_ney_quality",
     "doremi_domain_weights",
     "rho_select_top100",
+    "sa_longest_dup",
 ]
 
 # flagship synthetic scale (distributed generation, written once to parquet)

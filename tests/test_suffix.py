@@ -1,0 +1,112 @@
+"""Generalized suffix array (prefix doubling) + longest duplicate span."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pytest
+
+from esa_pfa_spark.operators.suffix import longest_duplicate_span, suffix_order
+
+
+def _df(spark, docs: dict[int, list[int]]):
+    rows = [(d, toks) for d, toks in docs.items()]
+    return spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+
+
+def _ref_order(docs: dict[int, list[int]]):
+    """Naive reference: sort (suffix, doc, off) lexicographically."""
+    sufs = [
+        (toks[off:], d, off)
+        for d, toks in docs.items()
+        for off in range(len(toks))
+    ]
+    sufs.sort()
+    return [(d, off) for _, d, off in sufs]
+
+
+def _ref_longest_dup(docs: dict[int, list[int]]):
+    order = _ref_order(docs)
+    sufs = {(d, o): docs[d][o:] for d, o in order}
+    best, fps = 0, set()
+    for (a, b) in zip(order, order[1:]):
+        sa, sb = sufs[a], sufs[b]
+        l = 0
+        while l < min(len(sa), len(sb)) and sa[l] == sb[l]:
+            l += 1
+        if l > best:
+            best, fps = l, set()
+        if l == best:
+            fps.add(hashlib.md5(
+                ",".join(str(t) for t in sufs[a][:best]).encode()
+            ).hexdigest())
+    return best, min(fps) if fps else None
+
+
+class TestSuffixOrder:
+    def test_matches_reference_small(self, spark):
+        docs = {1: [3, 1, 2, 1], 2: [1, 2, 1], 3: [2, 2]}
+        got = suffix_order(_df(spark, docs)).collect()
+        by_idx = {r["sa_idx"]: (r["doc_id"], r["off"]) for r in got}
+        assert [by_idx[i] for i in range(len(by_idx))] == _ref_order(docs)
+
+    def test_permutation_and_sortedness_random(self, spark):
+        rng = random.Random(7)
+        docs = {
+            d: [rng.randrange(4) for _ in range(rng.randrange(1, 30))]
+            for d in range(12)
+        }
+        got = suffix_order(_df(spark, docs)).collect()
+        n = sum(len(t) for t in docs.values())
+        idxs = sorted(r["sa_idx"] for r in got)
+        assert idxs == list(range(n))  # a permutation
+        by_idx = {r["sa_idx"]: (r["doc_id"], r["off"]) for r in got}
+        assert [by_idx[i] for i in range(n)] == _ref_order(docs)
+
+    def test_identical_docs_tie_break(self, spark):
+        # byte-identical suffixes across docs: order falls back to
+        # (doc_id, off) and stays a total order
+        docs = {5: [1, 2, 3], 9: [1, 2, 3]}
+        got = suffix_order(_df(spark, docs)).collect()
+        by_idx = {r["sa_idx"]: (r["doc_id"], r["off"]) for r in got}
+        assert [by_idx[i] for i in range(6)] == _ref_order(docs)
+
+    def test_negative_token_raises(self, spark):
+        from pyspark.errors import PySparkException
+
+        with pytest.raises(PySparkException, match="sentinel ordering"):
+            suffix_order(_df(spark, {1: [1, -2, 3]})).collect()
+
+
+class TestLongestDuplicateSpan:
+    def test_hand_case_cross_doc(self, spark):
+        # [7,8,9] occurs in both docs; no longer shared run exists
+        docs = {1: [1, 7, 8, 9, 2], 2: [7, 8, 9, 3]}
+        r = longest_duplicate_span(_df(spark, docs)).collect()
+        assert len(r) == 1
+        assert r[0]["dup_len"] == 3
+        assert r[0]["span_fp"] == hashlib.md5(b"7,8,9").hexdigest()
+
+    def test_within_doc_repeat(self, spark):
+        docs = {1: [4, 5, 4, 5, 4]}  # overlapping repeat: [4,5,4] twice
+        r = longest_duplicate_span(_df(spark, docs)).collect()[0]
+        assert r["dup_len"] == 3
+        assert r["span_fp"] == hashlib.md5(b"4,5,4").hexdigest()
+
+    def test_no_repeats(self, spark):
+        docs = {1: [1, 2], 2: [3, 4]}
+        r = longest_duplicate_span(_df(spark, docs)).collect()[0]
+        assert r["dup_len"] == 0
+        assert r["span_fp"] == hashlib.md5(b"").hexdigest()
+
+    def test_matches_reference_random(self, spark):
+        rng = random.Random(13)
+        docs = {
+            d: [rng.randrange(3) for _ in range(rng.randrange(2, 25))]
+            for d in range(10)
+        }
+        want_len, want_fp = _ref_longest_dup(docs)
+        r = longest_duplicate_span(_df(spark, docs)).collect()[0]
+        assert r["dup_len"] == want_len
+        assert r["span_fp"] == want_fp
