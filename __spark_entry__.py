@@ -7328,6 +7328,56 @@ FROM lcps, mx WHERE lcp = mx.m GROUP BY mx.m
 """
 
 
+def q_sa_dup_coverage(spark, sf_dir):
+    """Exact per-document duplicate-token coverage at L=16
+    (suffix.duplicate_coverage): positions inside ANY >= 16-token
+    substring that recurs anywhere in the corpus — the Lee et al. 2022
+    ExactSubstr statistic the fixed-n fingerprint mask approximates.
+    LCP-interval property makes adjacent SA pairs sufficient; interval
+    union per doc via a DOC-partitioned sweep window (never global)."""
+    from esa_pfa_spark.operators.suffix import duplicate_coverage
+    from esa_pfa_spark.operators.tokens import DEFAULT_VOCAB
+
+    return duplicate_coverage(
+        _tokenized_docs_w(spark, sf_dir), min_len=16,
+        max_token=DEFAULT_VOCAB - 1,
+    ).orderBy("doc_id")
+
+
+SQL_SA_DUP_COVERAGE = f"""
+WITH tok AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+pos0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS off FROM tok),
+pos AS (SELECT doc_id, off, list_slice(toks, off, len(toks)) AS suf FROM pos0),
+ord AS (SELECT doc_id, off, suf,
+               lead(suf) OVER (ORDER BY suf, doc_id, off) AS nsuf,
+               lead(doc_id) OVER (ORDER BY suf, doc_id, off) AS ndoc,
+               lead(off) OVER (ORDER BY suf, doc_id, off) AS noff
+        FROM pos),
+fb AS (SELECT doc_id, off, ndoc, noff, suf, nsuf,
+              list_position(list_transform(list_zip(suf, nsuf),
+                            p -> p[1] IS DISTINCT FROM p[2]), true) AS fpos
+       FROM ord WHERE nsuf IS NOT NULL),
+lcps AS (SELECT doc_id, off, ndoc, noff,
+                CASE WHEN fpos = 0 THEN least(len(suf), len(nsuf))
+                     ELSE fpos - 1 END AS lcp
+         FROM fb),
+hits AS (SELECT * FROM lcps WHERE lcp >= 16),
+iv AS (SELECT doc_id AS d, off AS s, off + lcp AS e FROM hits
+       UNION ALL SELECT ndoc, noff, noff + lcp FROM hits),
+sw AS (SELECT d, s, e,
+              max(e) OVER (PARTITION BY d ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       FROM iv),
+cov AS (SELECT d, sum(greatest(e - greatest(s, coalesce(pm, s)), 0)) AS dup
+        FROM sw GROUP BY d)
+SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tok,
+       CAST(coalesce(cov.dup, 0) AS BIGINT) AS dup_tokens,
+       round(CAST(coalesce(cov.dup, 0) AS DOUBLE) / len(t.toks), 6) AS dup_frac
+FROM tok t LEFT JOIN cov ON cov.d = t.doc_id
+ORDER BY t.doc_id
+"""
+
+
 def q_rho_select(spark, sf_dir):
     """RHO-loss learnability selection (importance.rho_select, Mindermann
     et al. 2022): top-100 docs by reducible loss — weak-model (unigram)
@@ -7678,6 +7728,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "doremi_domain_weights": (q_doremi, _doremi_sql()),
     "rho_select_top100": (q_rho_select, SQL_RHO_SELECT),
     "sa_longest_dup": (q_sa_longest_dup, SQL_SA_LONGEST_DUP),
+    "sa_dup_coverage_16": (q_sa_dup_coverage, SQL_SA_DUP_COVERAGE),
 }
 
 

@@ -212,6 +212,7 @@ HEADLINE = [
     "doremi_domain_weights",
     "rho_select_top100",
     "sa_longest_dup",
+    "sa_dup_coverage_16",
 ]
 
 # flagship synthetic scale (distributed generation, written once to parquet)

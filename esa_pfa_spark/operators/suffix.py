@@ -233,33 +233,24 @@ def suffix_order(
     )
 
 
-def longest_duplicate_span(
+def _adjacent_lcp(
     df: DataFrame,
-    tokens_col: str = "tokens",
-    id_col: str = "doc_id",
-    n_partitions: int | None = None,
-    max_token: int = 2**31 - 1,
-    fanout: int = 8,
-) -> DataFrame:
-    """The longest token substring occurring at two distinct (document,
-    offset) positions in the corpus — exact, any length (the statistic
-    that motivates Lee et al.'s >= 50-token dedup threshold).  One row:
-    ``dup_len`` and ``span_fp`` (md5 of the comma-joined span; when
-    several distinct spans tie at the max, the lexicographically least
-    fingerprint — well-defined regardless of suffix-order tie
-    arrangement between equal suffixes).
-
-    Classic reduction: the pair achieving the global max longest-common-
-    prefix is ADJACENT in suffix order, so only T-1 adjacent pairs are
-    examined.  LCP per adjacent pair is computed directly on the two
-    suffix slices with JVM higher-order functions (zip_with + first
-    mismatch position) — no per-row Python; work is O(min suffix len)
-    per pair, embarrassingly parallel (an all-levels rank-table greedy
-    descent is the asymptotically tighter alternative at extreme
-    document lengths; at LM context sizes the direct compare wins on
-    constant factor and memory).  A corpus with no repeated token at
-    all yields dup_len = 0 with the empty-span fingerprint (md5 of "");
-    fewer than two suffixes -> no adjacent pair -> empty result."""
+    tokens_col: str,
+    id_col: str,
+    n_partitions: int | None,
+    max_token: int,
+    fanout: int,
+):
+    """Shared tail of the SA queries: build the suffix array, pair each
+    suffix with its successor in suffix order, and compute the exact LCP
+    of every adjacent pair directly on the two suffix slices with JVM
+    higher-order functions (zip_with + first mismatch position) — no
+    per-row Python; work is O(min suffix len) per pair, embarrassingly
+    parallel (an all-levels rank-table greedy descent is the
+    asymptotically tighter alternative at extreme document lengths; at
+    LM context sizes the direct compare wins on constant factor and
+    memory).  Returns (pairs_df, src): pairs carry
+    (__da, __oa, __db, __ob, __ta, __lcp)."""
     # one materialization of the (id, tokens) projection feeds the
     # suffix-array build AND both per-side token lookups below — the
     # upstream lineage (scan + tokenizer) runs once, not four times
@@ -302,9 +293,37 @@ def longest_duplicate_span(
     lcp = F.when(
         first_bad == 0, F.least(F.size(suf_a), F.size(suf_b))
     ).otherwise(first_bad - 1)
+    return pairs.select(
+        "__da", "__oa", "__db", "__ob", "__ta", lcp.cast("long").alias("__lcp")
+    ), src
+
+
+def longest_duplicate_span(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    n_partitions: int | None = None,
+    max_token: int = 2**31 - 1,
+    fanout: int = 8,
+) -> DataFrame:
+    """The longest token substring occurring at two distinct (document,
+    offset) positions in the corpus — exact, any length (the statistic
+    that motivates Lee et al.'s >= 50-token dedup threshold).  One row:
+    ``dup_len`` and ``span_fp`` (md5 of the comma-joined span; when
+    several distinct spans tie at the max, the lexicographically least
+    fingerprint — well-defined regardless of suffix-order tie
+    arrangement between equal suffixes).
+
+    Classic reduction: the pair achieving the global max longest-common-
+    prefix is ADJACENT in suffix order, so only T-1 adjacent pairs are
+    examined (``_adjacent_lcp``).  A corpus with no repeated token at
+    all yields dup_len = 0 with the empty-span fingerprint (md5 of "");
+    fewer than two suffixes -> no adjacent pair -> empty result."""
+    pairs, _ = _adjacent_lcp(
+        df, tokens_col, id_col, n_partitions, max_token, fanout
+    )
     scored = pairs.select(
-        F.col("__ta").alias("__t"), F.col("__oa").alias("__o"),
-        lcp.cast("long").alias("__lcp"),
+        F.col("__ta").alias("__t"), F.col("__oa").alias("__o"), "__lcp"
     )
     mx = scored.agg(F.max("__lcp").alias("__m"))
     span = F.slice(F.col("__t"), F.col("__o") + 1, F.col("__m"))
@@ -315,4 +334,79 @@ def longest_duplicate_span(
         .select(F.col("__m").alias("dup_len"), fp.alias("__fp"))
         .groupBy("dup_len")
         .agg(F.min("__fp").alias("span_fp"))
+    )
+
+
+def duplicate_coverage(
+    df: DataFrame,
+    min_len: int = 16,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    n_tok_col: str = "n_tok",
+    n_partitions: int | None = None,
+    max_token: int = 2**31 - 1,
+    fanout: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact per-document duplicate-token coverage at threshold
+    ``min_len`` — the Lee et al. 2022 ExactSubstr statistic: for each
+    document, how many of its token positions sit inside SOME substring
+    of >= ``min_len`` tokens that also occurs elsewhere in the corpus
+    (a second (document, offset) position — including elsewhere in the
+    same document)?  This is the exact quantity the fixed-n fingerprint
+    mask (``tokens.token_loss_mask``) approximates with one n; the
+    dedup decision "drop/mask spans of >= 50 duplicated tokens" reads
+    directly off it.
+
+    Correctness rests on the LCP-interval property: suffixes sharing a
+    >= L prefix form a CONTIGUOUS block in suffix order, and a suffix's
+    longest prefix shared with ANY other suffix equals the max of its
+    two adjacent LCPs — so emitting BOTH sides' intervals
+    ``[off, off + lcp)`` of every adjacent pair with lcp >= L and
+    unioning per document covers exactly the duplicated positions.
+
+    Shape: ``_adjacent_lcp`` (suffix array + adjacent LCP) -> filter to
+    lcp >= L (the frame collapses to the duplicate mass) -> 2 interval
+    rows per surviving pair -> classic sweep-line union per document
+    (running-max window over a DOC-partitioned frame — never global) ->
+    one row per document joined back so dup-free docs report 0.
+    Returns (id_col, n_tok, dup_tokens, dup_frac)."""
+    pairs, src = _adjacent_lcp(
+        df, tokens_col, id_col, n_partitions, max_token, fanout
+    )
+    hits = pairs.filter(F.col("__lcp") >= min_len)
+    iv = hits.select(
+        F.col("__da").alias("__doc"), F.col("__oa").alias("__s"),
+        (F.col("__oa") + F.col("__lcp")).alias("__e"),
+    ).unionByName(
+        hits.select(
+            F.col("__db").alias("__doc"), F.col("__ob").alias("__s"),
+            (F.col("__ob") + F.col("__lcp")).alias("__e"),
+        )
+    )
+    w = Window.partitionBy("__doc").orderBy("__s", "__e")
+    prev_max = F.max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    covered = F.greatest(
+        F.col("__e") - F.greatest(F.col("__s"), F.coalesce(prev_max, F.col("__s"))),
+        F.lit(0),
+    )
+    per_doc = (
+        iv.select("__doc", covered.alias("__cov"))
+        .groupBy("__doc")
+        .agg(F.sum("__cov").alias("__dup"))
+    )
+    return (
+        src.select(
+            id_col, F.size(tokens_col).cast("long").alias(n_tok_col)
+        )
+        .join(per_doc.withColumnRenamed("__doc", id_col), id_col, "left")
+        .select(
+            id_col,
+            n_tok_col,
+            F.coalesce("__dup", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce("__dup", F.lit(0)).cast("double") / F.col(n_tok_col),
+                round_to,
+            ).alias("dup_frac"),
+        )
     )

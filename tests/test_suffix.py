@@ -110,3 +110,64 @@ class TestLongestDuplicateSpan:
         r = longest_duplicate_span(_df(spark, docs)).collect()[0]
         assert r["dup_len"] == want_len
         assert r["span_fp"] == want_fp
+
+
+class TestDuplicateCoverage:
+    def _ref_coverage(self, docs: dict[int, list[int]], L: int):
+        # independent reference: a position is covered iff it lies inside
+        # an exactly-L window that occurs >= 2 times in the corpus
+        # (equivalent to ">= L duplicated substring" coverage)
+        from collections import Counter
+
+        grams = Counter()
+        for toks in docs.values():
+            for i in range(len(toks) - L + 1):
+                grams[tuple(toks[i:i + L])] += 1
+        out = {}
+        for d, toks in docs.items():
+            covered = set()
+            for i in range(len(toks) - L + 1):
+                if grams[tuple(toks[i:i + L])] >= 2:
+                    covered.update(range(i, i + L))
+            out[d] = len(covered)
+        return out
+
+    def test_cross_doc_shared_run(self, spark):
+        from esa_pfa_spark.operators.suffix import duplicate_coverage
+
+        shared = list(range(100, 118))  # 18 tokens
+        docs = {1: [1, 2] + shared + [3], 2: shared + [4, 5, 6]}
+        out = {r["doc_id"]: r for r in duplicate_coverage(
+            _df(spark, docs), min_len=16).collect()}
+        assert out[1]["dup_tokens"] == 18 and out[2]["dup_tokens"] == 18
+        assert out[1]["n_tok"] == 21
+        assert out[1]["dup_frac"] == round(18 / 21, 6)
+
+    def test_below_threshold_reports_zero(self, spark):
+        from esa_pfa_spark.operators.suffix import duplicate_coverage
+
+        shared = list(range(100, 115))  # 15 < min_len
+        docs = {1: shared + [1], 2: shared + [2]}
+        out = {r["doc_id"]: r["dup_tokens"] for r in duplicate_coverage(
+            _df(spark, docs), min_len=16).collect()}
+        assert out == {1: 0, 2: 0}
+
+    def test_matches_lgram_reference_random(self, spark):
+        from esa_pfa_spark.operators.suffix import duplicate_coverage
+        import random
+
+        rng = random.Random(29)
+        # planted duplicates over a small alphabet + random filler
+        motif = [rng.randrange(50) for _ in range(9)]
+        docs = {}
+        for d in range(12):
+            body = [rng.randrange(50) for _ in range(rng.randrange(5, 30))]
+            if d % 3 == 0:
+                at = rng.randrange(0, max(1, len(body) - 1))
+                body = body[:at] + motif + body[at:]
+            docs[d] = body
+        L = 6
+        want = self._ref_coverage(docs, L)
+        got = {r["doc_id"]: r["dup_tokens"] for r in duplicate_coverage(
+            _df(spark, docs), min_len=L).collect()}
+        assert got == want
