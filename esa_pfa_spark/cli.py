@@ -216,6 +216,44 @@ def cmd_curate(args) -> None:
     print(f"wrote {args.out}")
 
 
+def cmd_dedup_exact(args) -> None:
+    """Exact-substring duplicate audit (Lee et al. 2022 ExactSubstr):
+    per-document duplicate-token coverage at --min-len over a documents/
+    tokens table, via the distributed generalized suffix array.  Writes
+    the per-doc (doc_id, n_tok, dup_tokens, dup_frac) table and prints a
+    corpus summary plus the single longest duplicated substring."""
+    from esa_pfa_spark.operators.suffix import (
+        duplicate_coverage,
+        longest_duplicate_span,
+    )
+    from esa_pfa_spark.session import get_spark
+
+    spark = get_spark(app_name="esa_pfa_dedup_exact")
+    df = spark.read.parquet(args.input)
+    if "tokens" not in df.columns and "text" in df.columns:
+        from esa_pfa_spark.operators.tokens import DEFAULT_VOCAB, tokenize
+
+        df = tokenize(df)
+        max_token = DEFAULT_VOCAB - 1
+    else:
+        max_token = args.max_token
+    cov = duplicate_coverage(df, min_len=args.min_len, max_token=max_token)
+    cov.write.mode("overwrite").parquet(args.out)
+    from pyspark.sql import functions as F
+
+    s = spark.read.parquet(args.out).agg(
+        F.count(F.lit(1)), F.sum("n_tok"), F.sum("dup_tokens"),
+        F.sum((F.col("dup_frac") > 0).cast("long")),
+    ).first()
+    top = longest_duplicate_span(df, max_token=max_token).first()
+    print(
+        f"{s[0]} docs, {s[2]}/{s[1]} tokens inside >= {args.min_len}-token "
+        f"duplicated substrings ({s[3]} docs affected); longest duplicated "
+        f"substring: {top['dup_len'] if top else 0} tokens"
+    )
+    print(f"wrote {args.out}")
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(prog="esa_pfa_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -272,6 +310,19 @@ def main(argv=None) -> None:
     p.add_argument("--keep-frac", type=float, default=0.6, help="v2 mixture budget")
     p.add_argument("--alpha", type=float, default=0.5, help="v2 temperature exponent")
     p.set_defaults(fn=cmd_curate)
+
+    p = sub.add_parser(
+        "dedup-exact",
+        help="exact-substring duplicate audit via the distributed suffix array",
+    )
+    p.add_argument("--input", required=True, help="documents/tokens parquet")
+    p.add_argument("--out", required=True)
+    p.add_argument("--min-len", type=int, default=50,
+                   help="duplicate-substring token threshold (Lee et al.: 50)")
+    p.add_argument("--max-token", type=int, default=2**31 - 1,
+                   help="vocabulary bound for pre-tokenized input (tighter "
+                        "bounds pack more tokens per initial sort key)")
+    p.set_defaults(fn=cmd_dedup_exact)
 
     p = sub.add_parser("dataset", help="split + shuffle a documents/tokens table for training export")
     p.add_argument("--input", required=True)

@@ -180,3 +180,38 @@ def test_cli_curate_v2(spark, tmp_path):
     assert sorted(r["doc_id"] for r in got.collect()) == \
         sorted(r["doc_id"] for r in want.collect())
     assert set(got.columns) >= {"doc_id", "source", "ppl_bucket", "rate"}
+
+
+def test_cli_dedup_exact_end_to_end(spark, tmp_path, capsys):
+    """dedup-exact subcommand: per-doc ExactSubstr coverage parquet +
+    corpus summary; a planted 6-token shared run is found at
+    --min-len 6 and ignored at --min-len 7."""
+    import pandas as pd
+    from esa_pfa_spark import cli
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    texts = {
+        0: f"one two {shared} three",
+        1: f"{shared} four five six",
+        2: "seven eight nine ten eleven twelve",
+    }
+    src = tmp_path / "docs"
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())}),
+        schema="doc_id long, text string",
+    ).write.parquet(str(src))
+
+    out = tmp_path / "cov6"
+    cli.main(["dedup-exact", "--input", str(src), "--out", str(out),
+              "--min-len", "6"])
+    cov = {r.doc_id: r for r in spark.read.parquet(str(out)).collect()}
+    assert cov[0].dup_tokens == 6 and cov[1].dup_tokens == 6
+    assert cov[2].dup_tokens == 0
+    assert "12/24 tokens" in capsys.readouterr().out
+
+    out7 = tmp_path / "cov7"
+    cli.main(["dedup-exact", "--input", str(src), "--out", str(out7),
+              "--min-len", "7"])
+    assert all(
+        r.dup_tokens == 0 for r in spark.read.parquet(str(out7)).collect()
+    )
