@@ -171,3 +171,13 @@ class TestDuplicateCoverage:
         got = {r["doc_id"]: r["dup_tokens"] for r in duplicate_coverage(
             _df(spark, docs), min_len=L).collect()}
         assert got == want
+
+
+def test_empty_and_single_token_corpora(spark):
+    # empty corpus: no suffixes, empty SA; single 1-token doc: one suffix
+    empty = spark.createDataFrame([], "doc_id long, tokens array<int>")
+    assert suffix_order(empty).count() == 0
+    assert longest_duplicate_span(empty).count() == 0  # no adjacent pair
+    one = _df(spark, {1: [7]})
+    rows = suffix_order(one).collect()
+    assert [(r["doc_id"], r["off"], r["sa_idx"]) for r in rows] == [(1, 0, 0)]
